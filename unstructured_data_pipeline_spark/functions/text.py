@@ -1,0 +1,118 @@
+"""Text-analysis Column builders for the training-data-pipeline operators.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` only — no
+Python UDFs — so the hot path stays inside whole-stage codegen and scales
+to 100 TB of documents.  Each builder has an exact ANSI-SQL mirror used by
+the DuckDB oracles in ``__spark_entry__.py``.
+
+Operators: tokenization, token counting (whitespace + BPE-ish regex),
+quality scoring (length / stopword / uniqueness ratios), language-ID
+heuristic, document fingerprinting, shingling, MinHash, SimHash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny multilingual stopword table for the language-ID heuristic; scoring a
+# document = fraction of its tokens found in each language's list.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "en"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "in", "zu"],
+}
+
+# BPE-ish tokenizer regex: runs of letters, runs of digits, or a single
+# non-space symbol — a cheap deterministic stand-in for a real BPE vocab.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens_ws(text: Column | str) -> Column:
+    """Whitespace tokens."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count_ws(text: Column | str) -> Column:
+    return F.size(tokens_ws(text))
+
+
+def token_count_regex(text: Column | str) -> Column:
+    """BPE-ish token count via regexp_extract_all (JVM-side)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    toks = tokens_ws(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return hits / F.size(toks)
+
+
+def uniq_token_ratio(text: Column | str) -> Column:
+    toks = tokens_ws(text)
+    return F.size(F.array_distinct(toks)) / F.size(toks)
+
+
+def avg_token_len(text: Column | str) -> Column:
+    """Mean token length; exact integer arithmetic until the final divide so
+    the DuckDB oracle reproduces it bit-for-bit."""
+    toks = tokens_ws(text)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.size(toks)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the lower-cased,
+    whitespace-normalized text (exact-dedup key)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (near-dup feature set).
+
+    Pure array expr: ``transform(sequence(...), i -> concat_ws(' ', w[i..]))``
+    — identical construction to the DuckDB oracle's
+    ``list_transform(generate_series(...), ...)``.
+    """
+    toks = tokens_ws(text)
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+
+
+def minhash_hex(shingle: Column, seed: int) -> Column:
+    """One MinHash hash value: md5 of ``'<seed>|' || shingle`` as hex text.
+    Taking MIN over these 32-hex-char strings per document is an order-
+    preserving 128-bit MinHash — and md5 is identical in Spark and DuckDB,
+    which makes the whole MinHash-LSH pipeline oracle-checkable."""
+    return F.md5(F.concat(F.lit(f"{seed}|"), shingle))
+
+
+_HEX = "0123456789abcdef"
+
+
+def hex_nibble_value(digit: Column) -> Column:
+    """Value 0..15 of one lowercase hex digit, via position in the hex
+    alphabet (same trick works in DuckDB: ``strpos(...) - 1``)."""
+    return F.instr(F.lit(_HEX), digit) - 1
+
+
+def simhash_bits(token: Column, n_bits: int = 32) -> list[Column]:
+    """The ``n_bits`` bit columns (0/1) of a token's hash, derived from the
+    md5 hex digits — bit j lives in nibble j//4, position j%4."""
+    h = F.md5(token)
+    bits = []
+    for j in range(n_bits):
+        nib = hex_nibble_value(F.substring(h, j // 4 + 1, 1))
+        bits.append(F.shiftright(nib, j % 4).bitwiseAND(F.lit(1)))
+    return bits

@@ -1,0 +1,162 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all pure DataFrame (no Python UDFs in any hot path):
+
+* exact_dedup          — md5 fingerprint groupBy; one shuffle on the hash.
+* MinHash + LSH        — word-shingle -> per-seed md5 MinHash -> banded
+                         signatures -> bucket self-join -> exact Jaccard on
+                         candidates only.  The classic near-dup pipeline
+                         (Broder '97), scale path: the self-join happens per
+                         LSH bucket, never all-pairs.
+* simhash              — 32-bit Charikar fingerprint via bitwise sign-sums.
+* n-gram Jaccard       — exact pairwise similarity, for candidate
+                         verification (never call on a full corpus).
+
+Determinism: every hash is md5-based (identical across Spark / DuckDB /
+Python), so all of these are covered by the DuckDB value-hash oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from unstructured_data_pipeline_spark.functions.text import (
+    fingerprint,
+    minhash_hex,
+    simhash_bits,
+    tokens_ws,
+    word_shingles,
+)
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-duplicate groups: one row per distinct content hash with the
+    canonical (minimum) id and the duplicate count.  Filter
+    ``dup_count > 1`` for the duplicates-only view."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def shingle_set(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct (id, shingle) pairs — the feature set for MinHash/Jaccard."""
+    return (
+        df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
+        .select("id", F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 9
+) -> DataFrame:
+    """Per-id MinHash signature: MIN over md5('<seed>|'||shingle) per seed.
+    One aggregation, map-side partial combine makes it cheap at scale."""
+    aggs = [
+        F.min(minhash_hex(F.col("shingle"), k)).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 9, bands: int = 3
+) -> DataFrame:
+    """Banded LSH: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs sharing any full band signature become a
+    candidate pair.  Output: distinct (a, b) with a < b.
+
+    The self-join is on the band hash — only docs in the same bucket meet,
+    so cost is sum over buckets of |bucket|^2, not |corpus|^2.
+    """
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("#", *parts)).alias("sig"))
+        )
+    buckets = signatures.select(
+        "id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs from their shingle sets:
+    |A∩B| / (|A| + |B| - |A∩B|).  Joins stay candidate-bounded."""
+    counts = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.select(F.col("id").alias("a"), "shingle")
+    sb = shingles.select(F.col("id").alias("b"), "shingle")
+    inter = (
+        pairs.join(sa, "a")
+        .join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(counts.select(F.col("id").alias("a"), F.col("n").alias("na")), "a")
+        .join(counts.select(F.col("id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 9,
+    bands: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band -> verify.
+    Returns (a, b, jaccard) pairs with jaccard >= threshold."""
+    sh = shingle_set(df, id_col, text_col, n)
+    sigs = minhash_signatures(sh, num_hashes)
+    cand = lsh_candidate_pairs(sigs, num_hashes, bands)
+    return jaccard_pairs(sh, cand).filter(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 32) -> DataFrame:
+    """Charikar SimHash over whitespace tokens: per bit position, sum +1/-1
+    votes across tokens (weighted by token multiplicity), bit = 1 iff the sum
+    is positive.  Emitted as a ``n_bits``-char bit string (msb first).
+
+    Implemented by exploding tokens then aggregating 32 conditional sums —
+    one shuffle on the id, all JVM-side.
+    """
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens_ws(text_col)).alias("tok"))
+    bits = simhash_bits(F.col("tok"), n_bits)
+    votes = [F.sum(b * 2 - 1).alias(f"v{j}") for j, b in enumerate(bits)]
+    agg = toks.groupBy("id").agg(*votes)
+    bit_strs = [
+        F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(n_bits - 1, -1, -1)
+    ]
+    return agg.select("id", F.concat(*bit_strs).alias("simhash"))

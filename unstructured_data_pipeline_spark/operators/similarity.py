@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+* cosine_topk       — brute-force exact top-k: broadcast the (small) query
+                      set against the corpus, fold-left dot product in pure
+                      array expressions, window top-k.  The baseline.
+* lsh_bucketed_topk — random-hyperplane LSH scale path: deterministic
+                      hyperplanes derived from md5 (reproducible cluster-
+                      independent), sign-bit bucket key, candidate generation
+                      within buckets (multi-probe via bands), exact rerank of
+                      candidates only.
+
+Scale notes: brute force is O(|Q| * |corpus| * d) — fine when |Q| is small
+and broadcast; the LSH variant bounds candidates per query and turns the
+crossJoin into a bucket equi-join (shuffle on bucket id), the right shape at
+10^9 vectors.  All arithmetic is double fold-left so results are
+deterministic and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential fold-left dot product in double — deterministic order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (q_id, neighbor_id, rank, cos) — rank 1..k by cosine desc,
+    neighbor id asc on ties.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id",
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component h[i] derived from
+    md5(f"{plane}_{i}") — reproducible everywhere, no RNG state."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"{plane}_{i}".encode()).hexdigest()
+        v = int(h[:8], 16) / float(0xFFFFFFFF)  # [0, 1]
+        out.append(2.0 * v - 1.0)  # [-1, 1]
+    return out
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    bands: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ANN via random-hyperplane LSH: bucket = sign bits of ``n_planes``
+    projections, split into ``bands`` bands for multi-probe recall; exact
+    cosine rerank within candidates.  Same output shape as cosine_topk
+    (rank may have < k rows when buckets are sparse — ANN contract)."""
+    planes = [_hyperplane(dim, p) for p in range(n_planes)]
+
+    def sign_bits(vec: Column) -> list[Column]:
+        bits = []
+        for p in planes:
+            arr = F.array(*[F.lit(x) for x in p])
+            bits.append(F.when(_dot(vec, arr) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return bits
+
+    def with_bands(df: DataFrame, idc: str, vecc: str) -> DataFrame:
+        bits = sign_bits(F.col(vecc))
+        rows = n_planes // bands
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(*bits[b * rows : (b + 1) * rows]).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+        return df.select(
+            F.col(idc), F.col(vecc), F.explode(F.array(*band_cols)).alias("bk")
+        ).select(idc, vecc, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+
+    cb = with_bands(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        "neighbor_id",
+        "c_vec",
+    )
+    qb = with_bands(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
+        "q_id",
+        "q_vec",
+    )
+    cand = (
+        cb.join(qb, ["band", "sig"])
+        .select("q_id", "q_vec", "neighbor_id", "c_vec")
+        .distinct()
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("q_id"))
+    scored = cand.select(
+        "q_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "cos")
+    )

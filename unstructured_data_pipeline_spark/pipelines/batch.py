@@ -1,0 +1,153 @@
+"""The document pipeline as one DataFrame job (SURVEY.md section 3).
+
+Reference flow (`app/Auto-Magic Document AI.py`, entry points 1-2):
+
+    file -> classify (AI1) -> prompt lookup/auto-gen (AI5/D2) -> extract (AI2)
+         -> OCR (AI3) + summarize (AI4)            [independent branch]
+         -> persist: documents_processed (append), documents_extracted_fields
+            (EAV append), document_ocr (append), new_uploads (mark processed)
+
+The reference runs this per-file on a client thread pool; here it is a single
+declarative plan over a documents DataFrame — its "Single SQL over stage"
+mode (`app.py:948-953`) generalized.  Parallelism = partitions.  The prompt
+dimension joins by broadcast (classes are few by construction).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from unstructured_data_pipeline_spark.ai.backends import (
+    DeterministicStubBackend,
+    DocumentAIBackend,
+)
+from unstructured_data_pipeline_spark.ai.udfs import make_udfs, unwrap_response
+from unstructured_data_pipeline_spark.functions.variant import canonical_json
+from unstructured_data_pipeline_spark.operators.dml import ParquetTable
+
+
+@dataclass
+class PipelineOutputs:
+    processed: DataFrame  # documents_processed shape
+    extracted_fields: DataFrame  # EAV shape
+    ocr: DataFrame  # document_ocr shape
+
+
+def _prompts_df(spark: SparkSession, backend: DocumentAIBackend, classes: list[str]):
+    """Driver-side prompt-schema generation (AI5): one row per *class*, tiny
+    by construction -> broadcast dimension.  Mirrors the reference's
+    seed-if-unseen INSERT (`app.py:481-489`)."""
+    rows = [(c, canonical_json(backend.generate_prompts(c))) for c in sorted(classes)]
+    return spark.createDataFrame(rows, "class_name string, prompts string")
+
+
+def run_document_pipeline(
+    docs: DataFrame,
+    backend: DocumentAIBackend | None = None,
+    prompts: DataFrame | None = None,
+    id_col: str = "file_ref",
+    text_col: str = "text",
+    url_col: str | None = "file_url",
+    with_ocr: bool = True,
+) -> PipelineOutputs:
+    """Classify -> (seed prompts) -> extract -> explode EAV -> OCR+summary.
+
+    ``docs`` needs (id_col, text_col[, url_col]); binary sources first run
+    the OCR UDF to obtain text (see sources/binary_docs.py).
+    ``prompts`` (class_name, prompts JSON) overrides per-class schemas —
+    missing classes are auto-generated (AI5), matching the reference's
+    seed-if-unseen behavior.
+    """
+    b = backend or DeterministicStubBackend()
+    udfs = make_udfs(b)
+    spark = docs.sparkSession
+
+    url = F.col(url_col) if url_col and url_col in docs.columns else F.lit("")
+    base = docs.select(
+        F.col(id_col).alias("file_ref"),
+        url.alias("file_url"),
+        F.col(text_col).alias("text"),
+    )
+
+    # AI1: classify
+    classified = base.withColumn("class_name", udfs["classify"](F.col("text")))
+
+    # prompt dimension: provided schemas upserted over auto-generated ones.
+    # The class domain of the stub classifier is closed (3 classes), so the
+    # dimension is enumerable driver-side without scanning the data — at
+    # scale this avoids a distinct() over the full corpus.
+    all_classes = ["invoice", "receipt", "contract"]
+    gen = _prompts_df(spark, b, all_classes)
+    if prompts is not None:
+        from unstructured_data_pipeline_spark.operators.dml import upsert
+
+        dim = upsert(gen, prompts.select("class_name", "prompts"), ["class_name"])
+    else:
+        dim = gen
+
+    # broadcast join the tiny class->prompts dimension (J-free at scale)
+    withp = classified.join(F.broadcast(dim), "class_name", "left")
+
+    # AI2: extract, envelope contract preserved
+    extracted = withp.withColumn(
+        "extraction_result", udfs["extract"](F.col("text"), F.col("prompts"))
+    )
+
+    processed = extracted.select(
+        "file_url",
+        "file_ref",
+        "class_name",
+        "extraction_result",
+        F.current_timestamp().cast("timestamp_ntz").alias("processed_at"),
+    )
+
+    # EAV explode: response map -> one row per field (built-in, no UDTF)
+    eav = (
+        extracted.select(
+            "file_url",
+            "file_ref",
+            "class_name",
+            F.explode(unwrap_response(F.col("extraction_result"))).alias(
+                "field_name", "field_value"
+            ),
+        )
+        .withColumn("confidence", F.lit(None).cast("double"))  # never populated
+        .withColumn(
+            "extracted_at", F.current_timestamp().cast("timestamp_ntz")
+        )
+    )
+
+    # AI3 + AI4: OCR branch (independent of extract, like the reference's
+    # 2-worker side pool — here just a second branch off the same scan)
+    if with_ocr:
+        ocr = base.select(
+            F.col("file_ref").alias("file_name"),
+            "file_ref",
+            udfs["ocr"](F.col("text").cast("binary")).alias("ocr"),
+            udfs["summarize"](F.col("text")).alias("summary"),
+            F.current_timestamp().cast("timestamp_ntz").alias("processed_at"),
+        )
+    else:
+        ocr = spark.createDataFrame(
+            [], "file_name string, file_ref string, ocr string, summary string, processed_at timestamp_ntz"
+        )
+
+    return PipelineOutputs(processed=processed, extracted_fields=eav, ocr=ocr)
+
+
+def persist_pipeline_outputs(
+    outputs: PipelineOutputs,
+    tables: dict[str, ParquetTable],
+    uploads: DataFrame | None = None,
+) -> None:
+    """The four persistence steps (`app.py:523-554`): three appends + the
+    NEW_UPLOADS processed=TRUE upsert."""
+    tables["documents_processed"].append(outputs.processed)
+    tables["documents_extracted_fields"].append(outputs.extracted_fields)
+    tables["document_ocr"].append(outputs.ocr)
+    if uploads is not None and "new_uploads" in tables:
+        done = uploads.withColumn("processed", F.lit(True))
+        tables["new_uploads"].upsert(done, ["file_name"])

@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The engine targets multi-executor clusters reading ~100 TB; locally we run
+``local[N]``.  Every default here is chosen to survive a 1000x scale-up:
+
+* AQE on (runtime coalescing, skew-join splitting, dynamic join selection).
+* Arrow on (all our AI/document UDFs are pandas UDFs — Arrow batch transfer).
+* ``shuffle.partitions`` sized for the local test harness; on a real cluster
+  AQE's coalescing makes the static number mostly irrelevant.
+* UTC session timezone so timestamp semantics are reproducible anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "unstructured-data-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
+    when no cluster is configured — on a real deployment you simply submit
+    with ``--master yarn``/``k8s`` and this function leaves it alone.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+
+    defaults = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or 32),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        # documents/embeddings rows can be wide (binary content, text,
+        # float vectors); keep broadcasts conservative and let AQE decide.
+        "spark.sql.autoBroadcastJoinThreshold": "64MB",
+        "spark.sql.files.maxPartitionBytes": "128MB",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.ui.enabled": "false",
+    }
+    if extra_conf:
+        defaults.update(extra_conf)
+    for k, v in defaults.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
