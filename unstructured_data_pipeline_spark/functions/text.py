@@ -81,7 +81,11 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     """
     toks = tokens_ws(text)
     k = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0] — short docs
+    # must produce an empty shingle list instead.
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
         idx,
         lambda i: F.concat_ws(

@@ -64,6 +64,9 @@ def run_document_pipeline(
     b = backend or DeterministicStubBackend()
     udfs = make_udfs(b)
     spark = docs.sparkSession
+    from unstructured_data_pipeline_spark.dist import ensure_shipped
+
+    ensure_shipped(spark)
 
     url = F.col(url_col) if url_col and url_col in docs.columns else F.lit("")
     base = docs.select(

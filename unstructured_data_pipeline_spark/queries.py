@@ -1,0 +1,1108 @@
+"""The engine's query registry: every operator from SURVEY.md section 2 (plus
+the training-data-pipeline extensions) phrased as an oracle-checkable query
+over the driver fixture tables.
+
+Each entry is ``name -> (spark_callable, duckdb_oracle_sql | None)``; the
+callable takes (spark, sf_dir) and returns a DataFrame whose row-count,
+schema, and order-insensitive value-hash must match the oracle.
+
+Cross-engine determinism rules used throughout (see SURVEY.md section 7,
+"hard parts"):
+
+* Money/value sums go through integer cents — ``FLOOR(x*100 + 0.5)`` is the
+  same IEEE operation in both engines, and BIGINT sums are exact; divide by
+  100.0 at the end.  Never hash a float reduction.
+* ``events.ts`` is nanosecond parquet which Spark cannot read natively; we
+  read it via ``spark.sql.legacy.parquet.nanosAsLong`` and do ALL event-time
+  arithmetic on integer epoch values (``ts DIV 1000`` == DuckDB
+  ``epoch_us(ts)``) — timezone-free on both engines.
+* NTZ timestamps (orders/lineitem) are emitted as formatted strings.
+* Every hash is md5 (identical everywhere); ranks break ties on ids.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from unstructured_data_pipeline_spark.ai.udfs import make_udfs, unwrap_response
+from unstructured_data_pipeline_spark.functions import text as TX
+from unstructured_data_pipeline_spark.operators import dedup as DD
+from unstructured_data_pipeline_spark.operators import similarity as SIM
+from unstructured_data_pipeline_spark.operators.history import (
+    HistoryFilters,
+    class_summary,
+    documents_latest,
+    field_flatten,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from unstructured_data_pipeline_spark.dist import ensure_shipped
+
+    ensure_shipped(spark)  # executor workers must import this package (UDFs)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts as raw BIGINT nanoseconds (see module docstring)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _t(spark, sf_dir, "events")
+
+
+def _cents(col: F.Column) -> F.Column:
+    """Deterministic integer cents: same IEEE double ops in both engines."""
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+_SQL_CENTS = "CAST(FLOOR(({x}) * 100 + 0.5) AS BIGINT)"
+
+
+def _c(x: str) -> str:
+    return _SQL_CENTS.format(x=x)
+
+
+# the deterministic stub classifier (ai/backends.py) as SQL — keep in sync
+_CLASSIFY_SQL = (
+    "CASE WHEN text LIKE '%customer%' THEN 'invoice' "
+    "WHEN text LIKE '%stream%' THEN 'receipt' ELSE 'contract' END"
+)
+
+# documents corpus -> pipeline input shape used by the pipeline queries
+_DOCS_BASE_SQL = (
+    "SELECT CAST(doc_id AS VARCHAR) AS file_ref, "
+    "'@docs_stage/' || CAST(doc_id AS VARCHAR) || '.txt' AS file_url, "
+    f"text, {_CLASSIFY_SQL} AS class_name FROM documents"
+)
+
+# the stub extractor's three fields as SQL (one UNION ALL branch each)
+_EAV_SQL = f"""
+WITH base AS ({_DOCS_BASE_SQL}),
+eav AS (
+  SELECT file_ref, file_url, class_name, 'first_word' AS field_name,
+         string_split(text, ' ')[1] AS field_value FROM base
+  UNION ALL
+  SELECT file_ref, file_url, class_name, 'n_words',
+         CAST(len(string_split(text, ' ')) AS VARCHAR) FROM base
+  UNION ALL
+  SELECT file_ref, file_url, class_name, 'fingerprint', md5(text) FROM base
+)
+"""
+
+
+def _docs_pipeline_eav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents fixture -> stub classify+extract -> EAV (deterministic
+    columns only — timestamps dropped for oracle comparison)."""
+    from unstructured_data_pipeline_spark.pipelines.batch import run_document_pipeline
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("file_ref"),
+        F.concat(F.lit("@docs_stage/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias(
+            "file_url"
+        ),
+        "text",
+    )
+    out = run_document_pipeline(docs, with_ocr=False)
+    return out.extracted_fields.select(
+        "file_ref", "file_url", "class_name", "field_name", "field_value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1-3: TPC-H-shaped headline queries (scan/filter/join/agg — S1, A*, J*)
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1999-01-01").cast("timestamp_ntz")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum(_cents(F.col("l_quantity"))) / 100.0).alias("sum_qty"),
+        (F.sum(_cents(F.col("l_extendedprice"))) / 100.0).alias("sum_base_price"),
+        (F.sum(_cents(disc)) / 100.0).alias("sum_disc_price"),
+        (F.sum(_cents(charge)) / 100.0).alias("sum_charge"),
+        (F.sum(_cents(F.col("l_quantity"))) / 100.0 / F.count(F.lit(1))).alias("avg_qty"),
+        (F.sum(_cents(F.col("l_extendedprice"))) / 100.0 / F.count(F.lit(1))).alias(
+            "avg_price"
+        ),
+        (F.sum(_cents(F.col("l_discount"))) / 100.0 / F.count(F.lit(1))).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return g.orderBy("l_returnflag", "l_linestatus")
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  SUM({_c('l_quantity')}) / 100.0 AS sum_qty,
+  SUM({_c('l_extendedprice')}) / 100.0 AS sum_base_price,
+  SUM({_c('l_extendedprice * (1 - l_discount)')}) / 100.0 AS sum_disc_price,
+  SUM({_c('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}) / 100.0 AS sum_charge,
+  SUM({_c('l_quantity')}) / 100.0 / COUNT(*) AS avg_qty,
+  SUM({_c('l_extendedprice')}) / 100.0 / COUNT(*) AS avg_price,
+  SUM({_c('l_discount')}) / 100.0 / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue_orders(spark, sf_dir):
+    cutoff = F.lit("1998-01-01").cast("timestamp_ntz")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    g = j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        (F.sum(_cents(rev)) / 100.0).alias("revenue")
+    )
+    return g.select(
+        "o_orderkey",
+        (F.date_format("o_orderdate", "yyyy-MM-dd")).alias("o_orderdate"),
+        "o_orderpriority",
+        "revenue",
+    ).orderBy(F.desc("revenue"), "o_orderkey").limit(10)
+
+
+Q3_SQL = f"""
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+       SUM({_c('l_extendedprice * (1 - l_discount)')}) / 100.0 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q5_region_volume(spark, sf_dir):
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01").cast("timestamp_ntz")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.groupBy("n_name")
+        .agg((F.sum(_cents(rev)) / 100.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name, SUM({_c('l_extendedprice * (1 - l_discount)')}) / 100.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4-8: point lookup, predicates, decorrelated joins (S2, P*, J1-J4)
+
+
+def point_lookup_customer(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").filter(F.col("c_custkey") == 42)
+
+
+POINT_LOOKUP_SQL = "SELECT * FROM customer WHERE c_custkey = 42"
+
+
+def filter_predicates_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.filter(
+            F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            & F.lower(F.col("c_name")).like("%5%")
+            & (F.coalesce(F.col("c_acctbal"), F.lit(0.0)) > 1000.0)
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            "c_acctbal",
+            F.when(F.col("c_acctbal") > 5000, "high").otherwise("low").alias("tier"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+FILTER_PRED_SQL = """
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+       CASE WHEN c_acctbal > 5000 THEN 'high' ELSE 'low' END AS tier
+FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+  AND lower(c_name) LIKE '%5%'
+  AND COALESCE(c_acctbal, 0) > 1000
+ORDER BY c_custkey
+"""
+
+
+def customer_order_stats(spark, sf_dir):
+    """J1+J2 decorrelated: the reference's correlated MAX/COUNT subqueries
+    (`app.py:708-713`) as one aggregate + left join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("_last"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("_cents"),
+    )
+    return (
+        cust.join(agg, cust.c_custkey == agg.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce(F.col("_n"), F.lit(0)).alias("order_count"),
+            F.coalesce(F.col("_last"), F.lit("none")).alias("last_order_date"),
+            (F.coalesce(F.col("_cents"), F.lit(0)) / 100.0).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+CUSTOMER_ORDER_STATS_SQL = f"""
+SELECT c_custkey, c_name,
+       COALESCE(n, 0) AS order_count,
+       COALESCE(last_d, 'none') AS last_order_date,
+       COALESCE(cents, 0) / 100.0 AS total_spent
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+         MAX(strftime(o_orderdate, '%Y-%m-%d')) AS last_d,
+         CAST(SUM({_c('o_totalprice')}) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+) o ON c_custkey = o_custkey
+ORDER BY c_custkey
+"""
+
+
+def semi_join_big_spenders(spark, sf_dir):
+    """J3/P5: EXISTS as left-semi join."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+ORDER BY c_custkey
+"""
+
+
+def anti_join_modest_customers(spark, sf_dir):
+    """J4/P6: NOT EXISTS as left-anti join."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9-16: windows, aggregates, set ops, scalars, pivot (W*, A*, O*, §2.7, C5)
+
+
+def latest_event_per_user(spark, sf_dir):
+    """W1: the QUALIFY ROW_NUMBER latest-per-key dedup (`app.py:717`)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.expr("ts DIV 1000").alias("ts_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+LATEST_EVENT_SQL = """
+SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+      FROM events) t
+WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def top_users_per_event_type(spark, sf_dir):
+    """W2 extended: rank over grouped totals, top-3 per event type."""
+    ev = _events(spark, sf_dir)
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.sum(_cents(F.col("value"))).alias("_cents")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("_cents"), F.asc("user_id"))
+    return (
+        totals.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "event_type", "user_id", (F.col("_cents") / 100.0).alias("total_value"), "rnk"
+        )
+        .orderBy("event_type", "rnk")
+    )
+
+
+TOP_USERS_SQL = f"""
+SELECT event_type, user_id, cents / 100.0 AS total_value, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT event_type, user_id, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents DESC, user_id) AS rnk
+  FROM (SELECT event_type, user_id, CAST(SUM({_c('value')}) AS BIGINT) AS cents
+        FROM events GROUP BY event_type, user_id) t
+) r WHERE rnk <= 3 ORDER BY event_type, rnk
+"""
+
+
+def event_type_summary(spark, sf_dir):
+    """A1: COUNT(DISTINCT) + GROUP BY + ORDER BY agg DESC (`app.py:678-688`)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            (F.sum(_cents(F.col("value"))) / 100.0).alias("total_value"),
+        )
+        .orderBy(F.desc("n_events"), "event_type")
+    )
+
+
+EVENT_SUMMARY_SQL = f"""
+SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+       SUM({_c('value')}) / 100.0 AS total_value
+FROM events GROUP BY event_type ORDER BY n_events DESC, event_type
+"""
+
+
+def global_order_stats(spark, sf_dir):
+    """A2: ungrouped aggregates + COALESCE-over-empty (`app.py:362`)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("last_order_date"),
+        F.max("o_totalprice").alias("max_price"),
+        (F.sum(_cents(F.col("o_totalprice"))) / 100.0).alias("total_revenue"),
+        F.coalesce(
+            F.max(F.when(F.col("o_orderstatus") == "X", F.col("o_totalprice"))),
+            F.lit(0.0),
+        ).alias("max_x_price"),
+    )
+
+
+GLOBAL_ORDER_STATS_SQL = f"""
+SELECT COUNT(*) AS n_orders,
+       MAX(strftime(o_orderdate, '%Y-%m-%d')) AS last_order_date,
+       MAX(o_totalprice) AS max_price,
+       SUM({_c('o_totalprice')}) / 100.0 AS total_revenue,
+       COALESCE(MAX(CASE WHEN o_orderstatus = 'X' THEN o_totalprice END), 0.0) AS max_x_price
+FROM orders
+"""
+
+
+def distinct_sources_by_lang(spark, sf_dir):
+    """A6/O4: distinct-set accumulation as sorted collect_set."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources_csv"),
+        )
+        .orderBy("lang")
+    )
+
+
+DISTINCT_SOURCES_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       string_agg(DISTINCT source, ',' ORDER BY source) AS sources_csv
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def union_distinct_labels(spark, sf_dir):
+    """O3: union + distinct across two catalogs of labels."""
+    ev = _events(spark, sf_dir).select(F.col("event_type").alias("label"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderstatus").alias("label"))
+    return ev.union(o).distinct().orderBy("label")
+
+
+UNION_LABELS_SQL = """
+SELECT event_type AS label FROM events
+UNION
+SELECT o_orderstatus FROM orders
+ORDER BY label
+"""
+
+
+def scalar_functions_suite(spark, sf_dir):
+    """Section 2.7 scalars: regexp/split_part/lower/concat/ilike/coalesce/
+    iff/json-path/try_to_timestamp — one projection over events."""
+    ev = _events(spark, sf_dir)
+    ts_str = F.date_format(
+        F.try_to_timestamp(F.lit("2024-01-15 10:30:00")), "yyyy-MM-dd HH:mm:ss"
+    )
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.concat(F.col("event_type"), F.lit("/"), F.col("user_id").cast("string")).alias(
+            "concat_col"
+        ),
+        F.upper("event_type").alias("upper_col"),
+        F.regexp_replace("event_type", "^e", "E").alias("regex_col"),
+        F.split_part(F.col("event_type"), F.lit("r"), F.lit(1)).alias("split_head"),
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("none")).alias(
+            "coalesce_col"
+        ),
+        F.when(F.col("value") > 250, "hi").otherwise("lo").alias("iff_col"),
+        F.col("event_type").ilike("%IEW%").alias("ilike_flag"),
+        ts_str.alias("ts_fixed"),
+    ).orderBy("event_id")
+
+
+SCALAR_SUITE_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+       event_type || '/' || CAST(user_id AS VARCHAR) AS concat_col,
+       upper(event_type) AS upper_col,
+       regexp_replace(event_type, '^e', 'E') AS regex_col,
+       split_part(event_type, 'r', 1) AS split_head,
+       COALESCE(NULLIF(event_type, 'error'), 'none') AS coalesce_col,
+       CASE WHEN value > 250 THEN 'hi' ELSE 'lo' END AS iff_col,
+       event_type ILIKE '%IEW%' AS ilike_flag,
+       strftime(TRY_CAST('2024-01-15 10:30:00' AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_fixed
+FROM events ORDER BY event_id
+"""
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_event_values(spark, sf_dir):
+    """C5: dynamic pivot long->wide with a known value domain (no extra
+    distinct job — values passed explicitly)."""
+    ev = _events(spark, sf_dir)
+    p = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.sum(_cents(F.col("value"))))
+    )
+    cols = [(F.coalesce(F.col(t), F.lit(0)) / 100.0).alias(t) for t in EVENT_TYPES]
+    return p.select("user_id", *cols).orderBy("user_id")
+
+
+PIVOT_SQL = f"""
+SELECT user_id,
+  {', '.join(f"SUM(CASE WHEN event_type = '{t}' THEN {_c('value')} ELSE 0 END) / 100.0 AS {t}" for t in EVENT_TYPES)}
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 17-23: the document pipeline + history analytics (AI1-AI7, W1, P1-P6, C5)
+
+
+def pipeline_extract_eav(spark, sf_dir):
+    """AI1+AI2+EAV explode: the whole stub pipeline, oracle-checked."""
+    return _docs_pipeline_eav(spark, sf_dir).orderBy("file_ref", "field_name")
+
+
+PIPELINE_EAV_SQL = (
+    _EAV_SQL
+    + "SELECT file_ref, file_url, class_name, field_name, field_value FROM eav "
+    "ORDER BY file_ref, field_name"
+)
+
+
+def pipeline_classify_summary(spark, sf_dir):
+    """AI1 rollup: docs + distinct languages per predicted class."""
+    docs = _t(spark, sf_dir, "documents")
+    udfs = make_udfs()
+    c = docs.withColumn("class_name", udfs["classify"](F.col("text")))
+    return (
+        c.groupBy("class_name")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.countDistinct("lang").alias("n_langs"))
+        .orderBy(F.desc("n_docs"), "class_name")
+    )
+
+
+CLASSIFY_SUMMARY_SQL = f"""
+SELECT {_CLASSIFY_SQL} AS class_name, COUNT(*) AS n_docs,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents GROUP BY 1 ORDER BY n_docs DESC, class_name
+"""
+
+
+def pipeline_extract_wide(spark, sf_dir):
+    """C5 round-trip: EAV -> dynamic pivot back to wide."""
+    from unstructured_data_pipeline_spark.operators.pivot import dynamic_pivot
+
+    eav = _docs_pipeline_eav(spark, sf_dir)
+    wide = dynamic_pivot(
+        eav,
+        ["file_ref", "class_name"],
+        values=["first_word", "n_words", "fingerprint"],
+    )
+    return wide.orderBy("file_ref")
+
+
+PIPELINE_WIDE_SQL = f"""
+WITH base AS ({_DOCS_BASE_SQL})
+SELECT file_ref, class_name,
+       string_split(text, ' ')[1] AS first_word,
+       CAST(len(string_split(text, ' ')) AS VARCHAR) AS n_words,
+       md5(text) AS fingerprint
+FROM base ORDER BY file_ref
+"""
+
+
+def summarize_documents(spark, sf_dir):
+    """AI4: summarization with the 6000-char input cap contract."""
+    docs = _t(spark, sf_dir, "documents")
+    udfs = make_udfs()
+    return docs.select(
+        "doc_id", udfs["summarize"](F.col("text")).alias("summary")
+    ).orderBy("doc_id")
+
+
+SUMMARIZE_SQL = """
+SELECT doc_id,
+       CASE WHEN len(string_split(text, ' ')) > 12
+            THEN array_to_string(string_split(text, ' ')[1:12], ' ') || ' ...'
+            ELSE text END AS summary
+FROM documents ORDER BY doc_id
+"""
+
+
+def history_class_summary(spark, sf_dir):
+    """History entry point 3.1 (`app.py:678-693`) over the pipeline EAV."""
+    eav = _docs_pipeline_eav(spark, sf_dir)
+    return class_summary(eav)
+
+
+HISTORY_CLASS_SUMMARY_SQL = (
+    _EAV_SQL
+    + """
+SELECT class_name, COUNT(DISTINCT file_ref) AS docs
+FROM eav GROUP BY class_name ORDER BY docs DESC, class_name
+"""
+)
+
+
+def history_documents_current(spark, sf_dir):
+    """History entry point 3.2 (`app.py:698-741`): latest state per doc with
+    field counts, derived stage, and the EXISTS-style has_ocr flag."""
+    eav = _docs_pipeline_eav(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    ocr = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").cast("string").alias("file_ref")
+    )
+    out = documents_latest(eav, processed=None, ocr=ocr)
+    return out.select(
+        "file_ref", "class_name", "stage", "fields_extracted", "has_ocr"
+    ).orderBy("file_ref")
+
+
+HISTORY_DOCS_SQL = (
+    _EAV_SQL
+    + """
+, ocr AS (SELECT CAST(doc_id AS VARCHAR) AS file_ref FROM documents WHERE doc_id % 2 = 0)
+SELECT e.file_ref,
+       e.class_name,
+       'docs_stage' AS stage,
+       COUNT(*) AS fields_extracted,
+       MAX(CASE WHEN o.file_ref IS NOT NULL THEN 1 ELSE 0 END) = 1 AS has_ocr
+FROM eav e LEFT JOIN ocr o ON o.file_ref = e.file_ref
+GROUP BY e.file_ref, e.class_name
+ORDER BY e.file_ref
+"""
+)
+
+
+def history_field_flatten_filtered(spark, sf_dir):
+    """History entry point 3.3 + the dynamic predicate builder (P1-P4)."""
+    eav = _docs_pipeline_eav(spark, sf_dir)
+    filters = HistoryFilters(classes=["invoice"], file_contains="1")
+    return field_flatten(eav, filters)
+
+
+FIELD_FLATTEN_SQL = (
+    _EAV_SQL
+    + """
+SELECT file_ref, class_name, field_name, field_value AS field_value_json
+FROM eav
+WHERE class_name IN ('invoice') AND lower(file_ref) LIKE '%1%'
+ORDER BY file_ref, class_name, field_name
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# 24-29: dedup + text analysis (training-data-pipeline operators)
+
+
+def _dedup_exact_corpus(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dup)
+
+
+def dedup_exact_groups(spark, sf_dir):
+    """Exact dedup via content-hash groupBy; corpus has planted duplicates
+    (every doc_id % 7 == 0 re-appears under a new id)."""
+    corpus = _dedup_exact_corpus(spark, sf_dir)
+    groups = DD.exact_dedup(corpus, "doc_id", "text")
+    return groups.filter(F.col("dup_count") > 1).orderBy("canonical_id")
+
+
+DEDUP_EXACT_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+)
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+       MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+FROM corpus
+GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY canonical_id
+"""
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup detection, fully oracle-checked: word-3-gram
+    shingles -> 9 md5 MinHashes -> 3x3 banded LSH -> exact Jaccard >= 0.5.
+    Corpus plants near-duplicates (doc_id % 5 == 0 re-appears with its first
+    word dropped)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 2, 1000000), " ").alias("text"),
+    )
+    corpus = d.unionByName(near)
+    pairs = DD.near_dup_pairs(
+        corpus, "doc_id", "text", n=3, num_hashes=9, bands=3, threshold=0.5
+    )
+    return pairs.orderBy("a", "b")
+
+
+_MH_MINS = ", ".join(f"MIN(md5('{k}|' || s)) AS mh{k}" for k in range(9))
+_BAND_CASE = (
+    "CASE b WHEN 0 THEN md5(mh0 || '#' || mh1 || '#' || mh2) "
+    "WHEN 1 THEN md5(mh3 || '#' || mh4 || '#' || mh5) "
+    "ELSE md5(mh6 || '#' || mh7 || '#' || mh8) END"
+)
+
+DEDUP_MINHASH_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, array_to_string(string_split(text, ' ')[2:], ' ')
+  FROM documents WHERE doc_id % 5 = 0
+),
+toks AS (SELECT id, string_split(text, ' ') AS w FROM corpus),
+sh AS (
+  SELECT DISTINCT id,
+         unnest(list_transform(generate_series(1, len(w) - 2),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM toks
+),
+mh AS (SELECT id, {_MH_MINS} FROM sh GROUP BY id),
+bands AS (
+  SELECT id, b, {_BAND_CASE} AS sig
+  FROM mh, (VALUES (0), (1), (2)) t(b)
+),
+cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.id < y.id
+),
+cnt AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT c.a, c.b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh x ON x.id = c.a
+  JOIN sh y ON y.id = c.b AND y.s = x.s
+  GROUP BY c.a, c.b
+)
+SELECT a, b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+FROM inter JOIN cnt na ON na.id = a JOIN cnt nb ON nb.id = b
+WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+ORDER BY a, b
+"""
+
+
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash fingerprints (Charikar) over whitespace tokens."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.simhash(d, "doc_id", "text", n_bits=32).orderBy("id")
+
+
+def _simhash_sql(n_bits: int = 32) -> str:
+    votes = []
+    for j in range(n_bits):
+        nib = f"(strpos('0123456789abcdef', substr(m, {j // 4 + 1}, 1)) - 1)"
+        bit = f"(({nib} >> {j % 4}) & 1)"
+        votes.append(f"CAST(SUM(2 * {bit} - 1) AS BIGINT) AS v{j}")
+    bit_str = " || ".join(
+        f"CASE WHEN v{j} > 0 THEN '1' ELSE '0' END" for j in range(n_bits - 1, -1, -1)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT id, md5(tok) AS m FROM toks),
+agg AS (SELECT id, {', '.join(votes)} FROM h GROUP BY id)
+SELECT id, {bit_str} AS simhash FROM agg ORDER BY id
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_sql(32)
+
+
+def text_quality_metrics(spark, sf_dir):
+    """Quality scoring: token counts, mean token length, stopword ratio,
+    uniqueness ratio — all integer-exact until the final division."""
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.tokens_ws("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        TX.avg_token_len("text").alias("avg_token_len"),
+        TX.stopword_ratio("text", "en").alias("stopword_ratio"),
+        TX.uniq_token_ratio("text").alias("uniq_ratio"),
+    ).orderBy("doc_id")
+
+
+_SW_EN = "['the','a','and','of','to','in','is','it']"
+
+TEXT_QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+  len(w) AS n_tokens,
+  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS avg_token_len,
+  CAST(len(list_filter(w, x -> list_contains({_SW_EN}, lower(x)))) AS DOUBLE) / len(w)
+    AS stopword_ratio,
+  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS uniq_ratio
+FROM t ORDER BY doc_id
+"""
+
+
+def token_counts(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex tokenizers + char length."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count_ws("text").cast("long").alias("n_tokens_ws"),
+        TX.token_count_regex("text").cast("long").alias("n_tokens_re"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+    ).orderBy("doc_id")
+
+
+TOKEN_COUNTS_SQL = rf"""
+SELECT doc_id,
+  len(string_split(text, ' ')) AS n_tokens_ws,
+  len(regexp_extract_all(text, '{TX.TOKEN_REGEX}')) AS n_tokens_re,
+  CAST(length(text) AS BIGINT) AS n_chars_calc
+FROM documents ORDER BY doc_id
+"""
+
+_LANGS = [("en", TX.STOPWORDS["en"]), ("de", TX.STOPWORDS["de"]),
+          ("es", TX.STOPWORDS["es"]), ("fr", TX.STOPWORDS["fr"])]
+
+
+def text_lang_id(spark, sf_dir):
+    """Language-ID heuristic: stopword hit counts per language, argmax with
+    fixed priority en > de > es > fr, 'und' when nothing hits."""
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.tokens_ws("text")
+    hits = {}
+    for code, words in _LANGS:
+        sw = F.array(*[F.lit(w) for w in words])
+        hits[code] = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    e, de, es, fr = hits["en"], hits["de"], hits["es"], hits["fr"]
+    guess = (
+        F.when(F.greatest(e, de, es, fr) == 0, "und")
+        .when((e >= de) & (e >= es) & (e >= fr), "en")
+        .when((de >= es) & (de >= fr), "de")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id", "lang", guess.alias("lang_guess"),
+        (guess == F.col("lang")).alias("is_match"),
+    ).orderBy("doc_id")
+
+
+def _lang_sql() -> str:
+    cnt = {
+        code: f"len(list_filter(w, x -> list_contains({str(words).replace(chr(34), chr(39))}, lower(x))))"
+        for code, words in _LANGS
+    }
+    return f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+h AS (SELECT doc_id, lang, {cnt['en']} AS e, {cnt['de']} AS de, {cnt['es']} AS es, {cnt['fr']} AS fr FROM t)
+SELECT doc_id, lang,
+  CASE WHEN greatest(e, de, es, fr) = 0 THEN 'und'
+       WHEN e >= de AND e >= es AND e >= fr THEN 'en'
+       WHEN de >= es AND de >= fr THEN 'de'
+       WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang_guess,
+  (CASE WHEN greatest(e, de, es, fr) = 0 THEN 'und'
+        WHEN e >= de AND e >= es AND e >= fr THEN 'en'
+        WHEN de >= es AND de >= fr THEN 'de'
+        WHEN es >= fr THEN 'es' ELSE 'fr' END) = lang AS is_match
+FROM h ORDER BY doc_id
+"""
+
+
+TEXT_LANG_SQL = _lang_sql()
+
+
+# ---------------------------------------------------------------------------
+# 30-33: similarity search, streaming-shaped windowed agg, sessionize, as-of
+
+
+def emb_cosine_topk(spark, sf_dir):
+    """Brute-force exact top-5 cosine neighbors for query vectors
+    (vec_id < 8) — the ANN baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    out = SIM.cosine_topk(emb, q, k=5)
+    return out.select(
+        "q_id", "neighbor_id", F.col("rank").alias("rnk"), F.round("cos", 6).alias("cos_r")
+    ).orderBy("q_id", "rnk")
+
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, 64), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+
+EMB_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT q_id, neighbor_id,
+         {_DOT.format(a='cv', b='qv')}
+         / (sqrt({_DOT.format(a='cv', b='cv')}) * sqrt({_DOT.format(a='qv', b='qv')})) AS cos
+  FROM c, q WHERE neighbor_id <> q_id
+)
+SELECT q_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, round(cos, 6) AS cos_r
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored) t
+WHERE rnk <= 5 ORDER BY q_id, rnk
+"""
+
+
+def events_hourly_counts(spark, sf_dir):
+    """Streaming-shaped tumbling-window aggregation (batch equivalent of the
+    Structured Streaming windowed agg in streaming/intake.py), on integer
+    hour buckets so it is timezone-free."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.expr("ts DIV 3600000000000").alias("hour_bucket"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            (F.sum(_cents(F.col("value"))) / 100.0).alias("sum_value"),
+        )
+        .orderBy("hour_bucket", "event_type")
+    )
+
+
+HOURLY_SQL = f"""
+SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+       COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+       SUM({_c('value')}) / 100.0 AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type
+"""
+
+
+def sessionize_summary(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) rolled up per user."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", F.expr("ts DIV 1000").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    s = ev.withColumn("new_sess", new_sess)
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.sum("new_sess").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SESSIONIZE_SQL = """
+WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+s AS (
+  SELECT user_id,
+         CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+)
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM s GROUP BY user_id ORDER BY user_id
+"""
+
+
+def asof_purchase_last_view(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent view at
+    or before it (union+window implementation — no pair explosion)."""
+    from unstructured_data_pipeline_spark.operators.relational import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("purchase_us")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.expr("ts DIV 1000").alias("vus")
+    )
+    out = asof_join(purchases, views, on="user_id", left_ts="purchase_us", right_ts="vus")
+    return out.select(
+        "event_id", "user_id", "purchase_us", F.col("vus_r").alias("last_view_us")
+    ).orderBy("event_id")
+
+
+ASOF_SQL = """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS purchase_us FROM events
+           WHERE event_type = 'purchase'),
+v AS (SELECT user_id, epoch_us(ts) AS vus FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, p.purchase_us,
+       (SELECT MAX(v.vus) FROM v WHERE v.user_id = p.user_id AND v.vus <= p.purchase_us)
+         AS last_view_us
+FROM p ORDER BY p.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# no-oracle entries (approximate / non-SQL-expressible): rows-only checks
+
+
+def ann_lsh_topk(spark, sf_dir):
+    """Approximate NN via random-hyperplane LSH (the 10^9-vector scale path);
+    approximate by construction -> no SQL oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    out = SIM.lsh_bucketed_topk(emb, q, k=5, dim=64, n_planes=8, bands=4)
+    return out.select(
+        "q_id", "neighbor_id", F.col("rank").alias("rnk"), F.round("cos", 6).alias("cos_r")
+    ).orderBy("q_id", "rnk")
+
+
+def image_features_demo(spark, sf_dir):
+    """Multimodal plumbing: binary content -> mapInPandas decode/featurize
+    (deterministic fake decoder; real Spark-side batch shape)."""
+    from unstructured_data_pipeline_spark.operators.multimodal import image_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    return image_features(docs, dim=8).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_revenue_orders": (q3_top_revenue_orders, Q3_SQL),
+    "q5_region_volume": (q5_region_volume, Q5_SQL),
+    "point_lookup_customer": (point_lookup_customer, POINT_LOOKUP_SQL),
+    "filter_predicates_customers": (filter_predicates_customers, FILTER_PRED_SQL),
+    "customer_order_stats": (customer_order_stats, CUSTOMER_ORDER_STATS_SQL),
+    "semi_join_big_spenders": (semi_join_big_spenders, SEMI_JOIN_SQL),
+    "anti_join_modest_customers": (anti_join_modest_customers, ANTI_JOIN_SQL),
+    "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_SQL),
+    "top_users_per_event_type": (top_users_per_event_type, TOP_USERS_SQL),
+    "event_type_summary": (event_type_summary, EVENT_SUMMARY_SQL),
+    "global_order_stats": (global_order_stats, GLOBAL_ORDER_STATS_SQL),
+    "distinct_sources_by_lang": (distinct_sources_by_lang, DISTINCT_SOURCES_SQL),
+    "union_distinct_labels": (union_distinct_labels, UNION_LABELS_SQL),
+    "scalar_functions_suite": (scalar_functions_suite, SCALAR_SUITE_SQL),
+    "pivot_event_values": (pivot_event_values, PIVOT_SQL),
+    "pipeline_extract_eav": (pipeline_extract_eav, PIPELINE_EAV_SQL),
+    "pipeline_classify_summary": (pipeline_classify_summary, CLASSIFY_SUMMARY_SQL),
+    "pipeline_extract_wide": (pipeline_extract_wide, PIPELINE_WIDE_SQL),
+    "summarize_documents": (summarize_documents, SUMMARIZE_SQL),
+    "history_class_summary": (history_class_summary, HISTORY_CLASS_SUMMARY_SQL),
+    "history_documents_current": (history_documents_current, HISTORY_DOCS_SQL),
+    "history_field_flatten_filtered": (history_field_flatten_filtered, FIELD_FLATTEN_SQL),
+    "dedup_exact_groups": (dedup_exact_groups, DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "text_quality_metrics": (text_quality_metrics, TEXT_QUALITY_SQL),
+    "token_counts": (token_counts, TOKEN_COUNTS_SQL),
+    "text_lang_id": (text_lang_id, TEXT_LANG_SQL),
+    "emb_cosine_topk": (emb_cosine_topk, EMB_TOPK_SQL),
+    "events_hourly_counts": (events_hourly_counts, HOURLY_SQL),
+    "sessionize_summary": (sessionize_summary, SESSIONIZE_SQL),
+    "asof_purchase_last_view": (asof_purchase_last_view, ASOF_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, None),
+    "image_features_demo": (image_features_demo, None),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
