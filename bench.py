@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is materialized with a full collect (outputs are small aggregates
+or bounded row sets) after a warm-up of the input scans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from unstructured_data_pipeline_spark import get_spark
+from unstructured_data_pipeline_spark.queries import REGISTRY
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_volume",
+    "customer_order_stats",
+    "latest_event_per_user",
+    "event_type_summary",
+    "pivot_event_values",
+    "events_hourly_counts",
+    "sessionize_summary",
+    "asof_purchase_last_view",
+    "pipeline_extract_eav",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality_metrics",
+    "emb_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="udp-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up (excluded from timings): ship the package to executors, spin up
+    # the Python worker pool, JIT the codegen paths.  Measures steady-state
+    # throughput, not JVM/worker cold start.
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from unstructured_data_pipeline_spark.dist import ensure_shipped
+
+    ensure_shipped(spark)
+
+    @F.pandas_udf(T.LongType())
+    def _noop(x: pd.Series) -> pd.Series:
+        return x
+
+    spark.range(10_000).repartition(int(cpus)).select(_noop("id")).count()
+    REGISTRY["pipeline_extract_eav"][0](spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn, _ = REGISTRY[name]
+        df = fn(spark, sf_dir)  # plan build excluded from timing? keep inside: cheap
+        t0 = time.perf_counter()
+        n = len(df.collect())
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_suite_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from unstructured_data_pipeline_spark.functions.text import (
+    word_shingles_from_tokens,
     fingerprint,
     minhash_hex,
     simhash_bits,
@@ -45,16 +46,24 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_set(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct (id, shingle) pairs — the feature set for MinHash/Jaccard."""
+    """Distinct (id, shingle) pairs — the feature set for MinHash/Jaccard.
+
+    The token array is materialized as its own projection first: lambda
+    bodies get expression-inlined by Catalyst (no CSE inside ``transform``),
+    so shingling directly off ``split(text)`` would re-split the text for
+    every ``element_at`` — O(words^2) per document.  Off a materialized
+    array column it is O(words).
+    """
+    toks = df.select(F.col(id_col).alias("id"), tokens_ws(text_col).alias("w"))
     return (
-        df.select(F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh"))
+        toks.select("id", word_shingles_from_tokens(F.col("w"), n).alias("sh"))
         .select("id", F.explode("sh").alias("shingle"))
         .distinct()
     )
 
 
 def minhash_signatures(
-    shingles: DataFrame, num_hashes: int = 9
+    shingles: DataFrame, num_hashes: int = 8
 ) -> DataFrame:
     """Per-id MinHash signature: MIN over md5('<seed>|'||shingle) per seed.
     One aggregation, map-side partial combine makes it cheap at scale."""
@@ -66,7 +75,7 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_hashes: int = 9, bands: int = 3
+    signatures: DataFrame, num_hashes: int = 8, bands: int = 4
 ) -> DataFrame:
     """Banded LSH: split the signature into ``bands`` bands of
     ``num_hashes/bands`` rows; docs sharing any full band signature become a
@@ -131,13 +140,17 @@ def near_dup_pairs(
     id_col: str,
     text_col: str,
     n: int = 3,
-    num_hashes: int = 9,
-    bands: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band -> verify.
-    Returns (a, b, jaccard) pairs with jaccard >= threshold."""
-    sh = shingle_set(df, id_col, text_col, n)
+    Returns (a, b, jaccard) pairs with jaccard >= threshold.
+
+    The shingle set feeds three consumers (signatures, intersection join,
+    per-doc counts) — persist it so the explode+md5 scan runs once, not 4x.
+    """
+    sh = shingle_set(df, id_col, text_col, n).persist()
     sigs = minhash_signatures(sh, num_hashes)
     cand = lsh_candidate_pairs(sigs, num_hashes, bands)
     return jaccard_pairs(sh, cand).filter(F.col("jaccard") >= threshold)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,6 +35,25 @@ class PipelineOutputs:
     processed: DataFrame  # documents_processed shape
     extracted_fields: DataFrame  # EAV shape
     ocr: DataFrame  # document_ocr shape
+
+
+def _make_extract_with_prompts(backend: DocumentAIBackend, prompts_map: dict[str, str]):
+    """AI2 with the prompt schema resolved in-closure; AI7 error envelope."""
+    from pyspark.sql import functions as SF
+    from pyspark.sql import types as ST
+
+    @SF.pandas_udf(ST.StringType())
+    def extract(text: pd.Series, class_name: pd.Series) -> pd.Series:
+        def one(t, c):
+            try:
+                pj = prompts_map.get(c, "{}")
+                return canonical_json({"response": backend.extract(t or "", pj)})
+            except Exception as e:  # never throw (app.py:506-510)
+                return canonical_json({"error": str(e)})
+
+        return pd.Series([one(t, c) for t, c in zip(text, class_name)])
+
+    return extract
 
 
 def _prompts_df(spark: SparkSession, backend: DocumentAIBackend, classes: list[str]):
@@ -74,6 +94,11 @@ def run_document_pipeline(
         url.alias("file_url"),
         F.col(text_col).alias("text"),
     )
+    # the AI UDF stages are the expensive path — make sure they run with
+    # cluster-wide parallelism even when the source is one small file.
+    par = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < max(2, par // 2):
+        base = base.repartition(par)
 
     # AI1: classify
     classified = base.withColumn("class_name", udfs["classify"](F.col("text")))
@@ -91,12 +116,15 @@ def run_document_pipeline(
     else:
         dim = gen
 
-    # broadcast join the tiny class->prompts dimension (J-free at scale)
-    withp = classified.join(F.broadcast(dim), "class_name", "left")
-
-    # AI2: extract, envelope contract preserved
-    extracted = withp.withColumn(
-        "extraction_result", udfs["extract"](F.col("text"), F.col("prompts"))
+    # AI1+AI2 fused: one Arrow crossing instead of classify-UDF -> join ->
+    # extract-UDF.  The class->prompts dimension is tiny by construction
+    # (the reference loads it client-side too, `app.py:150-159`), so it
+    # rides into the UDF closure; this removes a join and halves the
+    # Python boundary traffic on the hot path.
+    prompts_map = {r["class_name"]: r["prompts"] for r in dim.collect()}
+    extracted = classified.withColumn(
+        "extraction_result",
+        _make_extract_with_prompts(b, prompts_map)(F.col("text"), F.col("class_name")),
     )
 
     processed = extracted.select(

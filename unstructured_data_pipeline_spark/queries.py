@@ -292,7 +292,6 @@ def customer_order_stats(spark, sf_dir):
             F.coalesce(F.col("_last"), F.lit("none")).alias("last_order_date"),
             (F.coalesce(F.col("_cents"), F.lit(0)) / 100.0).alias("total_spent"),
         )
-        .orderBy("c_custkey")
     )
 
 
@@ -368,7 +367,6 @@ def latest_event_per_user(spark, sf_dir):
             "value",
             F.expr("ts DIV 1000").alias("ts_us"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -511,7 +509,7 @@ def scalar_functions_suite(spark, sf_dir):
         F.when(F.col("value") > 250, "hi").otherwise("lo").alias("iff_col"),
         F.col("event_type").ilike("%IEW%").alias("ilike_flag"),
         ts_str.alias("ts_fixed"),
-    ).orderBy("event_id")
+    )
 
 
 SCALAR_SUITE_SQL = """
@@ -541,7 +539,7 @@ def pivot_event_values(spark, sf_dir):
         .agg(F.sum(_cents(F.col("value"))))
     )
     cols = [(F.coalesce(F.col(t), F.lit(0)) / 100.0).alias(t) for t in EVENT_TYPES]
-    return p.select("user_id", *cols).orderBy("user_id")
+    return p.select("user_id", *cols)
 
 
 PIVOT_SQL = f"""
@@ -557,7 +555,7 @@ FROM events GROUP BY user_id ORDER BY user_id
 
 def pipeline_extract_eav(spark, sf_dir):
     """AI1+AI2+EAV explode: the whole stub pipeline, oracle-checked."""
-    return _docs_pipeline_eav(spark, sf_dir).orderBy("file_ref", "field_name")
+    return _docs_pipeline_eav(spark, sf_dir)
 
 
 PIPELINE_EAV_SQL = (
@@ -596,7 +594,7 @@ def pipeline_extract_wide(spark, sf_dir):
         ["file_ref", "class_name"],
         values=["first_word", "n_words", "fingerprint"],
     )
-    return wide.orderBy("file_ref")
+    return wide
 
 
 PIPELINE_WIDE_SQL = f"""
@@ -615,7 +613,7 @@ def summarize_documents(spark, sf_dir):
     udfs = make_udfs()
     return docs.select(
         "doc_id", udfs["summarize"](F.col("text")).alias("summary")
-    ).orderBy("doc_id")
+    )
 
 
 SUMMARIZE_SQL = """
@@ -653,7 +651,7 @@ def history_documents_current(spark, sf_dir):
     out = documents_latest(eav, processed=None, ocr=ocr)
     return out.select(
         "file_ref", "class_name", "stage", "fields_extracted", "has_ocr"
-    ).orderBy("file_ref")
+    )
 
 
 HISTORY_DOCS_SQL = (
@@ -707,7 +705,7 @@ def dedup_exact_groups(spark, sf_dir):
     (every doc_id % 7 == 0 re-appears under a new id)."""
     corpus = _dedup_exact_corpus(spark, sf_dir)
     groups = DD.exact_dedup(corpus, "doc_id", "text")
-    return groups.filter(F.col("dup_count") > 1).orderBy("canonical_id")
+    return groups.filter(F.col("dup_count") > 1)
 
 
 DEDUP_EXACT_SQL = r"""
@@ -725,26 +723,26 @@ GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY canonical_id
 
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup detection, fully oracle-checked: word-3-gram
-    shingles -> 9 md5 MinHashes -> 3x3 banded LSH -> exact Jaccard >= 0.5.
-    Corpus plants near-duplicates (doc_id % 5 == 0 re-appears with its first
-    word dropped)."""
+    shingles -> 8 MinHashes (16-bit md5 slices) -> 4x2 banded LSH -> exact
+    Jaccard >= 0.5 on candidates.  Corpus plants near-duplicates (doc_id % 5
+    == 0 re-appears with its first word dropped)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     near = d.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.array_join(F.slice(F.split(F.col("text"), " "), 2, 1000000), " ").alias("text"),
     )
     corpus = d.unionByName(near)
-    pairs = DD.near_dup_pairs(
-        corpus, "doc_id", "text", n=3, num_hashes=9, bands=3, threshold=0.5
+    return DD.near_dup_pairs(
+        corpus, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.5
     )
-    return pairs.orderBy("a", "b")
 
 
-_MH_MINS = ", ".join(f"MIN(md5('{k}|' || s)) AS mh{k}" for k in range(9))
+_MH_MINS = ", ".join(f"MIN(substr(md5(s), {k * 4 + 1}, 4)) AS mh{k}" for k in range(8))
 _BAND_CASE = (
-    "CASE b WHEN 0 THEN md5(mh0 || '#' || mh1 || '#' || mh2) "
-    "WHEN 1 THEN md5(mh3 || '#' || mh4 || '#' || mh5) "
-    "ELSE md5(mh6 || '#' || mh7 || '#' || mh8) END"
+    "CASE b WHEN 0 THEN md5(mh0 || '#' || mh1) "
+    "WHEN 1 THEN md5(mh2 || '#' || mh3) "
+    "WHEN 2 THEN md5(mh4 || '#' || mh5) "
+    "ELSE md5(mh6 || '#' || mh7) END"
 )
 
 DEDUP_MINHASH_SQL = f"""
@@ -764,7 +762,7 @@ sh AS (
 mh AS (SELECT id, {_MH_MINS} FROM sh GROUP BY id),
 bands AS (
   SELECT id, b, {_BAND_CASE} AS sig
-  FROM mh, (VALUES (0), (1), (2)) t(b)
+  FROM mh, (VALUES (0), (1), (2), (3)) t(b)
 ),
 cand AS (
   SELECT DISTINCT x.id AS a, y.id AS b
@@ -781,14 +779,13 @@ inter AS (
 SELECT a, b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
 FROM inter JOIN cnt na ON na.id = a JOIN cnt nb ON nb.id = b
 WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
-ORDER BY a, b
 """
 
 
 def dedup_simhash(spark, sf_dir):
     """32-bit SimHash fingerprints (Charikar) over whitespace tokens."""
     d = _t(spark, sf_dir, "documents")
-    return DD.simhash(d, "doc_id", "text", n_bits=32).orderBy("id")
+    return DD.simhash(d, "doc_id", "text", n_bits=32)
 
 
 def _simhash_sql(n_bits: int = 32) -> str:
@@ -822,7 +819,7 @@ def text_quality_metrics(spark, sf_dir):
         TX.avg_token_len("text").alias("avg_token_len"),
         TX.stopword_ratio("text", "en").alias("stopword_ratio"),
         TX.uniq_token_ratio("text").alias("uniq_ratio"),
-    ).orderBy("doc_id")
+    )
 
 
 _SW_EN = "['the','a','and','of','to','in','is','it']"
@@ -847,7 +844,7 @@ def token_counts(spark, sf_dir):
         TX.token_count_ws("text").cast("long").alias("n_tokens_ws"),
         TX.token_count_regex("text").cast("long").alias("n_tokens_re"),
         F.length("text").cast("long").alias("n_chars_calc"),
-    ).orderBy("doc_id")
+    )
 
 
 TOKEN_COUNTS_SQL = rf"""
@@ -882,7 +879,7 @@ def text_lang_id(spark, sf_dir):
     return d.select(
         "doc_id", "lang", guess.alias("lang_guess"),
         (guess == F.col("lang")).alias("is_match"),
-    ).orderBy("doc_id")
+    )
 
 
 def _lang_sql() -> str:
@@ -958,7 +955,6 @@ def events_hourly_counts(spark, sf_dir):
             F.countDistinct("user_id").alias("n_users"),
             (F.sum(_cents(F.col("value"))) / 100.0).alias("sum_value"),
         )
-        .orderBy("hour_bucket", "event_type")
     )
 
 
@@ -985,7 +981,6 @@ def sessionize_summary(spark, sf_dir):
             F.sum("new_sess").alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -1017,7 +1012,7 @@ def asof_purchase_last_view(spark, sf_dir):
     out = asof_join(purchases, views, on="user_id", left_ts="purchase_us", right_ts="vus")
     return out.select(
         "event_id", "user_id", "purchase_us", F.col("vus_r").alias("last_view_us")
-    ).orderBy("event_id")
+    )
 
 
 ASOF_SQL = """
@@ -1055,7 +1050,7 @@ def image_features_demo(spark, sf_dir):
         F.col("doc_id").cast("string").alias("path"),
         F.col("text").cast("binary").alias("content"),
     )
-    return image_features(docs, dim=8).orderBy("id")
+    return image_features(docs, dim=8)
 
 
 # ---------------------------------------------------------------------------
