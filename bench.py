@@ -38,9 +38,16 @@ HEADLINE = [
     "pipeline_extract_eav",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_embedding_cosine",
+    "doc_fingerprint_rolling",
     "text_quality_metrics",
     "emb_cosine_topk",
+    "ann_ivf_topk",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_big_orders",
 ]
 
 

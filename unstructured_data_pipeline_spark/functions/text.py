@@ -130,3 +130,25 @@ def simhash_bits(token: Column, n_bits: int = 32) -> list[Column]:
         nib = hex_nibble_value(F.substring(h, j // 4 + 1, 1))
         bits.append(F.shiftright(nib, j % 4).bitwiseAND(F.lit(1)))
     return bits
+
+
+def rolling_kgram_hashes(text: Column | str, k: int = 8) -> Column:
+    """All character k-gram hashes of a document as array<string> — the
+    rolling-hash pass of document fingerprinting (Rabin/winnowing style;
+    md5 stands in for the rolling polynomial so the DuckDB oracle matches).
+
+    Guarded ``sequence``: Spark's sequence(1, 0) yields a DESCENDING [1, 0],
+    so short docs must special-case to an empty array.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    m = F.length(c) - (k - 1)
+    idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.md5(F.substr(c, i, F.lit(k))))
+
+
+def doc_fingerprint_min(text: Column | str, k: int = 8) -> Column:
+    """Winnowing-lite document fingerprint: the MIN k-gram hash.  Two docs
+    sharing long runs of text collide on it with high probability."""
+    return F.array_min(rolling_kgram_hashes(text, k))

@@ -173,3 +173,47 @@ def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 32) -> Data
         for j in range(n_bits - 1, -1, -1)
     ]
     return agg.select("id", F.concat(*bit_strs).alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via an inverted shingle index —
+    no LSH approximation.  Candidates are generated by self-joining the
+    (id, shingle) postings on the shingle, so only pairs that share at
+    least one shingle are ever scored; cost is sum over shingles of
+    |posting list|^2, not |corpus|^2.
+
+    Scale lever at 100 TB: ultra-common shingles dominate that sum — the
+    production trick is prefix filtering (order shingles by global rarity
+    and index only each doc's rarest ceil((1-t)*|doc|)+1 shingles, which
+    provably preserves all pairs with jaccard >= t).  At fixture scale the
+    full index is ~3M join pairs, so we keep the exact full index here.
+    """
+    sh = shingle_set(df, id_col, text_col, n).persist()
+    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("id").alias("a"), "shingle")
+    sb = sh.select(F.col("id").alias("b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(counts.select(F.col("id").alias("a"), F.col("n").alias("na")), "a")
+        .join(counts.select(F.col("id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -155,3 +155,96 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "rank", "cos")
     )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    threshold: float = 0.98,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cos) with a < b and
+    cos >= threshold.
+
+    With ``block_col`` the self-join is an equi-join on the block (e.g. a
+    cluster/label/LSH-bucket id), so cost is sum over blocks of |block|^2 —
+    the only shape that survives 10^9 vectors.  Without it, a full
+    cross-pair scan (fixture-scale only).  All dot products are sequential
+    double fold-lefts -> deterministic, oracle-comparable.
+    """
+    a = df.select(
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("va"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    b = df.select(
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    pairs = a.join(b, on=["blk"] if block_col else []) if block_col else a.crossJoin(b)
+    return (
+        pairs.filter(F.col("a") < F.col("b"))
+        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: assign every corpus vector to its nearest
+    coarse centroid (the inverted lists), probe each query against its
+    ``nprobe`` nearest centroids, exact-rerank only the probed lists.
+
+    ``centroids`` is a tiny (cent_id, vec) DataFrame — broadcast to score
+    assignments, so building the index is one scan of the corpus with NO
+    shuffle beyond the final bucket equi-join.  Fully deterministic given
+    fixed centroids (ties break on cent_id), hence oracle-checkable —
+    unlike sampled-kmeans IVF.
+    """
+    cent = centroids.select(F.col("cent_id"), F.col("vec").alias("cv"))
+
+    def assign(df: DataFrame, idc: str, vecc: str, n_lists: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent)).select(
+            "*", cosine(F.col(vecc), F.col("cv")).alias("_sim")
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("_sim"), F.asc("cent_id"))
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= n_lists)
+            .drop("cv", "_sim", "_r")
+        )
+
+    lists = assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        "neighbor_id",
+        "c_vec",
+        1,
+    )
+    probes = assign(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
+        "q_id",
+        "q_vec",
+        nprobe,
+    )
+    cand = lists.join(probes, "cent_id").select("q_id", "q_vec", "neighbor_id", "c_vec")
+    if exclude_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("q_id"))
+    scored = cand.select(
+        "q_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", "cos")
+    )

@@ -1054,6 +1054,427 @@ def image_features_demo(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# 36-43: exact n-gram jaccard, embedding near-dup, rolling fingerprint,
+# DML upsert, TPC-H q6/q10/q14/q18 (relational breadth)
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """EXACT word-3-gram Jaccard near-dup pairs via inverted shingle index
+    (no LSH) — same planted near-dups as the minhash query, so the two
+    methods are directly comparable."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 2, 1000000), " ").alias("text"),
+    )
+    corpus = d.unionByName(near)
+    return DD.ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
+
+
+DEDUP_NGRAM_SQL = """
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, array_to_string(string_split(text, ' ')[2:], ' ')
+  FROM documents WHERE doc_id % 5 = 0
+),
+toks AS (SELECT id, string_split(text, ' ') AS w FROM corpus),
+sh AS (
+  SELECT DISTINCT id,
+         unnest(list_transform(generate_series(1, len(w) - 2),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM toks
+),
+cnt AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT x.id AS a, y.id AS b, COUNT(*) AS i
+  FROM sh x JOIN sh y ON y.s = x.s AND x.id < y.id
+  GROUP BY 1, 2
+)
+SELECT a, b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+FROM inter JOIN cnt na ON na.id = a JOIN cnt nb ON nb.id = b
+WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+"""
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label (sum-of-block^2
+    join, the 10^9-vector shape).  The fixture has no natural near-dups
+    (max within-label cos ~0.51), so every vec_id % 10 == 0 re-appears
+    under id+100000 with +0.25 on its first coordinate (all-double
+    arithmetic -> bit-identical in both engines); threshold 0.9 cleanly
+    separates planted pairs from the natural background."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    )
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "emb", lambda x, i: F.when(i == 0, x + F.lit(0.25)).otherwise(x)
+        ).alias("emb"),
+        "label",
+    )
+    corpus = emb.unionByName(planted)
+    out = SIM.embedding_near_dup(
+        corpus, id_col="vec_id", vec_col="emb", block_col="label", threshold=0.9
+    )
+    return out.select("a", "b", F.round("cos", 6).alias("cos_r"))
+
+
+EMB_NEARDUP_SQL = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb, label
+  FROM embeddings
+),
+corpus AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(generate_series(1, 64),
+                        i -> CASE WHEN i = 1 THEN emb[i] + 0.25 ELSE emb[i] END),
+         label
+  FROM base WHERE vec_id % 10 = 0
+)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round({_DOT.format(a='x.emb', b='y.emb')}
+             / (sqrt({_DOT.format(a='x.emb', b='x.emb')})
+                * sqrt({_DOT.format(a='y.emb', b='y.emb')})), 6) AS cos_r
+FROM corpus x JOIN corpus y ON x.label = y.label AND x.vec_id < y.vec_id
+WHERE {_DOT.format(a='x.emb', b='y.emb')}
+      / (sqrt({_DOT.format(a='x.emb', b='x.emb')})
+         * sqrt({_DOT.format(a='y.emb', b='y.emb')})) >= 0.9
+"""
+
+
+def doc_fingerprint_rolling(spark, sf_dir):
+    """Rolling-hash document fingerprinting (winnowing-lite): all char
+    8-gram hashes per doc; emit gram count, distinct-gram count, and the
+    MIN-hash fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    grams = TX.rolling_kgram_hashes("text", k=8)
+    return d.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_uniq_grams"),
+        TX.doc_fingerprint_min("text", k=8).alias("fp_min"),
+    )
+
+
+FINGERPRINT_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(text) - 7, 0)),
+                        i -> md5(substr(text, i, 8))) AS grams
+  FROM documents
+)
+SELECT doc_id, len(grams) AS n_grams,
+       len(list_distinct(grams)) AS n_uniq_grams,
+       list_min(grams) AS fp_min
+FROM g ORDER BY doc_id
+"""
+
+
+def dml_upsert_customers(spark, sf_dir):
+    """MERGE-semantics upsert (D1) without Delta: source rows (every 100th
+    customer re-balanced into segment 'UPDATED', plus brand-new keys) win on
+    key collision, unmatched target rows survive.  Verified compactly via a
+    per-segment rollup of the merged table."""
+    from unstructured_data_pipeline_spark.operators.dml import upsert
+
+    cust = _t(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_custkey") % 100 == 0).withColumns(
+        {
+            "c_acctbal": F.col("c_acctbal") + 1000.0,
+            "c_mktsegment": F.lit("UPDATED"),
+        }
+    )
+    fresh = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        F.concat(F.lit("NEW#"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("FRESH").alias("c_mktsegment"),
+    )
+    merged = upsert(cust, updates.unionByName(fresh), keys=["c_custkey"])
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum(_cents(F.col("c_acctbal"))) / 100.0).alias("sum_acctbal"),
+    )
+
+
+DML_UPSERT_SQL = f"""
+WITH source AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,
+         'UPDATED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 100 = 0
+  UNION ALL
+  SELECT c_custkey + 10000000, 'NEW#' || c_name, c_nationkey, 0.0, 'FRESH'
+  FROM customer WHERE c_custkey % 97 = 0
+),
+merged AS (
+  SELECT * FROM source
+  UNION ALL
+  SELECT t.* FROM customer t ANTI JOIN source s ON t.c_custkey = s.c_custkey
+)
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       SUM({_c('c_acctbal')}) / 100.0 AS sum_acctbal
+FROM merged GROUP BY 1 ORDER BY 1
+"""
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: tight scan-side filter + ungrouped sum — the
+    predicate-pushdown showcase (explain shows PushedFilters on all three)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))) / 100.0).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = f"""
+SELECT SUM({_c('l_extendedprice * l_discount')}) / 100.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: who returned the most revenue in a quarter.  Join
+    order: filtered lineitem x filtered orders shuffle-join (both big),
+    then broadcast customer-side dims."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp_ntz"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "_cents"
+            )
+        )
+    )
+    out = (
+        rev.join(F.broadcast(c), rev["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            (F.col("_cents") / 100.0).alias("revenue"),
+        )
+    )
+    return out.orderBy(F.desc("revenue"), "c_custkey").limit(20)
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name AS nation,
+       SUM({_c('l_extendedprice * (1 - l_discount)')}) / 100.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= '1995-01-01' AND o_orderdate < '1995-07-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregate ratio over a fact x dim join
+    (part broadcasts)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0)))
+    return j.agg(
+        F.round(100.0 * promo / F.sum(cents), 6).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q14_SQL = f"""
+SELECT round(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN {_c('l_extendedprice * (1 - l_discount)')} ELSE 0 END)
+             / SUM({_c('l_extendedprice * (1 - l_discount)')}), 6) AS promo_pct,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+"""
+
+
+def q18_big_orders(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders — HAVING on a big groupBy, then
+    joined back to orders + customer (broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg((F.sum(_cents(F.col("l_quantity"))) / 100.0).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    out = (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            (_cents(F.col("o_totalprice")) / 100.0).alias("totalprice"),
+            "sum_qty",
+        )
+    )
+    return out.orderBy(F.desc("sum_qty"), "o_orderkey").limit(100)
+
+
+Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       {_c('o_totalprice')} / 100.0 AS totalprice, sum_qty
+FROM (SELECT l_orderkey, SUM({_c('l_quantity')}) / 100.0 AS sum_qty
+      FROM lineitem GROUP BY 1 HAVING SUM({_c('l_quantity')}) / 100.0 > 150) t
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty DESC, o_orderkey LIMIT 100
+"""
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: coarse centroids = the first 10 corpus vectors (fixed, so
+    the whole index is deterministic and oracle-checkable — unlike sampled
+    k-means); nprobe=2 probed lists per query, exact rerank inside them."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("vec")
+    )
+    q = emb.filter(F.col("vec_id") < 8)
+    out = SIM.ivf_topk(emb, q, cent, k=5, nprobe=2)
+    return out.select(
+        "q_id", "neighbor_id", F.col("rank").alias("rnk"), F.round("cos", 6).alias("cos_r")
+    ).orderBy("q_id", "rnk")
+
+
+ANN_IVF_SQL = f"""
+WITH cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 10),
+lists AS (
+  SELECT neighbor_id, c_vec, cent_id FROM (
+    SELECT e.vec_id AS neighbor_id, e.embedding AS c_vec, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_DOT.format(a='e.embedding', b='c.cv')}
+             / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')})
+                * sqrt({_DOT.format(a='c.cv', b='c.cv')})) DESC, c.cent_id) AS r
+    FROM embeddings e CROSS JOIN cent c) t
+  WHERE r = 1
+),
+probes AS (
+  SELECT q_id, q_vec, cent_id FROM (
+    SELECT e.vec_id AS q_id, e.embedding AS q_vec, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_DOT.format(a='e.embedding', b='c.cv')}
+             / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')})
+                * sqrt({_DOT.format(a='c.cv', b='c.cv')})) DESC, c.cent_id) AS r
+    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 8) t
+  WHERE r <= 2
+),
+scored AS (
+  SELECT p.q_id, l.neighbor_id,
+         {_DOT.format(a='l.c_vec', b='p.q_vec')}
+         / (sqrt({_DOT.format(a='l.c_vec', b='l.c_vec')})
+            * sqrt({_DOT.format(a='p.q_vec', b='p.q_vec')})) AS cos
+  FROM lists l JOIN probes p ON l.cent_id = p.cent_id
+  WHERE l.neighbor_id <> p.q_id
+)
+SELECT q_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, round(cos, 6) AS cos_r
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored) t
+WHERE rnk <= 5 ORDER BY q_id, rnk
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only additions: streaming intake, video frame sampling
+
+
+def streaming_intake_eav(spark, sf_dir):
+    """Structured Streaming intake driven end-to-end: 40 documents written
+    to a landing dir, drained with trigger(availableNow) through the full
+    classify->extract pipeline into parquet tables, extracted fields read
+    back.  The checkpoint IS the processed-flag (exactly-once per file);
+    non-SQL-expressible -> rows-only check."""
+    import shutil
+    import tempfile
+
+    from unstructured_data_pipeline_spark.catalog import bootstrap_warehouse
+    from unstructured_data_pipeline_spark.streaming.intake import start_intake_stream
+
+    root = tempfile.mkdtemp(prefix="udp_stream_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    docs = (
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40).collect()
+    )
+    for r in docs:
+        with open(os.path.join(landing, f"{r['doc_id']}.txt"), "w") as f:
+            f.write(r["text"])
+    tables = bootstrap_warehouse(spark, os.path.join(root, "tables"))
+    q = start_intake_stream(
+        spark,
+        landing,
+        os.path.join(root, "ckpt"),
+        tables,
+        trigger_available_now=True,
+    )
+    q.awaitTermination()
+    out = (
+        tables["documents_extracted_fields"]
+        .read()
+        .select("file_ref", "class_name", "field_name", "field_value")
+        .cache()
+    )
+    out.count()  # materialize before the temp dir is removed
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def video_frame_sample_demo(spark, sf_dir):
+    """Multimodal frame-sampling plumbing: binary payloads -> mapInPandas
+    deterministic frame chunks (real decoder slot documented in
+    operators/multimodal.py)."""
+    from unstructured_data_pipeline_spark.operators.multimodal import frame_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    out = frame_sample(docs, max_frames=4)
+    return out.select("id", "frame_no", F.length("frame").alias("frame_bytes"))
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -1090,8 +1511,19 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "events_hourly_counts": (events_hourly_counts, HOURLY_SQL),
     "sessionize_summary": (sessionize_summary, SESSIONIZE_SQL),
     "asof_purchase_last_view": (asof_purchase_last_view, ASOF_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, EMB_NEARDUP_SQL),
+    "doc_fingerprint_rolling": (doc_fingerprint_rolling, FINGERPRINT_SQL),
+    "dml_upsert_customers": (dml_upsert_customers, DML_UPSERT_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "q18_big_orders": (q18_big_orders, Q18_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "image_features_demo": (image_features_demo, None),
+    "streaming_intake_eav": (streaming_intake_eav, None),
+    "video_frame_sample_demo": (video_frame_sample_demo, None),
 }
 
 
