@@ -75,6 +75,12 @@ def main() -> None:
 
     spark.range(10_000).repartition(int(cpus)).select(_noop("id")).count()
     REGISTRY["pipeline_extract_eav"][0](spark, "/root/testdata/sf0.001").count()
+    # warm every input scan (parquet footer reads + filesystem cache), so
+    # per-query timings measure the operator, not first-touch I/O
+    for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -135,6 +135,62 @@ def jaccard_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, sh) with sh = the DISTINCT shingle set as an array column —
+    entirely row-local (no explode, no shuffle).  The per-doc array is
+    bounded by document length, so it scales exactly like the text itself.
+    Token array materialized first — see :func:`shingle_set`."""
+    toks = df.select(F.col(id_col).alias("id"), tokens_ws(text_col).alias("w"))
+    return toks.select(
+        "id", F.array_distinct(word_shingles_from_tokens(F.col("w"), n)).alias("sh")
+    )
+
+
+def minhash_signature_cols(
+    shingle_arrs: DataFrame, num_hashes: int = 8
+) -> DataFrame:
+    """Per-id MinHash signature columns mh0..mhN from the shingle-array —
+    ``array_min`` over md5-slice transforms, zero shuffle (vs the exploded
+    groupBy formulation, which shuffles every (id, shingle) row).  One md5
+    per shingle serves all hash functions via 4-hex-char slices.
+
+    Docs with an empty shingle set (shorter than n words) are dropped —
+    they have no MinHash (matches the exploded/groupBy semantics, and keeps
+    all-null signatures from LSH-bucketing every short doc together)."""
+    hashed = shingle_arrs.filter(F.size("sh") > 0).withColumn(
+        "_hs", F.transform("sh", lambda s: F.md5(s))
+    )
+    mh = [
+        F.array_min(
+            F.transform("_hs", lambda h: F.substring(h, k * 4 + 1, 4))
+        ).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    return hashed.select("id", "sh", *mh)
+
+
+def jaccard_pairs_arr(shingle_arrs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs via ``array_intersect`` on the
+    per-doc shingle arrays — two candidate-bounded equi-joins and a
+    row-local intersection, vs five shuffles for the exploded posting-list
+    formulation."""
+    sa = shingle_arrs.select(F.col("id").alias("a"), F.col("sh").alias("sha"))
+    sb = shingle_arrs.select(F.col("id").alias("b"), F.col("sh").alias("shb"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("_i", F.size(F.array_intersect("sha", "shb")))
+        .select(
+            "a",
+            "b",
+            (
+                F.col("_i").cast("double")
+                / (F.size("sha") + F.size("shb") - F.col("_i")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
 def near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -147,13 +203,15 @@ def near_dup_pairs(
     """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band -> verify.
     Returns (a, b, jaccard) pairs with jaccard >= threshold.
 
-    The shingle set feeds three consumers (signatures, intersection join,
-    per-doc counts) — persist it so the explode+md5 scan runs once, not 4x.
-    """
-    sh = shingle_set(df, id_col, text_col, n).persist()
-    sigs = minhash_signatures(sh, num_hashes)
+    Row-local formulation end-to-end: per-doc shingle ARRAYS (not exploded
+    postings), array-min signatures, banded bucket self-join for candidates,
+    array_intersect verify.  The only shuffles left are the LSH bucket join
+    and the two candidate-bounded verify joins — at 100 TB nothing ever
+    shuffles proportional to total shingle volume."""
+    sh = shingle_arrays(df, id_col, text_col, n).persist()
+    sigs = minhash_signature_cols(sh, num_hashes).drop("sh")
     cand = lsh_candidate_pairs(sigs, num_hashes, bands)
-    return jaccard_pairs(sh, cand).filter(F.col("jaccard") >= threshold)
+    return jaccard_pairs_arr(sh, cand).filter(F.col("jaccard") >= threshold)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 32) -> DataFrame:

@@ -37,23 +37,33 @@ class PipelineOutputs:
     ocr: DataFrame  # document_ocr shape
 
 
-def _make_extract_with_prompts(backend: DocumentAIBackend, prompts_map: dict[str, str]):
-    """AI2 with the prompt schema resolved in-closure; AI7 error envelope."""
+def _make_classify_extract(backend: DocumentAIBackend, prompts_map: dict[str, str]):
+    """AI1+AI2 fused into ONE pandas UDF: the text crosses the Arrow
+    boundary once and both stub calls run in the same Python batch.  The
+    class->prompts schema dimension rides in the closure (tiny by
+    construction — the reference loads it client-side too,
+    `app.py:150-159`).  AI7 error envelope: catch-and-encode, never throw
+    (app.py:506-510)."""
     from pyspark.sql import functions as SF
-    from pyspark.sql import types as ST
 
-    @SF.pandas_udf(ST.StringType())
-    def extract(text: pd.Series, class_name: pd.Series) -> pd.Series:
-        def one(t, c):
+    @SF.pandas_udf("class_name string, extraction_result string")
+    def classify_extract(text: pd.Series) -> pd.DataFrame:
+        def one(t):
+            t = t or ""
+            try:
+                c = backend.classify(t)
+            except Exception as e:
+                return "", canonical_json({"error": str(e)})
             try:
                 pj = prompts_map.get(c, "{}")
-                return canonical_json({"response": backend.extract(t or "", pj)})
-            except Exception as e:  # never throw (app.py:506-510)
-                return canonical_json({"error": str(e)})
+                return c, canonical_json({"response": backend.extract(t, pj)})
+            except Exception as e:
+                return c, canonical_json({"error": str(e)})
 
-        return pd.Series([one(t, c) for t, c in zip(text, class_name)])
+        rows = [one(t) for t in text]
+        return pd.DataFrame(rows, columns=["class_name", "extraction_result"])
 
-    return extract
+    return classify_extract
 
 
 def _prompts_df(spark: SparkSession, backend: DocumentAIBackend, classes: list[str]):
@@ -100,9 +110,6 @@ def run_document_pipeline(
     if base.rdd.getNumPartitions() < max(2, par // 2):
         base = base.repartition(par)
 
-    # AI1: classify
-    classified = base.withColumn("class_name", udfs["classify"](F.col("text")))
-
     # prompt dimension: provided schemas upserted over auto-generated ones.
     # The class domain of the stub classifier is closed (3 classes), so the
     # dimension is enumerable driver-side without scanning the data — at
@@ -117,14 +124,16 @@ def run_document_pipeline(
         dim = gen
 
     # AI1+AI2 fused: one Arrow crossing instead of classify-UDF -> join ->
-    # extract-UDF.  The class->prompts dimension is tiny by construction
-    # (the reference loads it client-side too, `app.py:150-159`), so it
-    # rides into the UDF closure; this removes a join and halves the
-    # Python boundary traffic on the hot path.
+    # extract-UDF; the text ships to Python once and both stages run in the
+    # same batch.
     prompts_map = {r["class_name"]: r["prompts"] for r in dim.collect()}
-    extracted = classified.withColumn(
-        "extraction_result",
-        _make_extract_with_prompts(b, prompts_map)(F.col("text"), F.col("class_name")),
+    ce = _make_classify_extract(b, prompts_map)(F.col("text")).alias("_ce")
+    extracted = base.withColumn("_ce", ce).select(
+        "file_ref",
+        "file_url",
+        "text",
+        F.col("_ce.class_name").alias("class_name"),
+        F.col("_ce.extraction_result").alias("extraction_result"),
     )
 
     processed = extracted.select(

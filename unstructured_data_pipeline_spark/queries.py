@@ -1115,7 +1115,7 @@ def dedup_embedding_cosine(spark, sf_dir):
         "label",
     )
     corpus = emb.unionByName(planted)
-    out = SIM.embedding_near_dup(
+    out = SIM.embedding_near_dup_blocked(
         corpus, id_col="vec_id", vec_col="emb", block_col="label", threshold=0.9
     )
     return out.select("a", "b", F.round("cos", 6).alias("cos_r"))
@@ -1134,15 +1134,16 @@ corpus AS (
                         i -> CASE WHEN i = 1 THEN emb[i] + 0.25 ELSE emb[i] END),
          label
   FROM base WHERE vec_id % 10 = 0
+),
+unitv AS (
+  SELECT vec_id, label,
+         list_transform(emb, x -> x / sqrt({_DOT.format(a='emb', b='emb')})) AS u
+  FROM corpus
 )
 SELECT x.vec_id AS a, y.vec_id AS b,
-       round({_DOT.format(a='x.emb', b='y.emb')}
-             / (sqrt({_DOT.format(a='x.emb', b='x.emb')})
-                * sqrt({_DOT.format(a='y.emb', b='y.emb')})), 6) AS cos_r
-FROM corpus x JOIN corpus y ON x.label = y.label AND x.vec_id < y.vec_id
-WHERE {_DOT.format(a='x.emb', b='y.emb')}
-      / (sqrt({_DOT.format(a='x.emb', b='x.emb')})
-         * sqrt({_DOT.format(a='y.emb', b='y.emb')})) >= 0.9
+       round({_DOT.format(a='x.u', b='y.u')}, 6) AS cos_r
+FROM unitv x JOIN unitv y ON x.label = y.label AND x.vec_id < y.vec_id
+WHERE {_DOT.format(a='x.u', b='y.u')} >= 0.9
 """
 
 
