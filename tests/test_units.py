@@ -1,0 +1,271 @@
+"""Unit + property tests for the pure logic and operator contracts
+(SURVEY.md section 5, items 3-5): prompt normalization (AI6), variantify,
+upsert/anti-insert/delete algebra, latest-per-key windows, EAV<->pivot
+round-trip, as-of join, shingle/fingerprint edge cases, and streaming
+intake exactly-once restart semantics."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from unstructured_data_pipeline_spark.functions.prompts import (
+    normalize_prompt_schema,
+    prompt_fields,
+)
+from unstructured_data_pipeline_spark.functions.variant import (
+    canonical_json,
+    variantify,
+)
+from unstructured_data_pipeline_spark.operators.dml import (
+    anti_insert,
+    delete_where,
+    upsert,
+)
+
+
+# ---------------------------------------------------------------------------
+# AI6 prompt normalization (`app.py:162-183` semantics)
+
+
+def test_prompt_schema_dict_passthrough():
+    assert normalize_prompt_schema({"total": "What is the total?"}, "x") == {
+        "total": "What is the total?"
+    }
+
+
+def test_prompt_schema_class_unwrap():
+    raw = {"invoice": {"total": "What is the total?", "date": "When?"}}
+    assert normalize_prompt_schema(raw, "invoice") == {
+        "total": "What is the total?",
+        "date": "When?",
+    }
+
+
+def test_prompt_schema_q_list_passthrough():
+    assert normalize_prompt_schema(["q", "Summarize this."], "x") == [
+        "q",
+        "Summarize this.",
+    ]
+
+
+def test_prompt_schema_bare_string_and_json_text():
+    assert normalize_prompt_schema("What is it?", "x") == ["q", "What is it?"]
+    assert normalize_prompt_schema('{"a": "b"}', "x") == {"a": "b"}
+
+
+def test_prompt_schema_fallbacks():
+    for raw in (None, 7, [], {}, {"a": 3}, ""):
+        out = normalize_prompt_schema(raw, "contract")
+        assert out == ["q", "Extract key facts for class contract."], raw
+
+
+def test_prompt_fields():
+    assert prompt_fields({"b": "?", "a": "?"}) == ["a", "b"]
+    assert prompt_fields(["q", "whatever"]) == ["answer"]
+
+
+@given(
+    st.recursive(
+        st.one_of(st.none(), st.integers(), st.text(max_size=8)),
+        lambda c: st.one_of(
+            st.lists(c, max_size=4), st.dictionaries(st.text(max_size=4), c, max_size=4)
+        ),
+        max_leaves=8,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_prompt_schema_total(raw):
+    """Never raises; always returns a dict[str,str] or ['q', str]."""
+    out = normalize_prompt_schema(raw, "k")
+    if isinstance(out, dict):
+        assert out and all(
+            isinstance(k, str) and isinstance(v, str) for k, v in out.items()
+        )
+    else:
+        assert len(out) == 2 and out[0] == "q" and isinstance(out[1], str)
+
+
+# ---------------------------------------------------------------------------
+# VARIANT encoding ("VARIANT safety", `app.py:276-283`)
+
+
+def test_variantify():
+    assert variantify(None) is None
+    assert variantify("s") == "s"
+    assert variantify({"b": 1, "a": 2}) == '{"a":2,"b":1}'  # canonical key order
+    assert variantify([1, "x"]) == '[1,"x"]'
+    assert variantify(True) == "true"
+    assert variantify(3) == "3"
+
+
+def test_canonical_json_is_canonical():
+    assert canonical_json({"b": [1, 2], "a": {"z": 1, "y": 2}}) == canonical_json(
+        {"a": {"y": 2, "z": 1}, "b": [1, 2]}
+    )
+
+
+# ---------------------------------------------------------------------------
+# DML algebra (D1-D3): MERGE-without-Delta semantics
+
+
+@pytest.fixture(scope="module")
+def small_tables(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, name string, v double"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k int, name string, v double"
+    )
+    return target, source
+
+
+def test_upsert_source_wins_and_unmatched_survive(spark, small_tables):
+    target, source = small_tables
+    out = {r["k"]: (r["name"], r["v"]) for r in upsert(target, source, ["k"]).collect()}
+    assert out == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_upsert_idempotent(spark, small_tables):
+    target, source = small_tables
+    once = upsert(target, source, ["k"])
+    twice = upsert(once, source, ["k"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_anti_insert_only_new_keys(spark, small_tables):
+    target, source = small_tables
+    out = {r["k"]: r["name"] for r in anti_insert(target, source, ["k"]).collect()}
+    # key 2 exists -> source row dropped; key 4 fresh -> appended
+    assert out == {1: "a", 2: "b", 3: "c", 4: "d"}
+
+
+def test_delete_where_null_safe(spark):
+    df = spark.createDataFrame([(1, "x"), (2, None), (3, "y")], "k int, s string")
+    kept = delete_where(df, F.col("s") == "x")  # null predicate must NOT delete
+    assert sorted(r["k"] for r in kept.collect()) == [2, 3]
+
+
+# ---------------------------------------------------------------------------
+# W1: latest-per-key returns exactly one row per key, newest first
+
+
+def test_latest_per_key_exactly_one(spark):
+    from unstructured_data_pipeline_spark.operators.relational import latest_per_key
+
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 2), ("b", 5, 3), ("b", 5, 4), ("c", None, 5)],
+        "key string, ts int, payload int",
+    )
+    out = latest_per_key(
+        df, ["key"], [F.col("ts").desc_nulls_last(), F.col("payload").desc()]
+    )
+    rows = {r["key"]: (r["ts"], r["payload"]) for r in out.collect()}
+    assert rows == {"a": (2, 2), "b": (5, 4), "c": (None, 5)}
+
+
+# ---------------------------------------------------------------------------
+# C5: EAV explode <-> dynamic pivot round-trip
+
+
+def test_eav_pivot_roundtrip(spark):
+    from unstructured_data_pipeline_spark.operators.pivot import dynamic_pivot
+
+    eav = spark.createDataFrame(
+        [
+            ("f1", "total", "10"),
+            ("f1", "date", "2024-01-01"),
+            ("f2", "total", "20"),
+        ],
+        "file_ref string, field_name string, field_value string",
+    )
+    wide = dynamic_pivot(eav, ["file_ref"], "field_name", "field_value")
+    assert set(wide.columns) == {"file_ref", "date", "total"}
+    back = wide.selectExpr(
+        "file_ref",
+        "stack(2, 'date', date, 'total', total) AS (field_name, field_value)",
+    ).filter(F.col("field_value").isNotNull())
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, eav.collect()))
+
+
+# ---------------------------------------------------------------------------
+# as-of join: exact small-case semantics (match at-or-before, else null)
+
+
+def test_asof_join_small(spark):
+    from unstructured_data_pipeline_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 50), (3, "v", 10)], "id int, k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("u", 90), ("u", 100), ("u", 110), ("w", 5)], "k string, rts long"
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
+    got = {r["id"]: r["rts_r"] for r in out.collect()}
+    assert got == {1: 100, 2: None, 3: None}  # exact tie matches; no earlier -> null
+
+
+# ---------------------------------------------------------------------------
+# shingle / fingerprint edge cases (the sequence(1,0)-descending trap)
+
+
+def test_shingles_and_fingerprints_short_docs(spark):
+    from unstructured_data_pipeline_spark.functions.text import (
+        rolling_kgram_hashes,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [("", ), ("one", ), ("one two", ), ("one two three four", )], "text string"
+    )
+    out = df.select(
+        F.size(word_shingles("text", 3)).alias("n_sh"),
+        F.size(rolling_kgram_hashes("text", 8)).alias("n_gr"),
+    ).collect()
+    assert [r["n_sh"] for r in out] == [0, 0, 0, 2]
+    # 8-grams: len<8 -> 0; len 18 -> 11
+    assert [r["n_gr"] for r in out] == [0, 0, 0, 11]
+
+
+# ---------------------------------------------------------------------------
+# M4 streaming intake: exactly-once across restarts (the checkpoint IS the
+# reference's NEW_UPLOADS.processed flag, `app.py:548-554,920-926`)
+
+
+def test_streaming_intake_exactly_once(spark, tmp_path):
+    from unstructured_data_pipeline_spark.catalog import bootstrap_warehouse
+    from unstructured_data_pipeline_spark.streaming.intake import start_intake_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i in range(3):
+        (landing / f"doc{i}.txt").write_text(f"customer stream doc {i}")
+
+    tables = bootstrap_warehouse(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_intake_stream(
+            spark, str(landing), ckpt, tables, trigger_available_now=True
+        )
+        q.awaitTermination()
+
+    drain()
+    processed = tables["documents_processed"].read()
+    assert processed.count() == 3
+
+    # restart with no new files: nothing reprocessed
+    drain()
+    assert tables["documents_processed"].read().count() == 3
+
+    # one new file: exactly one more run, old files untouched
+    (landing / "doc3.txt").write_text("customer stream doc 3")
+    drain()
+    out = tables["documents_processed"].read()
+    assert out.count() == 4
+    assert out.filter(F.col("file_ref") == "doc3.txt").count() == 1
