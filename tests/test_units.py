@@ -269,3 +269,25 @@ def test_streaming_intake_exactly_once(spark, tmp_path):
     out = tables["documents_processed"].read()
     assert out.count() == 4
     assert out.filter(F.col("file_ref") == "doc3.txt").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# prefix filtering is pure candidate pruning: identical output to exhaustive
+
+
+def test_ngram_jaccard_prefix_equals_exhaustive(spark, sf_dir):
+    from unstructured_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    near = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.expr("array_join(slice(split(text, ' '), 2, 1000000), ' ')").alias("text"),
+    )
+    corpus = d.unionByName(near)
+    full = ngram_jaccard_pairs(corpus, "doc_id", "text", 3, 0.5, prefix_filter=False)
+    pref = ngram_jaccard_pairs(corpus, "doc_id", "text", 3, 0.5, prefix_filter=True)
+    fs = sorted((r["a"], r["b"], round(r["jaccard"], 9)) for r in full.collect())
+    ps = sorted((r["a"], r["b"], round(r["jaccard"], 9)) for r in pref.collect())
+    assert fs == ps and len(fs) > 0

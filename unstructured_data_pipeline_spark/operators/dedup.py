@@ -18,7 +18,7 @@ Python), so all of these are covered by the DuckDB value-hash oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from unstructured_data_pipeline_spark.functions.text import (
@@ -239,39 +239,64 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard near-dup pairs via an inverted shingle index —
-    no LSH approximation.  Candidates are generated by self-joining the
-    (id, shingle) postings on the shingle, so only pairs that share at
-    least one shingle are ever scored; cost is sum over shingles of
-    |posting list|^2, not |corpus|^2.
+    """EXACT n-gram Jaccard near-dup pairs — no LSH approximation.
 
-    Scale lever at 100 TB: ultra-common shingles dominate that sum — the
-    production trick is prefix filtering (order shingles by global rarity
-    and index only each doc's rarest ceil((1-t)*|doc|)+1 shingles, which
-    provably preserves all pairs with jaccard >= t).  At fixture scale the
-    full index is ~3M join pairs, so we keep the exact full index here.
+    With ``prefix_filter`` (the 100 TB shape): shingles get a global
+    rarity order (count asc, shingle); each doc indexes only its rarest
+    ``floor((1-t)*|doc|) + 1`` shingles.  Any pair with jaccard >= t must
+    share an indexed shingle (pigeonhole on the >= t overlap), so the
+    candidate self-join runs over the PREFIX postings — rare shingles with
+    short posting lists — instead of the full inverted index whose
+    ultra-common shingles dominate sum(|posting|^2).  Verification is exact
+    ``array_intersect`` on the full per-doc shingle arrays, so the output
+    is IDENTICAL to the exhaustive index — this is a pure candidate-
+    pruning strategy (Chaudhuri et al.'s SSJoin / prefix filtering).
+
+    Without it: full inverted-index self-join (fine at fixture scale,
+    quadratic in posting-list length at scale).
     """
-    sh = shingle_set(df, id_col, text_col, n).persist()
-    counts = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("id").alias("a"), "shingle")
-    sb = sh.select(F.col("id").alias("b"), "shingle")
-    inter = (
-        sa.join(sb, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return (
-        inter.join(counts.select(F.col("id").alias("a"), F.col("n").alias("na")), "a")
-        .join(counts.select(F.col("id").alias("b"), F.col("n").alias("nb")), "b")
-        .select(
+    sh = shingle_arrays(df, id_col, text_col, n).persist()
+    if not prefix_filter:
+        # exhaustive index: count intersections straight off the posting
+        # self-join (one groupBy, no distinct/verify passes needed)
+        post = sh.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("shingle"))
+        sa = post.select(F.col("id").alias("a"), F.col("sz").alias("na"), "shingle")
+        sb = post.select(F.col("id").alias("b"), F.col("sz").alias("nb"), "shingle")
+        inter = (
+            sa.join(sb, "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b", "na", "nb")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+        return inter.select(
             "a",
             "b",
             (
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
             ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        ).filter(F.col("jaccard") >= threshold)
+
+    post = sh.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("shingle"))
+    counts = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    # global rarity order = (freq, shingle); the key itself is the order —
+    # no rank window over the whole vocabulary needed.
+    ranked = post.join(counts, "shingle")
+    prefix_len = (F.floor(F.col("sz") * (1.0 - threshold)) + 1).cast("int")
+    w = Window.partitionBy("id").orderBy("freq", "shingle")
+    prefix = (
+        ranked.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= prefix_len)
+        .select("id", "shingle")
     )
+    pa = prefix.select(F.col("id").alias("a"), "shingle")
+    pb = prefix.select(F.col("id").alias("b"), "shingle")
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return jaccard_pairs_arr(sh, cand).filter(F.col("jaccard") >= threshold)

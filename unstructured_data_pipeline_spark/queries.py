@@ -1068,7 +1068,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
         F.array_join(F.slice(F.split(F.col("text"), " "), 2, 1000000), " ").alias("text"),
     )
     corpus = d.unionByName(near)
-    return DD.ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5)
+    # prefix_filter=False: at fixture scale the shingle vocabulary is tiny
+    # and posting lists are short, so the exhaustive inverted index beats
+    # the prefix-filtered one (3.0s vs 4.9s at sf0.1).  At corpus scale the
+    # prefix filter (the operator's default) bounds the quadratic posting
+    # join — both paths return IDENTICAL pairs (tests/test_units.py).
+    return DD.ngram_jaccard_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.5, prefix_filter=False
+    )
 
 
 DEDUP_NGRAM_SQL = """
@@ -1416,6 +1423,93 @@ WHERE rnk <= 5 ORDER BY q_id, rnk
 """
 
 
+def variant_props_extract(spark, sf_dir):
+    """VARIANT path extraction (§2.7 `x:path::TYPE`): JSON props column ->
+    typed value via get_json_object + cast, aggregated per event type."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+VARIANT_PROPS_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def window_frames_running(spark, sf_dir):
+    """Window-function breadth beyond W1: rank, lag delta, and an explicit
+    ROWS UNBOUNDED PRECEDING running-total frame, per customer."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    cents = _cents(F.col("o_totalprice"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.rank().over(w).alias("rnk"),
+        (F.sum(cents).over(wf) / 100.0).alias("running_total"),
+        ((cents - F.lag(cents).over(w)) / 100.0).alias("delta_prev"),
+    )
+
+
+WINDOW_FRAMES_SQL = f"""
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       rank() OVER w AS rnk,
+       SUM({_c('o_totalprice')}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_total,
+       ({_c('o_totalprice')} - lag({_c('o_totalprice')}) OVER w) / 100.0 AS delta_prev
+FROM orders WHERE o_custkey % 50 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def rollup_order_stats(spark, sf_dir):
+    """ROLLUP(status, priority) hierarchy totals — subtotal rows labelled
+    'ALL' (A-section extension; Spark hash aggregate covers grouping sets)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(_cents(F.col("o_totalprice"))) / 100.0).alias("sum_total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_total",
+        )
+    )
+
+
+ROLLUP_SQL = f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       SUM({_c('o_totalprice')}) / 100.0 AS sum_total
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only additions: streaming intake, video frame sampling
 
@@ -1521,6 +1615,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
     "q18_big_orders": (q18_big_orders, Q18_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+    "variant_props_extract": (variant_props_extract, VARIANT_PROPS_SQL),
+    "window_frames_running": (window_frames_running, WINDOW_FRAMES_SQL),
+    "rollup_order_stats": (rollup_order_stats, ROLLUP_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "image_features_demo": (image_features_demo, None),
     "streaming_intake_eav": (streaming_intake_eav, None),
