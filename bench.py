@@ -94,6 +94,13 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    # document-pipeline throughput (BASELINE.md: docs/sec, stub AI backends,
+    # full classify->extract->EAV): documents count / wall time of the EAV run
+    n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    t0 = time.perf_counter()
+    REGISTRY["pipeline_extract_eav"][0](spark, sf_dir).count()
+    docs_per_sec = round(n_docs / (time.perf_counter() - t0), 1)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -102,6 +109,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "pipeline_docs_per_sec": docs_per_sec,
                 "sf": float(sf) if sf else None,
             }
         )

@@ -25,7 +25,6 @@ from unstructured_data_pipeline_spark.functions.text import (
     word_shingles_from_tokens,
     fingerprint,
     minhash_hex,
-    simhash_bits,
     tokens_ws,
     word_shingles,
 )
@@ -222,10 +221,25 @@ def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 32) -> Data
     Implemented by exploding tokens then aggregating 32 conditional sums —
     one shuffle on the id, all JVM-side.
     """
+    if n_bits > 32:
+        raise ValueError("int-path simhash supports up to 32 bits (8 md5 nibbles)")
     toks = df.select(F.col(id_col).alias("id"), F.explode(tokens_ws(text_col)).alias("tok"))
-    bits = simhash_bits(F.col("tok"), n_bits)
-    votes = [F.sum(b * 2 - 1).alias(f"v{j}") for j, b in enumerate(bits)]
-    agg = toks.groupBy("id").agg(*votes)
+    # One md5 + one hex->int conv per token; each bit is an integer shift/mask.
+    # Bit numbering matches the nibble formulation (bit j = nibble j//4 of
+    # the hex string, bit j%4 of its value): nibble i sits at integer bits
+    # (7-i)*4..(7-i)*4+3, so shift = (7 - j//4)*4 + j%4 — the DuckDB oracle
+    # keeps the per-nibble strpos form and the values are identical.
+    hashed = toks.select(
+        "id", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h")
+    )
+    votes = [
+        F.sum(
+            F.shiftright(F.col("h"), (7 - j // 4) * 4 + j % 4).bitwiseAND(F.lit(1)) * 2
+            - 1
+        ).alias(f"v{j}")
+        for j in range(n_bits)
+    ]
+    agg = hashed.groupBy("id").agg(*votes)
     bit_strs = [
         F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
         for j in range(n_bits - 1, -1, -1)

@@ -1058,6 +1058,33 @@ def image_features_demo(spark, sf_dir):
 # DML upsert, TPC-H q6/q10/q14/q18 (relational breadth)
 
 
+def history_documents_sparksql(spark, sf_dir):
+    """The same History documents query expressed through the ``spark.sql``
+    surface in the reference's OWN shape — correlated scalar COUNT subquery
+    (J2) and EXISTS semi-join (P5/J3), which Catalyst decorrelates into the
+    aggregate+join plan the DataFrame variant builds by hand
+    (`app.py:698-741`; SURVEY §2.3, §4)."""
+    eav = _docs_pipeline_eav(spark, sf_dir)
+    eav.createOrReplaceTempView("udp_sql_eav")
+    docs = _t(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").cast("string").alias("file_ref")
+    ).createOrReplaceTempView("udp_sql_ocr")
+    return spark.sql(
+        """
+        SELECT DISTINCT e.file_ref,
+               e.class_name,
+               regexp_replace(split_part(e.file_url, '/', 1), '^@', '') AS stage,
+               (SELECT COUNT(*) FROM udp_sql_eav d2
+                WHERE d2.file_ref = e.file_ref
+                  AND d2.class_name = e.class_name) AS fields_extracted,
+               EXISTS(SELECT 1 FROM udp_sql_ocr o
+                      WHERE o.file_ref = e.file_ref) AS has_ocr
+        FROM udp_sql_eav e
+        """
+    )
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
     """EXACT word-3-gram Jaccard near-dup pairs via inverted shingle index
     (no LSH) — same planted near-dups as the minhash query, so the two
@@ -1596,6 +1623,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "history_class_summary": (history_class_summary, HISTORY_CLASS_SUMMARY_SQL),
     "history_documents_current": (history_documents_current, HISTORY_DOCS_SQL),
     "history_field_flatten_filtered": (history_field_flatten_filtered, FIELD_FLATTEN_SQL),
+    "history_documents_sparksql": (history_documents_sparksql, HISTORY_DOCS_SQL),
     "dedup_exact_groups": (dedup_exact_groups, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
