@@ -1,0 +1,81 @@
+"""Scale-mechanics evidence: bucketed co-located joins (no shuffle on the
+fact-fact join), broadcast of small dims, and filter pushdown to the
+parquet scan — the plan shapes the engine is designed around at 100 TB."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def no_aqe_no_broadcast(spark):
+    """Plain static plans so the test can assert on plan structure."""
+    prev = {
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield spark
+    for k, v in prev.items():
+        spark.conf.set(k, v)
+
+
+def test_bucketed_join_avoids_shuffle(no_aqe_no_broadcast, sf_dir, tmp_path):
+    """Pre-bucketing both fact tables on the join key makes the big
+    fact-fact equi-join shuffle-free: each task reads matching buckets.
+    This is the co-located-join strategy for repeated 100 TB joins."""
+    spark = no_aqe_no_broadcast
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    for name, df, key in (
+        ("b_orders", orders, "o_orderkey"),
+        ("b_lineitem", li, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    joined = spark.table("b_lineitem").join(
+        spark.table("b_orders"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # and it actually runs
+    assert joined.count() == li.count()
+
+    # the same join WITHOUT bucketing shuffles both sides
+    unbucketed = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    plan2 = unbucketed._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Exchange") >= 2
+
+
+def test_small_dim_broadcasts(spark, sf_dir):
+    """nation/region-sized dims must plan as BroadcastHashJoin, never a
+    shuffle join."""
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    j = c.join(n, c["c_nationkey"] == n["n_nationkey"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    """Predicates and column pruning must reach the parquet scan: the scan's
+    ReadSchema carries only the projected columns and PushedFilters carries
+    the predicate."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    q = li.filter(F.col("l_quantity") < 5).select("l_orderkey", "l_quantity")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5.0)" in plan
+    rs = plan.split("ReadSchema: ")[1]
+    assert "l_orderkey" in rs and "l_extendedprice" not in rs

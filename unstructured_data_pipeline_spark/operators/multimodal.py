@@ -128,11 +128,52 @@ def frame_sample(
     return df.select(id_col, content_col).mapInPandas(run, schema)
 
 
-def audio_decode_stub(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Audio decode is NOT implemented in this container (no soundfile/ffmpeg).
-    The plumbing contract: binary in -> (sample_rate INT, n_samples BIGINT,
-    pcm ARRAY<FLOAT>) out via mapInPandas.  Raises to make the stub explicit."""
-    raise NotImplementedError(
-        "audio decode requires ffmpeg/soundfile; plug a decoder into the "
-        "mapInPandas kernel following image_features()"
-    )
+AUDIO_FEATURES_SCHEMA = (
+    "id string, sample_rate int, n_samples bigint, rms double, zero_crossings bigint"
+)
+
+
+def _decode_audio(content: bytes) -> tuple[int, list[float]]:
+    """DETERMINISTIC FAKE decode (real impl: soundfile/ffmpeg, neither in
+    this container).  Interprets the bytes as signed 8-bit PCM at a fake
+    16 kHz rate so the downstream feature math is real."""
+    pcm = [(b - 128) / 128.0 for b in content]
+    return 16000, pcm
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "path", content_col: str = "content"
+) -> DataFrame:
+    """Audio decode + feature extraction plumbing: binary -> mapInPandas ->
+    (sample_rate, n_samples, rms, zero_crossings) per clip.  The decode
+    kernel is a deterministic fake (see :func:`_decode_audio`); swap in a
+    real decoder without touching the Spark plumbing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r[content_col]) if r[content_col] is not None else b""
+                rate, pcm = _decode_audio(content)
+                n = len(pcm)
+                rms = math.sqrt(sum(x * x for x in pcm) / n) if n else 0.0
+                zc = sum(
+                    1 for i in range(1, n) if (pcm[i - 1] < 0) != (pcm[i] < 0)
+                )
+                rows.append(
+                    {
+                        "id": str(r[id_col]),
+                        "sample_rate": rate,
+                        "n_samples": n,
+                        "rms": rms,
+                        "zero_crossings": zc,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "sample_rate", "n_samples", "rms", "zero_crossings"],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)

@@ -1582,6 +1582,19 @@ def streaming_intake_eav(spark, sf_dir):
     return out
 
 
+def audio_features_demo(spark, sf_dir):
+    """Multimodal audio plumbing: binary payloads -> mapInPandas fake-PCM
+    decode -> rms / zero-crossing features (real decoder slot documented in
+    operators/multimodal.py)."""
+    from unstructured_data_pipeline_spark.operators.multimodal import audio_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    return audio_features(docs)
+
+
 def video_frame_sample_demo(spark, sf_dir):
     """Multimodal frame-sampling plumbing: binary payloads -> mapInPandas
     deterministic frame chunks (real decoder slot documented in
@@ -1650,6 +1663,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "image_features_demo": (image_features_demo, None),
     "streaming_intake_eav": (streaming_intake_eav, None),
     "video_frame_sample_demo": (video_frame_sample_demo, None),
+    "audio_features_demo": (audio_features_demo, None),
 }
 
 
