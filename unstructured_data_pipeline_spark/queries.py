@@ -1537,6 +1537,251 @@ ORDER BY 1, 2
 """
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: per-part minimum-cost supplier via a decorrelated
+    min + self-equality join (the reference's correlated-subquery pattern
+    J1 at fact scale).  Suppliers priced at their part's regional minimum."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+    # fixture has no partsupp: derive a deterministic cost relation
+    # cost(part, supplier) = retailprice * (1 + ((partkey*31 + suppkey) % 7) / 100)
+    cost = (
+        p.crossJoin(s.select("s_suppkey", "s_name", "s_nationkey"))
+        .filter((F.col("p_partkey") + F.col("s_suppkey")) % 10 == 0)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            "s_nationkey",
+            (
+                _cents(
+                    F.col("p_retailprice")
+                    * (1 + ((F.col("p_partkey") * 31 + F.col("s_suppkey")) % 7) / 100.0)
+                )
+                / 100.0
+            ).alias("cost"),
+        )
+    )
+    mins = cost.groupBy("p_partkey").agg(F.min("cost").alias("min_cost"))
+    out = (
+        cost.join(mins, "p_partkey")
+        .filter(F.col("cost") == F.col("min_cost"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey", "p_name", "s_name", F.col("n_name").alias("nation"), "cost"
+        )
+    )
+    return out.orderBy("p_partkey", "s_name").limit(100)
+
+
+Q2_SQL = f"""
+WITH cost AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_nationkey,
+         {_c('p_retailprice * (1 + ((p_partkey * 31 + s_suppkey) % 7) / 100.0)')} / 100.0 AS cost
+  FROM part CROSS JOIN supplier
+  WHERE p_size < 15 AND (p_partkey + s_suppkey) % 10 = 0
+),
+mins AS (SELECT p_partkey, MIN(cost) AS min_cost FROM cost GROUP BY 1)
+SELECT c.p_partkey, c.p_name, c.s_name, n_name AS nation, c.cost
+FROM cost c JOIN mins m ON c.p_partkey = m.p_partkey AND c.cost = m.min_cost
+JOIN nation ON c.s_nationkey = n_nationkey
+ORDER BY c.p_partkey, c.s_name LIMIT 100
+"""
+
+
+def q4_priority_with_late_items(spark, sf_dir):
+    """TPC-H Q4 shape: order counts per priority where EXISTS a lineitem
+    shipped after the order date (left-semi join, the reference's P5)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q7_nation_pair_volume(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between customer-nation pairs by
+    ship year (multi-dim join + conditional pair filter)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), c["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(n2), s["s_nationkey"] == F.col("sn_key"))
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+    )
+    return (
+        j.groupBy(
+            "cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            (
+                F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                / 100.0
+            ).alias("volume")
+        )
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       SUM({_c('l_extendedprice * (1 - l_discount)')}) / 100.0 AS volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q9_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape: profit rollup by supplier nation x order year over a
+    4-way join with a computed measure."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("a"))
+    n = _t(spark, sf_dir, "nation")
+    profit = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+    )
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(profit) / 100.0).alias("profit"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       SUM({_c('l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1')}) / 100.0 AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%a%'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def full_outer_nation_balance(spark, sf_dir):
+    """Full-outer join breadth: customer vs supplier account balances per
+    nation — nations missing from either side survive with nulls->0."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy("c_nationkey")
+        .agg(F.sum(_cents(F.col("c_acctbal"))).alias("_cc"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy("s_nationkey")
+        .agg(F.sum(_cents(F.col("s_acctbal"))).alias("_sc"))
+    )
+    j = c.join(s, c["c_nationkey"] == s["s_nationkey"], "full_outer")
+    return j.select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        (F.coalesce(F.col("_cc"), F.lit(0)) / 100.0).alias("cust_balance"),
+        (F.coalesce(F.col("_sc"), F.lit(0)) / 100.0).alias("supp_balance"),
+    )
+
+
+FULL_OUTER_SQL = f"""
+WITH c AS (SELECT c_nationkey AS k, SUM({_c('c_acctbal')}) AS cc
+           FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+s AS (SELECT s_nationkey AS k, SUM({_c('s_acctbal')}) AS sc
+      FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+SELECT COALESCE(c.k, s.k) AS nationkey,
+       COALESCE(cc, 0) / 100.0 AS cust_balance,
+       COALESCE(sc, 0) / 100.0 AS supp_balance
+FROM c FULL OUTER JOIN s ON c.k = s.k ORDER BY 1
+"""
+
+
+def doc_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing (Schleimer et al.): per sliding window of w consecutive
+    k-gram hashes keep the minimum; the distinct kept hashes are the doc's
+    fingerprint set.  Guarantees shared substrings >= w+k-1 chars always
+    collide — the plagiarism/near-dup fingerprint standard."""
+    d = _t(spark, sf_dir, "documents")
+    grams = TX.rolling_kgram_hashes("text", k=8)
+    w = 4
+    gcol = F.col("_grams")
+    m = F.size(gcol) - (w - 1)
+    idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = F.transform(idx, lambda i: F.array_min(F.slice(gcol, i, w)))
+    return (
+        d.select("doc_id", grams.alias("_grams"))
+        .select(
+            "doc_id",
+            F.size(F.array_distinct(wins)).alias("n_fingerprints"),
+            F.array_min(wins).alias("fp_min"),
+            F.array_max(wins).alias("fp_max"),
+        )
+    )
+
+
+WINNOW_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(text) - 7, 0)),
+                        i -> md5(substr(text, i, 8))) AS grams
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(grams) - 3, 0)),
+                        i -> list_min(grams[i:i+3])) AS wins
+  FROM g
+)
+SELECT doc_id, len(list_distinct(wins)) AS n_fingerprints,
+       list_min(wins) AS fp_min, list_max(wins) AS fp_max
+FROM w ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only additions: streaming intake, video frame sampling
 
@@ -1651,7 +1896,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_embedding_cosine": (dedup_embedding_cosine, EMB_NEARDUP_SQL),
     "doc_fingerprint_rolling": (doc_fingerprint_rolling, FINGERPRINT_SQL),
     "dml_upsert_customers": (dml_upsert_customers, DML_UPSERT_SQL),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "q4_priority_with_late_items": (q4_priority_with_late_items, Q4_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q7_nation_pair_volume": (q7_nation_pair_volume, Q7_SQL),
+    "q9_profit_by_nation_year": (q9_profit_by_nation_year, Q9_SQL),
+    "full_outer_nation_balance": (full_outer_nation_balance, FULL_OUTER_SQL),
+    "doc_winnowing_fingerprints": (doc_winnowing_fingerprints, WINNOW_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
     "q18_big_orders": (q18_big_orders, Q18_SQL),
