@@ -79,3 +79,19 @@ def test_filter_and_projection_pushdown(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5.0)" in plan
     rs = plan.split("ReadSchema: ")[1]
     assert "l_orderkey" in rs and "l_extendedprice" not in rs
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout: a class_name filter must plan as a
+    PartitionFilter (directory pruning), not a data filter — the layout the
+    EAV/warehouse tables use at 100 TB."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text", "lang"
+    )
+    out = str(tmp_path / "part_docs")
+    docs.write.partitionBy("lang").mode("overwrite").parquet(out)
+    q = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan
+    # and the pruned read returns exactly the en rows
+    assert q.count() == docs.filter(F.col("lang") == "en").count()

@@ -1782,6 +1782,35 @@ FROM w ORDER BY doc_id
 """
 
 
+def percentiles_by_segment(spark, sf_dir):
+    """Exact distribution analytics: median / p90 / p99 of order value per
+    market segment.  EXACT ``percentile`` (sort-based, linear interpolation
+    — same definition as DuckDB's quantile_cont) over integer cents, so the
+    result hash-matches across engines; the approx_percentile sketch is the
+    drop-in at 100 TB when exactness can be traded for one pass."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment", _cents(F.col("o_totalprice")).alias("cents")
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.expr("percentile(cents, 0.5)") / 100.0).alias("p50"),
+        (F.expr("percentile(cents, 0.9)") / 100.0).alias("p90"),
+        (F.expr("percentile(cents, 0.99)") / 100.0).alias("p99"),
+    )
+
+
+PERCENTILES_SQL = f"""
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       quantile_cont({_c('o_totalprice')}, 0.5) / 100.0 AS p50,
+       quantile_cont({_c('o_totalprice')}, 0.9) / 100.0 AS p90,
+       quantile_cont({_c('o_totalprice')}, 0.99) / 100.0 AS p99
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only additions: streaming intake, video frame sampling
 
@@ -1910,6 +1939,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "variant_props_extract": (variant_props_extract, VARIANT_PROPS_SQL),
     "window_frames_running": (window_frames_running, WINDOW_FRAMES_SQL),
     "rollup_order_stats": (rollup_order_stats, ROLLUP_SQL),
+    "percentiles_by_segment": (percentiles_by_segment, PERCENTILES_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "image_features_demo": (image_features_demo, None),
     "streaming_intake_eav": (streaming_intake_eav, None),
