@@ -1811,6 +1811,94 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def funnel_signup_view_purchase(spark, sf_dir):
+    """Ordered funnel: per user, did a signup happen, then a view AFTER it,
+    then a purchase AFTER that view?  Three conditional-min aggregation
+    passes, each co-partitioned on user_id (the first shuffle establishes
+    the partitioning; the step-N join is a co-located self-join — no pair
+    explosion, the standard scalable funnel shape)."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.expr("ts DIV 1000").alias("us")
+    )
+    a1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("us"))).alias("t1")
+    )
+    a2 = (
+        ev.join(a1, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("t1").alias("t1"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "view") & (F.col("us") > F.col("t1")),
+                    F.col("us"),
+                )
+            ).alias("t2"),
+        )
+    )
+    a3 = (
+        ev.join(a2, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("t1").alias("t1"),
+            F.min("t2").alias("t2"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("us") > F.col("t2")),
+                    F.col("us"),
+                )
+            ).alias("t3"),
+        )
+    )
+    return a3.select(
+        "user_id",
+        F.col("t1").isNotNull().alias("did_signup"),
+        F.col("t2").isNotNull().alias("did_view_after"),
+        F.col("t3").isNotNull().alias("did_purchase_after"),
+    )
+
+
+FUNNEL_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+a1 AS (SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN us END) AS t1
+       FROM e GROUP BY 1),
+a2 AS (SELECT e.user_id, MIN(t1) AS t1,
+              MIN(CASE WHEN event_type = 'view' AND us > t1 THEN us END) AS t2
+       FROM e JOIN a1 USING (user_id) GROUP BY e.user_id),
+a3 AS (SELECT e.user_id, MIN(t1) AS t1, MIN(t2) AS t2,
+              MIN(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END) AS t3
+       FROM e JOIN a2 USING (user_id) GROUP BY e.user_id)
+SELECT user_id, t1 IS NOT NULL AS did_signup,
+       t2 IS NOT NULL AS did_view_after,
+       t3 IS NOT NULL AS did_purchase_after
+FROM a3 ORDER BY user_id
+"""
+
+
+def retention_cohorts(spark, sf_dir):
+    """Retention: users grouped by first-seen day (cohort), counted by how
+    many days after the cohort day they were active.  Two aggregations —
+    first-seen per user, then (cohort_day, day_offset) distinct users."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.expr("ts DIV 86400000000000").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1)
+SELECT cohort_day, day - cohort_day AS day_offset, COUNT(DISTINCT e.user_id) AS n_users
+FROM e JOIN f ON e.user_id = f.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only additions: streaming intake, video frame sampling
 
@@ -1940,6 +2028,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "window_frames_running": (window_frames_running, WINDOW_FRAMES_SQL),
     "rollup_order_stats": (rollup_order_stats, ROLLUP_SQL),
     "percentiles_by_segment": (percentiles_by_segment, PERCENTILES_SQL),
+    "funnel_signup_view_purchase": (funnel_signup_view_purchase, FUNNEL_SQL),
+    "retention_cohorts": (retention_cohorts, RETENTION_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "image_features_demo": (image_features_demo, None),
     "streaming_intake_eav": (streaming_intake_eav, None),
