@@ -46,8 +46,13 @@ HEADLINE = [
     "emb_cosine_topk",
     "ann_ivf_topk",
     "q6_forecast_revenue",
+    "q7_nation_pair_volume",
+    "q9_profit_by_nation_year",
     "q10_returned_items",
     "q18_big_orders",
+    "percentiles_by_segment",
+    "funnel_signup_view_purchase",
+    "retention_cohorts",
 ]
 
 

@@ -1944,6 +1944,22 @@ def streaming_intake_eav(spark, sf_dir):
     return out
 
 
+def sketch_event_stats(spark, sf_dir):
+    """One-pass sketches — the 100 TB substitutes for exact distinct/
+    quantile: HyperLogLog++ distinct users and Greenwald-Khanna approximate
+    percentiles per event type.  Approximate by construction (sketch
+    algorithms differ across engines) -> rows-only check; the EXACT
+    counterparts are oracle-checked in event_type_summary /
+    percentiles_by_segment."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx(_cents(F.col("value")) / 100.0, [0.5, 0.9, 0.99], 10000)
+        .alias("approx_pcts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def audio_features_demo(spark, sf_dir):
     """Multimodal audio plumbing: binary payloads -> mapInPandas fake-PCM
     decode -> rms / zero-crossing features (real decoder slot documented in
@@ -2035,6 +2051,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "streaming_intake_eav": (streaming_intake_eav, None),
     "video_frame_sample_demo": (video_frame_sample_demo, None),
     "audio_features_demo": (audio_features_demo, None),
+    "sketch_event_stats": (sketch_event_stats, None),
 }
 
 
