@@ -100,3 +100,54 @@ def test_stateful_running_totals_survive_restart(spark, tmp_path):
     )
     drain()
     assert latest()[1] == (3, 16.0)  # 2+1 events, 15+1 value — prior state restored
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Streaming exact dedup: dropDuplicates on a keyed stream keeps state
+    of seen keys (with a watermark bounding it) — repeated ids across
+    micro-batches and restarts emit exactly once."""
+    src = tmp_path / "dup_ev"
+    ckpt = str(tmp_path / "dup_ckpt")
+    out_dir = str(tmp_path / "dup_out")
+    _write_events(
+        src,
+        [
+            {"user_id": 1, "value": 1.0, "ts": "2026-01-01 10:00:00", "event_type": "a"},
+            {"user_id": 1, "value": 1.0, "ts": "2026-01-01 10:00:00", "event_type": "a"},
+            {"user_id": 2, "value": 2.0, "ts": "2026-01-01 10:01:00", "event_type": "a"},
+        ],
+    )
+
+    def drain():
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .json(str(src))
+            .withWatermark("ts", "1 hour")
+            .dropDuplicates(["user_id", "ts"])
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(out_dir).count() == 2  # in-batch dup dropped
+
+    # replayed id across a restart is also dropped (state store remembers)
+    _write_events(
+        src,
+        [
+            {"user_id": 1, "value": 1.0, "ts": "2026-01-01 10:00:00", "event_type": "a"},
+            {"user_id": 3, "value": 3.0, "ts": "2026-01-01 10:02:00", "event_type": "a"},
+        ],
+    )
+    drain()
+    got = sorted(r["user_id"] for r in spark.read.parquet(out_dir).collect())
+    assert got == [1, 2, 3]

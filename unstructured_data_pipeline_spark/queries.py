@@ -1782,6 +1782,163 @@ FROM w ORDER BY doc_id
 """
 
 
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of orders-per-customer including
+    zero-order customers (left outer join preserving unmatched, then a
+    histogram groupBy over the counts)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) t
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_suppliers(spark, sf_dir):
+    """TPC-H Q15 shape: suppliers achieving the maximum quarterly revenue —
+    aggregate, ungrouped max, equality join back (the view + MAX pattern)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("_r")
+    )
+    top = rev.agg(F.max("_r").alias("_m"))
+    return (
+        rev.join(F.broadcast(top), rev["_r"] == top["_m"])
+        .join(F.broadcast(s), rev["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "s_suppkey", "s_name", (F.col("_r") / 100.0).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({_c('l_extendedprice * (1 - l_discount)')}) AS r
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, r / 100.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT MAX(r) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from orders below 20%% of the part's average
+    quantity — the correlated-AVG subquery decorrelated into a per-part
+    aggregate joined back (what Catalyst does to the SQL form)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_q = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.avg(_cents(F.col("l_quantity"))).alias("_avgc")
+    )
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(avg_q, li["l_partkey"] == F.col("_pk"))
+        .filter(_cents(F.col("l_quantity")) < 0.2 * F.col("_avgc"))
+    )
+    return j.agg(
+        (F.sum(_cents(F.col("l_extendedprice"))) / 700.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q17_SQL = f"""
+SELECT SUM({_c('l_extendedprice')}) / 700.0 AS avg_yearly, COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#1'
+  AND {_c('l_quantity')} < 0.2 * (
+    SELECT AVG({_c('l_quantity')}) FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: positive-balance customers with no orders, among
+    those above the average positive balance — ungrouped-scalar subquery +
+    anti-join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    pos = c.filter(F.col("c_acctbal") > 0.0)
+    avg_bal = pos.agg(F.avg(_cents(F.col("c_acctbal"))).alias("_a"))
+    rich = pos.join(F.broadcast(avg_bal), _cents(F.col("c_acctbal")) > F.col("_a"))
+    no_orders = rich.join(
+        o, rich["c_custkey"] == o["o_custkey"], "left_anti"
+    )
+    return (
+        no_orders.groupBy((F.col("c_custkey") % 10).alias("cust_group"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            (F.sum(_cents(F.col("c_acctbal"))) / 100.0).alias("total_bal"),
+        )
+    )
+
+
+Q22_SQL = f"""
+SELECT c_custkey % 10 AS cust_group, COUNT(*) AS n_cust,
+       SUM({_c('c_acctbal')}) / 100.0 AS total_bal
+FROM customer
+WHERE c_acctbal > 0.0
+  AND {_c('c_acctbal')} > (SELECT AVG({_c('c_acctbal')}) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def profile_customer_columns(spark, sf_dir):
+    """Data-profiling operator (ANALYZE-style): one pass computing per-column
+    null count, distinct count, and min/max — the pipeline's schema-health
+    check, all map-side-combinable aggregates."""
+    c = _t(spark, sf_dir, "customer")
+    out = c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("c_name").isNull().cast("long")).alias("name_nulls"),
+        F.countDistinct("c_nationkey").alias("nation_distinct"),
+        F.countDistinct("c_mktsegment").alias("segment_distinct"),
+        F.min(_cents(F.col("c_acctbal"))).alias("min_bal_cents"),
+        F.max(_cents(F.col("c_acctbal"))).alias("max_bal_cents"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+    return out
+
+
+PROFILE_SQL = f"""
+SELECT COUNT(*) AS n_rows,
+       SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS name_nulls,
+       COUNT(DISTINCT c_nationkey) AS nation_distinct,
+       COUNT(DISTINCT c_mktsegment) AS segment_distinct,
+       MIN({_c('c_acctbal')}) AS min_bal_cents,
+       MAX({_c('c_acctbal')}) AS max_bal_cents,
+       MIN(c_custkey) AS min_key,
+       MAX(c_custkey) AS max_key
+FROM customer
+"""
+
+
 def percentiles_by_segment(spark, sf_dir):
     """Exact distribution analytics: median / p90 / p99 of order value per
     market segment.  EXACT ``percentile`` (sort-based, linear interpolation
@@ -2046,6 +2203,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "percentiles_by_segment": (percentiles_by_segment, PERCENTILES_SQL),
     "funnel_signup_view_purchase": (funnel_signup_view_purchase, FUNNEL_SQL),
     "retention_cohorts": (retention_cohorts, RETENTION_SQL),
+    "q13_order_count_distribution": (q13_order_count_distribution, Q13_SQL),
+    "q15_top_suppliers": (q15_top_suppliers, Q15_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
+    "q22_global_sales_opportunity": (q22_global_sales_opportunity, Q22_SQL),
+    "profile_customer_columns": (profile_customer_columns, PROFILE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "image_features_demo": (image_features_demo, None),
     "streaming_intake_eav": (streaming_intake_eav, None),
