@@ -88,3 +88,35 @@ def test_classify_failure_enveloped(spark):
     for r in rows:
         assert r["class_name"] == ""
         assert "classifier down" in json.loads(r["extraction_result"])["error"]
+
+
+def test_binary_source_to_pipeline_end_to_end(spark, tmp_path):
+    """Entry point 1 from raw blobs: binaryFile scan -> OCR UDF (text
+    recovery) -> classify -> extract -> EAV, matching the reference's
+    upload -> stage -> TO_FILE flow (SURVEY §2.1 S3/S5)."""
+    from unstructured_data_pipeline_spark.ai.udfs import make_udfs
+    from unstructured_data_pipeline_spark.sources.binary_docs import (
+        directory_listing,
+        read_binary_documents,
+    )
+
+    land = tmp_path / "stage"
+    land.mkdir()
+    (land / "a.pdf").write_bytes(b"customer invoice total 42")
+    (land / "b.png").write_bytes(b"stream receipt for coffee")
+    (land / "ignored.txt").write_bytes(b"not a supported format")
+
+    # the format glob prunes unsupported files at the SOURCE
+    listing = directory_listing(spark, str(land))
+    assert sorted(r["relative_path"] for r in listing.collect()) == ["a.pdf", "b.png"]
+
+    blobs = read_binary_documents(spark, str(land))
+    udfs = make_udfs()
+    docs = blobs.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_ref"),
+        F.col("path").alias("file_url"),
+        F.get_json_object(udfs["ocr"](F.col("content")), "$.content").alias("text"),
+    )
+    out = run_document_pipeline(docs, with_ocr=False)
+    got = {r["file_ref"]: r["class_name"] for r in out.processed.collect()}
+    assert got == {"a.pdf": "invoice", "b.png": "receipt"}
