@@ -2056,6 +2056,165 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def corpus_top_terms(spark, sf_dir):
+    """Corpus term statistics: top-20 terms by document frequency (then
+    total frequency, then term) — explode+aggregate, the inverted-index
+    building block."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(TX.tokens_ws(F.lower(F.col("text")))).alias("term")
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+        )
+        .orderBy(F.desc("df"), F.desc("tf"), "term")
+        .limit(20)
+    )
+
+
+TOP_TERMS_SQL = """
+SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents) t
+GROUP BY term ORDER BY df DESC, tf DESC, term LIMIT 20
+"""
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+
+
+def text_clean_pii(spark, sf_dir):
+    """Training-data cleaning: scrub emails and URLs with the same regexes
+    in both engines.  The fixture corpus has no PII, so every doc_id % 7 ==
+    0 gets a deterministic email + URL appended first; the query counts and
+    redacts them."""
+    d = _t(spark, sf_dir, "documents")
+    pii = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via https://ex.com/u/"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    dirty = d.select("doc_id", F.concat(F.col("text"), pii).alias("text"))
+    cleaned = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+    )
+    return dirty.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_URL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_urls"),
+        F.length(cleaned).cast("long").alias("clean_len"),
+        F.md5(cleaned).alias("clean_hash"),
+    )
+
+
+PII_SQL = rf"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0
+                      THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com via https://ex.com/u/' || CAST(doc_id AS VARCHAR)
+                      ELSE '' END AS text
+  FROM documents
+),
+c AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_URL_RE}', '<URL>', 'g') AS cleaned
+  FROM dirty
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{_URL_RE}')) AS n_urls,
+       CAST(length(cleaned) AS BIGINT) AS clean_len,
+       md5(cleaned) AS clean_hash
+FROM c ORDER BY doc_id
+"""
+
+
+def doc_chunking_cdc(spark, sf_dir):
+    """Content-defined chunking (RAG/dedup chunker): a chunk boundary falls
+    wherever the rolling 8-gram hash starts with hex '0' (P=1/16 -> ~16-gram
+    expected chunks).  Content-defined means insertions only reshuffle
+    neighboring chunks — unlike fixed-width chunking where everything after
+    the edit shifts."""
+    d = _t(spark, sf_dir, "documents")
+    grams = TX.rolling_kgram_hashes("text", k=8)
+    bounds = F.filter(grams, lambda g: F.substring(g, 1, 1) == "0")
+    return d.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_grams"),
+        (F.size(bounds) + 1).cast("long").alias("n_chunks"),
+        # try_element_at: docs with no boundary have an empty array, and the
+        # driver's vanilla session runs ANSI mode where element_at throws
+        F.try_element_at(bounds, F.lit(1)).alias("first_boundary_hash"),
+    )
+
+
+CDC_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(length(text) - 7, 0)),
+                        i -> md5(substr(text, i, 8))) AS grams
+  FROM documents
+),
+b AS (SELECT doc_id, grams, list_filter(grams, x -> substr(x, 1, 1) = '0') AS bounds FROM g)
+SELECT doc_id, len(grams) AS n_grams,
+       len(bounds) + 1 AS n_chunks,
+       bounds[1] AS first_boundary_hash
+FROM b ORDER BY doc_id
+"""
+
+
+def hybrid_search_topk(spark, sf_dir):
+    """Hybrid retrieval: metadata/text-quality filters narrow the corpus
+    (lang='en', >=150 chars — pushed to the documents scan), then exact
+    cosine top-3 over the surviving vectors.  The compose-operators shape
+    every RAG pipeline needs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 150)
+    )
+    corpus = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    q = emb.filter(F.col("vec_id") < 4)
+    out = SIM.cosine_topk(corpus, q, k=3)
+    return out.select(
+        "q_id", "neighbor_id", F.col("rank").alias("rnk"), F.round("cos", 6).alias("cos_r")
+    ).orderBy("q_id", "rnk")
+
+
+HYBRID_SQL = f"""
+WITH corpus AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding AS cv
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE d.lang = 'en' AND d.n_chars >= 150
+),
+q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 4),
+scored AS (
+  SELECT q_id, neighbor_id,
+         {_DOT.format(a='cv', b='qv')}
+         / (sqrt({_DOT.format(a='cv', b='cv')}) * sqrt({_DOT.format(a='qv', b='qv')})) AS cos
+  FROM corpus, q WHERE neighbor_id <> q_id
+)
+SELECT q_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, round(cos, 6) AS cos_r
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored) t
+WHERE rnk <= 3 ORDER BY q_id, rnk
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only additions: streaming intake, video frame sampling
 
@@ -2208,6 +2367,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
     "q22_global_sales_opportunity": (q22_global_sales_opportunity, Q22_SQL),
     "profile_customer_columns": (profile_customer_columns, PROFILE_SQL),
+    "corpus_top_terms": (corpus_top_terms, TOP_TERMS_SQL),
+    "text_clean_pii": (text_clean_pii, PII_SQL),
+    "doc_chunking_cdc": (doc_chunking_cdc, CDC_SQL),
+    "hybrid_search_topk": (hybrid_search_topk, HYBRID_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "image_features_demo": (image_features_demo, None),
     "streaming_intake_eav": (streaming_intake_eav, None),

@@ -37,6 +37,10 @@ def get_spark(
         builder = builder.master(master)
 
     defaults = {
+        # pin ANSI on: the driver's vanilla session runs Spark 4 ANSI-mode
+        # defaults, so our sessions must match (element_at/cast/div-by-zero
+        # all change behavior between modes)
+        "spark.sql.ansi.enabled": "true",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
