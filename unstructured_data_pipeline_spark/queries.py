@@ -2215,6 +2215,91 @@ WHERE rnk <= 3 ORDER BY q_id, rnk
 """
 
 
+def tfidf_top_term_per_doc(spark, sf_dir):
+    """TF-IDF: the classic relevance weight composed from two aggregations
+    (per-doc term counts x corpus document frequencies).  Emits each doc's
+    highest-weighted term; idf = ln(N / df) on exact integer counts, ties
+    broken by term."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()  # driver-side scalar: one count, broadcast into the plan
+    toks = d.select(
+        "doc_id", F.explode(TX.tokens_ws(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("w"), "term")
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), F.round("w", 6).alias("tfidf_r"))
+    )
+
+
+TFIDF_SQL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term AS top_term, round(w, 6) AS tfidf_r
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS r
+      FROM scored) t
+WHERE r = 1 ORDER BY doc_id
+"""
+
+
+def embedding_label_centroids(spark, sf_dir):
+    """Per-label centroid vectors (the k-means/IVF 'train' step as one
+    aggregation): element-wise mean via posexplode + groupBy(label, pos) —
+    every partial sum map-side-combinable, no vector ever on the driver.
+    Emits per-label norm + first components, integer-exactness preserved by
+    summing doubles in pos order."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).toDF("label", "pos", "x")
+    cent = comp.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    return (
+        cent.select("label", "pos", (F.col("s") / F.col("n")).alias("m"))
+        .filter(F.col("pos") < 4)
+        .groupBy("label")
+        .pivot("pos", [0, 1, 2, 3])
+        .agg(F.round(F.first("m"), 6))
+        .select(
+            "label",
+            F.col("0").alias("c0"),
+            F.col("1").alias("c1"),
+            F.col("2").alias("c2"),
+            F.col("3").alias("c3"),
+        )
+    )
+
+
+CENTROIDS_SQL = """
+WITH comp AS (
+  SELECT label, i - 1 AS pos, embedding[i]::DOUBLE AS x
+  FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+),
+cent AS (SELECT label, pos, SUM(x) / COUNT(*) AS m FROM comp GROUP BY 1, 2)
+SELECT label,
+  round(MAX(CASE WHEN pos = 0 THEN m END), 6) AS c0,
+  round(MAX(CASE WHEN pos = 1 THEN m END), 6) AS c1,
+  round(MAX(CASE WHEN pos = 2 THEN m END), 6) AS c2,
+  round(MAX(CASE WHEN pos = 3 THEN m END), 6) AS c3
+FROM cent WHERE pos < 4 GROUP BY label ORDER BY label
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only additions: streaming intake, video frame sampling
 
@@ -2371,6 +2456,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_clean_pii": (text_clean_pii, PII_SQL),
     "doc_chunking_cdc": (doc_chunking_cdc, CDC_SQL),
     "hybrid_search_topk": (hybrid_search_topk, HYBRID_SQL),
+    "tfidf_top_term_per_doc": (tfidf_top_term_per_doc, TFIDF_SQL),
+    "embedding_label_centroids": (embedding_label_centroids, CENTROIDS_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "image_features_demo": (image_features_demo, None),
     "streaming_intake_eav": (streaming_intake_eav, None),
