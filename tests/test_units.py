@@ -291,3 +291,29 @@ def test_ngram_jaccard_prefix_equals_exhaustive(spark, sf_dir):
     fs = sorted((r["a"], r["b"], round(r["jaccard"], 9)) for r in full.collect())
     ps = sorted((r["a"], r["b"], round(r["jaccard"], 9)) for r in pref.collect())
     assert fs == ps and len(fs) > 0
+
+
+# ---------------------------------------------------------------------------
+# small-files compaction
+
+
+def test_parquet_table_compact(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from unstructured_data_pipeline_spark.operators.dml import ParquetTable
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    t = ParquetTable(spark, str(tmp_path), "frag", schema).ensure()
+    # 20 tiny appends -> many small files
+    for i in range(20):
+        t.append(spark.createDataFrame([(i, f"v{i}")], schema))
+    import glob
+
+    n_before = len(glob.glob(str(tmp_path / "frag" / "*.parquet")))
+    assert n_before >= 20
+    n_after = t.compact(target_files=2)
+    assert n_after <= 2
+    # contents preserved
+    assert sorted(r["k"] for r in t.read().collect()) == list(range(20))

@@ -114,3 +114,26 @@ class ParquetTable:
 
     def delete_where(self, predicate: Column) -> None:
         self._replace(delete_where(self.read(), predicate))
+
+    def compact(self, target_files: int | None = None) -> int:
+        """Rewrite the table into ``target_files`` files (default: sized by
+        ``spark.sql.files.maxPartitionBytes``).  Streaming/append-heavy
+        pipelines accumulate small files — the classic small-files problem
+        that degrades every later scan (one task + one footer read per
+        file); periodic compaction is the steady-state fix.  Returns the
+        file count after compaction."""
+        import glob
+
+        df = self.read()
+        if target_files is None:
+            raw = self.spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728"
+            )
+            max_bytes = int(raw) if raw.isdigit() else 128 * 1024 * 1024
+            size = sum(
+                os.path.getsize(p)
+                for p in glob.glob(os.path.join(self.path, "*.parquet"))
+            )
+            target_files = max(1, size // max_bytes + 1)
+        self._replace(df.coalesce(int(target_files)))
+        return len(glob.glob(os.path.join(self.path, "*.parquet")))
