@@ -95,3 +95,31 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(lang" in plan, plan
     # and the pruned read returns exactly the en rows
     assert q.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_salted_join_equivalence(spark, sf_dir):
+    """salted_join must return exactly the plain join's rows — salting is a
+    physical spread, not a semantic change — and its shuffle keys must
+    include the salt (hot keys spread over n partitions)."""
+    from unstructured_data_pipeline_spark.operators.skew import salted_join
+
+    # a skewed big side: every lineitem mapped onto 3 hot nation keys
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        (F.col("l_orderkey") % 3).cast("int").alias("n_nationkey"),
+        "l_orderkey",
+        "l_quantity",
+    )
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    plain = li.join(nation, "n_nationkey")
+    salted = salted_join(li, nation, on="n_nationkey", n_salts=4)
+    assert salted.count() == plain.count()
+    a = plain.groupBy("n_nationkey").count().collect()
+    b = salted.groupBy("n_nationkey").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    # left-join semantics: unmatched big rows survive exactly once
+    li_with_orphan = li.unionByName(
+        spark.createDataFrame([(99, 0, 0.0)], li.schema)
+    )
+    left = salted_join(li_with_orphan, nation, on="n_nationkey", how="left")
+    assert left.filter(F.col("n_nationkey") == 99).count() == 1

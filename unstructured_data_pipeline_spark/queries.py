@@ -2056,6 +2056,34 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def text_token_entropy(spark, sf_dir):
+    """Shannon entropy of each doc's token distribution — the repetition/
+    gibberish quality signal (low entropy = boilerplate, high = diverse).
+    Exact integer counts until the final -sum(p*ln p)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokens_ws("text")).alias("tok"))
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    return (
+        counts.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy_r"))
+    )
+
+
+ENTROPY_SQL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+n AS (SELECT doc_id, SUM(c) AS n FROM c GROUP BY 1)
+SELECT doc_id,
+       round(-SUM((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                  * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS entropy_r
+FROM c JOIN n USING (doc_id)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def corpus_top_terms(spark, sf_dir):
     """Corpus term statistics: top-20 terms by document frequency (then
     total frequency, then term) — explode+aggregate, the inverted-index
@@ -2453,6 +2481,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q22_global_sales_opportunity": (q22_global_sales_opportunity, Q22_SQL),
     "profile_customer_columns": (profile_customer_columns, PROFILE_SQL),
     "corpus_top_terms": (corpus_top_terms, TOP_TERMS_SQL),
+    "text_token_entropy": (text_token_entropy, ENTROPY_SQL),
     "text_clean_pii": (text_clean_pii, PII_SQL),
     "doc_chunking_cdc": (doc_chunking_cdc, CDC_SQL),
     "hybrid_search_topk": (hybrid_search_topk, HYBRID_SQL),
