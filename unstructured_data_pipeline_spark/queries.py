@@ -1782,6 +1782,41 @@ FROM w ORDER BY doc_id
 """
 
 
+def setops_customer_years(spark, sf_dir):
+    """Set-operation breadth (O3 extension): customers ordering in BOTH
+    1995 and 1996 (INTERSECT), only in 1996 (EXCEPT), and either (UNION) —
+    counted per bucket."""
+    o = _t(spark, sf_dir, "orders")
+
+    def year_custs(y):
+        return o.filter(F.year("o_orderdate") == y).select("o_custkey").distinct()
+
+    c95, c96 = year_custs(1995), year_custs(1996)
+    both = c95.intersect(c96).select(F.lit("both").alias("bucket"), "o_custkey")
+    only96 = c96.exceptAll(c95).select(F.lit("only_1996").alias("bucket"), "o_custkey")
+    either = c95.union(c96).distinct().select(F.lit("either").alias("bucket"), "o_custkey")
+    return (
+        both.unionByName(only96)
+        .unionByName(either)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+SETOPS_SQL = """
+WITH c95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+c96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+u AS (
+  SELECT 'both' AS bucket, o_custkey FROM (SELECT * FROM c95 INTERSECT SELECT * FROM c96)
+  UNION ALL
+  SELECT 'only_1996', o_custkey FROM (SELECT * FROM c96 EXCEPT SELECT * FROM c95)
+  UNION ALL
+  SELECT 'either', o_custkey FROM (SELECT * FROM c95 UNION SELECT * FROM c96)
+)
+SELECT bucket, COUNT(*) AS n_customers FROM u GROUP BY 1 ORDER BY 1
+"""
+
+
 def q13_order_count_distribution(spark, sf_dir):
     """TPC-H Q13 shape: distribution of orders-per-customer including
     zero-order customers (left outer join preserving unmatched, then a
@@ -2475,6 +2510,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "percentiles_by_segment": (percentiles_by_segment, PERCENTILES_SQL),
     "funnel_signup_view_purchase": (funnel_signup_view_purchase, FUNNEL_SQL),
     "retention_cohorts": (retention_cohorts, RETENTION_SQL),
+    "setops_customer_years": (setops_customer_years, SETOPS_SQL),
     "q13_order_count_distribution": (q13_order_count_distribution, Q13_SQL),
     "q15_top_suppliers": (q15_top_suppliers, Q15_SQL),
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
