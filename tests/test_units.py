@@ -317,3 +317,23 @@ def test_parquet_table_compact(spark, tmp_path):
     assert n_after <= 2
     # contents preserved
     assert sorted(r["k"] for r in t.read().collect()) == list(range(20))
+
+
+# ---------------------------------------------------------------------------
+# LSH ANN recall guard (deterministic hyperplanes -> stable recall)
+
+
+def test_lsh_ann_recall_floor(spark, sf_dir):
+    from unstructured_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, q, k=5)
+    approx = lsh_bucketed_topk(emb, q, k=5, dim=64, n_planes=8, bands=4)
+    e = {(r["q_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"LSH recall degraded: {recall}"

@@ -997,6 +997,54 @@ FROM s GROUP BY user_id ORDER BY user_id
 """
 
 
+def events_hourly_moving_avg(spark, sf_dir):
+    """Time-series resample with GAP FILLING + trailing 3-hour moving
+    average: the dense hour axis is generated per event type
+    (sequence+explode — no driver loop), missing buckets fill as 0, then a
+    ROWS 2 PRECEDING window frame smooths."""
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            F.col("event_type"), F.expr("ts DIV 3600000000000").alias("hb")
+        )
+        .agg(F.sum(_cents(F.col("value"))).alias("_c"))
+    )
+    span = hourly.groupBy("event_type").agg(
+        F.min("hb").alias("_lo"), F.max("hb").alias("_hi")
+    )
+    axis = span.select(
+        "event_type", F.explode(F.sequence("_lo", "_hi")).alias("hb")
+    )
+    dense = axis.join(hourly, ["event_type", "hb"], "left").select(
+        "event_type", "hb", F.coalesce("_c", F.lit(0)).alias("_c")
+    )
+    w = Window.partitionBy("event_type").orderBy("hb").rowsBetween(-2, 0)
+    return dense.select(
+        "event_type",
+        "hb",
+        (F.col("_c") / 100.0).alias("sum_value"),
+        F.round(F.avg(F.col("_c") / 100.0).over(w), 6).alias("mavg3_r"),
+    )
+
+
+HOURLY_MAVG_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hb, SUM({_c('value')}) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, MIN(hb) AS lo, MAX(hb) AS hi FROM hourly GROUP BY 1),
+axis AS (SELECT event_type, unnest(generate_series(lo, hi)) AS hb FROM span),
+dense AS (
+  SELECT a.event_type, a.hb, COALESCE(h.c, 0) AS c
+  FROM axis a LEFT JOIN hourly h ON a.event_type = h.event_type AND a.hb = h.hb
+)
+SELECT event_type, hb, c / 100.0 AS sum_value,
+       round(AVG(c / 100.0) OVER (PARTITION BY event_type ORDER BY hb
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3_r
+FROM dense ORDER BY event_type, hb
+"""
+
+
 def asof_purchase_last_view(spark, sf_dir):
     """As-of join: each purchase matched to the user's most recent view at
     or before it (union+window implementation — no pair explosion)."""
@@ -2487,6 +2535,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_lang_id": (text_lang_id, TEXT_LANG_SQL),
     "emb_cosine_topk": (emb_cosine_topk, EMB_TOPK_SQL),
     "events_hourly_counts": (events_hourly_counts, HOURLY_SQL),
+    "events_hourly_moving_avg": (events_hourly_moving_avg, HOURLY_MAVG_SQL),
     "sessionize_summary": (sessionize_summary, SESSIONIZE_SQL),
     "asof_purchase_last_view": (asof_purchase_last_view, ASOF_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
