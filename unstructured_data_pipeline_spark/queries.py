@@ -1229,6 +1229,47 @@ WHERE {_DOT.format(a='x.u', b='y.u')} >= 0.9
 """
 
 
+def fuzzy_name_dedup(spark, sf_dir):
+    """Fuzzy entity dedup: blocked edit-distance join.  Every c_custkey %
+    97 == 0 customer re-appears with a typo'd name; blocking on the name's
+    last-4 chars (untouched by the typo) keeps the candidate join tiny, and
+    exact Levenshtein <= 2 verifies — the record-linkage standard
+    (block -> compare), never an all-pairs scan."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    typo = c.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 20000000).alias("c_custkey"),
+        F.regexp_replace("c_name", "Customer", "Custoner").alias("c_name"),
+    )
+    corpus = c.unionByName(typo).withColumn("blk", F.substring("c_name", -4, 4))
+    a = corpus.select(
+        F.col("c_custkey").alias("a"), F.col("c_name").alias("name_a"), "blk"
+    )
+    b = corpus.select(
+        F.col("c_custkey").alias("b"), F.col("c_name").alias("name_b"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("lev", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("lev") <= 2)
+        .select("a", "b", "lev")
+    )
+
+
+FUZZY_NAME_SQL = """
+WITH corpus AS (
+  SELECT c_custkey, c_name FROM customer
+  UNION ALL
+  SELECT c_custkey + 20000000, replace(c_name, 'Customer', 'Custoner')
+  FROM customer WHERE c_custkey % 97 = 0
+),
+blocked AS (SELECT c_custkey, c_name, right(c_name, 4) AS blk FROM corpus)
+SELECT x.c_custkey AS a, y.c_custkey AS b, levenshtein(x.c_name, y.c_name) AS lev
+FROM blocked x JOIN blocked y ON x.blk = y.blk AND x.c_custkey < y.c_custkey
+WHERE levenshtein(x.c_name, y.c_name) <= 2
+"""
+
+
 def doc_fingerprint_rolling(spark, sf_dir):
     """Rolling-hash document fingerprinting (winnowing-lite): all char
     8-gram hashes per doc; emit gram count, distinct-gram count, and the
@@ -2562,6 +2603,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, EMB_NEARDUP_SQL),
     "doc_fingerprint_rolling": (doc_fingerprint_rolling, FINGERPRINT_SQL),
+    "fuzzy_name_dedup": (fuzzy_name_dedup, FUZZY_NAME_SQL),
     "dml_upsert_customers": (dml_upsert_customers, DML_UPSERT_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q4_priority_with_late_items": (q4_priority_with_late_items, Q4_SQL),
