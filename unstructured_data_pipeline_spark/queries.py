@@ -1618,6 +1618,72 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+def nation_revenue_share(spark, sf_dir):
+    """Percent-of-total analytics: each nation's share of its region's
+    revenue via a window SUM over the aggregate (ratio-to-report)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("_c"))
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        (F.col("_c") / 100.0).alias("revenue"),
+        F.round(100.0 * F.col("_c") / F.sum("_c").over(w), 6).alias("share_pct_r"),
+    )
+
+
+NATION_SHARE_SQL = f"""
+WITH rev AS (
+  SELECT r_name AS region, n_name AS nation,
+         SUM({_c('l_extendedprice * (1 - l_discount)')}) AS c
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation, c / 100.0 AS revenue,
+       round(100.0 * c / SUM(c) OVER (PARTITION BY region), 6) AS share_pct_r
+FROM rev ORDER BY region, nation
+"""
+
+
+def docs_lang_source_crosstab(spark, sf_dir):
+    """Crosstab pivot with a COUNT aggregate (C5 variant): documents by
+    language x source, explicit pivot values (no discovery pass — the
+    two-job pivot-value scan is the thing to avoid at 100 TB)."""
+    srcs = [f"src{i}" for i in range(5)]
+    d = _t(spark, sf_dir, "documents").filter(F.col("source").isin(srcs))
+    return (
+        d.groupBy("lang").pivot("source", srcs).agg(F.count(F.lit(1))).na.fill(0)
+    )
+
+
+CROSSTAB_SQL = """
+SELECT lang,
+  SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS src0,
+  SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS src1,
+  SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS src2,
+  SUM(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS src3,
+  SUM(CASE WHEN source = 'src4' THEN 1 ELSE 0 END) AS src4
+FROM documents
+WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+GROUP BY lang ORDER BY lang
+"""
+
+
 def rollup_order_stats(spark, sf_dir):
     """ROLLUP(status, priority) hierarchy totals — subtotal rows labelled
     'ALL' (A-section extension; Spark hash aggregate covers grouping sets)."""
@@ -2620,6 +2686,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "variant_native_extract": (variant_native_extract, VARIANT_PROPS_SQL),
     "window_frames_running": (window_frames_running, WINDOW_FRAMES_SQL),
     "rollup_order_stats": (rollup_order_stats, ROLLUP_SQL),
+    "nation_revenue_share": (nation_revenue_share, NATION_SHARE_SQL),
+    "docs_lang_source_crosstab": (docs_lang_source_crosstab, CROSSTAB_SQL),
     "percentiles_by_segment": (percentiles_by_segment, PERCENTILES_SQL),
     "funnel_signup_view_purchase": (funnel_signup_view_purchase, FUNNEL_SQL),
     "retention_cohorts": (retention_cohorts, RETENTION_SQL),
