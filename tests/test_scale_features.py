@@ -123,3 +123,14 @@ def test_salted_join_equivalence(spark, sf_dir):
     )
     left = salted_join(li_with_orphan, nation, on="n_nationkey", how="left")
     assert left.filter(F.col("n_nationkey") == 99).count() == 1
+
+
+def test_topk_uses_take_ordered(no_aqe_no_broadcast, sf_dir):
+    """orderBy().limit(k) must plan as TakeOrderedAndProject — per-partition
+    heaps + driver merge of k rows — never a full global sort."""
+    spark = no_aqe_no_broadcast
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    q = li.orderBy(F.desc("l_extendedprice")).limit(10)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
