@@ -151,3 +151,31 @@ def test_streaming_exact_dedup(spark, tmp_path):
     drain()
     got = sorted(r["user_id"] for r in spark.read.parquet(out_dir).collect())
     assert got == [1, 2, 3]
+
+
+def test_binary_intake_stream(spark, tmp_path):
+    """Intake in binaryFile mode: raw blobs stream through OCR-text recovery
+    into the pipeline (the reference's PDF/JPG upload path, streaming)."""
+    from unstructured_data_pipeline_spark.catalog import bootstrap_warehouse
+    from unstructured_data_pipeline_spark.streaming.intake import start_intake_stream
+
+    landing = tmp_path / "blobs"
+    landing.mkdir()
+    (landing / "x.pdf").write_bytes(b"customer invoice total 9")
+    (landing / "y.pdf").write_bytes(b"stream receipt here")
+
+    tables = bootstrap_warehouse(spark, str(tmp_path / "wh2"))
+    q = start_intake_stream(
+        spark,
+        str(landing),
+        str(tmp_path / "ckpt3"),
+        tables,
+        file_format="binaryFile",
+        trigger_available_now=True,
+    )
+    q.awaitTermination()
+    got = {
+        r["file_ref"]: r["class_name"]
+        for r in tables["documents_processed"].read().collect()
+    }
+    assert got == {"x.pdf": "invoice", "y.pdf": "receipt"}

@@ -2057,6 +2057,37 @@ ORDER BY s_suppkey
 """
 
 
+def q16_part_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct suppliers per part attribute, excluding a
+    supplier denylist via NOT IN (a left-anti join after Catalyst — the
+    null-safe way to express it)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 4, 9, 14, 19))
+    s = _t(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_name").like("%7%")).select("s_suppkey")
+    pairs = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 4, 9, 14, 19)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50
+"""
+
+
 def q17_small_quantity_revenue(spark, sf_dir):
     """TPC-H Q17 shape: revenue from orders below 20%% of the part's average
     quantity — the correlated-AVG subquery decorrelated into a per-part
@@ -2694,6 +2725,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "setops_customer_years": (setops_customer_years, SETOPS_SQL),
     "q13_order_count_distribution": (q13_order_count_distribution, Q13_SQL),
     "q15_top_suppliers": (q15_top_suppliers, Q15_SQL),
+    "q16_part_supplier_counts": (q16_part_supplier_counts, Q16_SQL),
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
     "q22_global_sales_opportunity": (q22_global_sales_opportunity, Q22_SQL),
     "profile_customer_columns": (profile_customer_columns, PROFILE_SQL),

@@ -57,6 +57,11 @@ def start_intake_stream(
     else:
         stream = (
             spark.readStream.format("binaryFile")
+            # streaming sources require an explicit schema; this is the
+            # binaryFile source's fixed one
+            .schema(
+                "path string, modificationTime timestamp, length long, content binary"
+            )
             .load(landing_dir)
             .select(
                 F.element_at(F.split(F.col("path"), "/"), -1).alias("file_ref"),
