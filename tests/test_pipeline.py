@@ -120,3 +120,57 @@ def test_binary_source_to_pipeline_end_to_end(spark, tmp_path):
     out = run_document_pipeline(docs, with_ocr=False)
     got = {r["file_ref"]: r["class_name"] for r in out.processed.collect()}
     assert got == {"a.pdf": "invoice", "b.png": "receipt"}
+
+
+def test_prompts_override_upserts_generated(spark):
+    """run_document_pipeline(prompts=...) must let caller schemas win over
+    auto-generated ones (the reference's CLASS_PROMPTS upsert path)."""
+    custom = spark.createDataFrame(
+        [("invoice", '{"last_word":"What is the last word?"}')],
+        "class_name string, prompts string",
+    )
+    out = run_document_pipeline(_docs(spark), prompts=custom, with_ocr=False)
+    fields = {
+        (r["file_ref"], r["field_name"]) for r in out.extracted_fields.collect()
+    }
+    # invoice docs extract the OVERRIDDEN single field...
+    assert ("d1", "last_word") in fields
+    assert ("d1", "first_word") not in fields
+    # ...while other classes keep the generated 3-field schema
+    assert ("d2", "first_word") in fields and ("d3", "n_words") in fields
+
+
+def test_history_filters_and_sql_views(spark, sf_dir):
+    """HistoryFilters predicate composition + register_fixture_views SQL
+    surface (S4): the same count through both paths."""
+    from unstructured_data_pipeline_spark.operators.history import (
+        HistoryFilters,
+        class_summary,
+    )
+    from unstructured_data_pipeline_spark.sources.tables import (
+        register_fixture_views,
+    )
+
+    eav = spark.createDataFrame(
+        [
+            ("f1", "@s/f1", "invoice", "a", "1"),
+            ("f1", "@s/f1", "invoice", "b", "2"),
+            ("f2", "@s/f2", "receipt", "a", "3"),
+            ("g3", "@s/g3", "invoice", "a", "4"),
+        ],
+        "file_ref string, file_url string, class_name string, field_name string, field_value string",
+    )
+    # class IN-list + file LIKE compose with AND
+    got = class_summary(
+        eav, HistoryFilters(classes=["invoice"], file_contains="f")
+    ).collect()
+    assert [(r["class_name"], r["docs"]) for r in got] == [("invoice", 1)]
+    # empty filters = identity
+    assert class_summary(eav).count() == 2
+
+    register_fixture_views(spark, sf_dir)
+    n_sql = spark.sql("SELECT COUNT(*) AS n FROM customer").collect()[0]["n"]
+    import os
+
+    n_df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).count()
+    assert n_sql == n_df

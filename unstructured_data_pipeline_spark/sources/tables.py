@@ -22,6 +22,10 @@ def load_fixture_tables(
     for name in tables or FIXTURE_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
+            if name == "events":
+                # events.parquet carries nanosecond timestamps, which the
+                # parquet reader rejects unless surfaced as raw BIGINTs
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             out[name] = spark.read.parquet(path)
     return out
 
