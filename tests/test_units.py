@@ -337,3 +337,26 @@ def test_lsh_ann_recall_floor(spark, sf_dir):
     a = {(r["q_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.4, f"LSH recall degraded: {recall}"
+
+
+# ---------------------------------------------------------------------------
+# connected-components dedup clustering
+
+
+def test_dedup_clusters_connected_components(spark):
+    from unstructured_data_pipeline_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_report,
+    )
+
+    # two components: {1,2,3,4} (a chain) and {10, 11}; 99 isolated (no edge)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a long, b long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], "doc_id long")
+    rep = {r["status"]: r["n_docs"] for r in dedup_report(docs, pairs, "doc_id").collect()}
+    # keep = cluster minima {1, 10} + singleton {99}; drop = {2,3,4,11}
+    assert rep == {"keep": 3, "drop": 4}

@@ -314,3 +314,77 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     return jaccard_pairs_arr(sh, cand).filter(F.col("jaccard") >= threshold)
+
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over the near-dup pair graph: every node gets
+    its component's MINIMUM id as cluster id — the "which copy survives"
+    step after any pair-producing dedup (minhash / jaccard / embedding /
+    fuzzy).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label in its neighborhood (including its own); converges in
+    O(graph diameter) rounds — near-dup graphs are unions of small cliques,
+    so 2-3 rounds in practice, ``max_iter`` bounds pathological chains.
+    Each round is one groupBy shuffle on the node id; labels are
+    checkpointed via localCheckpoint to keep the plan from growing
+    exponentially across iterations (classic iterative-algorithm trap).
+
+    Input: (a, b) pair columns.  Output: (id, cluster_id).
+    """
+    edges = (
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .union(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("x").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["y"] == labels["id"])
+            .groupBy("x")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["x"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_report(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """End-to-end dedup accounting: cluster the pair graph, mark survivors
+    (cluster minimum), count keeps/drops.  Docs with no near-dup pair are
+    singleton keepers."""
+    clusters = dedup_clusters(pairs)
+    joined = df.select(F.col(id_col).alias("id")).join(clusters, "id", "left")
+    status = F.when(
+        F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("id")),
+        F.lit("keep"),
+    ).otherwise(F.lit("drop"))
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

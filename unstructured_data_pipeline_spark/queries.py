@@ -2615,6 +2615,25 @@ def streaming_intake_eav(spark, sf_dir):
     return out
 
 
+def dedup_end_to_end_report(spark, sf_dir):
+    """The full dedup decision: minhash-LSH pairs -> connected-components
+    clustering (iterative min-label propagation) -> keep cluster minima +
+    singletons, drop the rest.  Iterative -> no SQL oracle; the component
+    semantics are unit-tested on known graphs."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 2, 1000000), " ").alias("text"),
+    )
+    corpus = d.unionByName(near)
+    pairs = DD.near_dup_pairs(
+        corpus, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.5
+    )
+    from unstructured_data_pipeline_spark.operators.dedup import dedup_report
+
+    return dedup_report(corpus, pairs, "doc_id")
+
+
 def sketch_event_stats(spark, sf_dir):
     """One-pass sketches — the 100 TB substitutes for exact distinct/
     quantile: HyperLogLog++ distinct users and Greenwald-Khanna approximate
@@ -2742,6 +2761,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "video_frame_sample_demo": (video_frame_sample_demo, None),
     "audio_features_demo": (audio_features_demo, None),
     "sketch_event_stats": (sketch_event_stats, None),
+    "dedup_end_to_end_report": (dedup_end_to_end_report, None),
 }
 
 
