@@ -2181,6 +2181,32 @@ FROM customer
 """
 
 
+def orders_value_histogram(spark, sf_dir):
+    """Fixed-width histogram via width_bucket over integer cents — the
+    one-pass distribution sketch that needs no sort."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.width_bucket(
+        _cents(F.col("o_totalprice")), F.lit(0), F.lit(60000000), F.lit(12)
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.min(_cents(F.col("o_totalprice"))) / 100.0).alias("min_total"),
+            (F.max(_cents(F.col("o_totalprice"))) / 100.0).alias("max_total"),
+        )
+    )
+
+
+HISTOGRAM_SQL = f"""
+SELECT width_bucket({_c('o_totalprice')}, 0, 60000000, 12) AS bucket,
+       COUNT(*) AS n_orders,
+       MIN({_c('o_totalprice')}) / 100.0 AS min_total,
+       MAX({_c('o_totalprice')}) / 100.0 AS max_total
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
 def percentiles_by_segment(spark, sf_dir):
     """Exact distribution analytics: median / p90 / p99 of order value per
     market segment.  EXACT ``percentile`` (sort-based, linear interpolation
@@ -2739,6 +2765,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "nation_revenue_share": (nation_revenue_share, NATION_SHARE_SQL),
     "docs_lang_source_crosstab": (docs_lang_source_crosstab, CROSSTAB_SQL),
     "percentiles_by_segment": (percentiles_by_segment, PERCENTILES_SQL),
+    "orders_value_histogram": (orders_value_histogram, HISTOGRAM_SQL),
     "funnel_signup_view_purchase": (funnel_signup_view_purchase, FUNNEL_SQL),
     "retention_cohorts": (retention_cohorts, RETENTION_SQL),
     "setops_customer_years": (setops_customer_years, SETOPS_SQL),
