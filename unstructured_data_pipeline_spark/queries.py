@@ -2198,8 +2198,12 @@ def orders_value_histogram(spark, sf_dir):
     )
 
 
+# DuckDB has no width_bucket; the arithmetic form mirrors its semantics
+# exactly (0 below range, n+1 above, floor(x/width)+1 inside)
 HISTOGRAM_SQL = f"""
-SELECT width_bucket({_c('o_totalprice')}, 0, 60000000, 12) AS bucket,
+SELECT CASE WHEN {_c('o_totalprice')} < 0 THEN 0
+            WHEN {_c('o_totalprice')} >= 60000000 THEN 13
+            ELSE {_c('o_totalprice')} // 5000000 + 1 END AS bucket,
        COUNT(*) AS n_orders,
        MIN({_c('o_totalprice')}) / 100.0 AS min_total,
        MAX({_c('o_totalprice')}) / 100.0 AS max_total
