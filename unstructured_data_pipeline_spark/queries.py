@@ -2708,6 +2708,309 @@ def video_frame_sample_demo(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# remaining TPC-H operator shapes, adapted to the fixture schema (no partsupp
+# table, no commit/receipt dates) — the operator SHAPE is what's exercised:
+# conditional-share aggregation (q8), scalar-subquery HAVING (q11), CASE
+# aggregation over a join (q12), OR-of-ANDs pushdown (q19), semi-join over an
+# aggregate threshold (q20), exists/not-exists self-correlation (q21).
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one supplier nation's share of a region's revenue by
+    order year.  Conditional aggregation over a 5-way join; dims broadcast,
+    the single shuffle is the final tiny groupBy(year)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cust_nat = c.join(
+        F.broadcast(n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])),
+        c["c_nationkey"] == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp_nat = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation"))),
+        s["s_nationkey"] == F.col("_snk"),
+    ).select("s_suppkey", "supp_nation")
+    vol = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cust_nat, o["o_custkey"] == cust_nat["c_custkey"])
+        .join(F.broadcast(supp_nat), li["l_suppkey"] == supp_nat["s_suppkey"])
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volc"), "supp_nation")
+    )
+    return (
+        j.groupBy("o_year")
+        .agg(
+            (F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volc")).otherwise(F.lit(0))) / 100.0).alias("nation_volume"),
+            (F.sum("volc") / 100.0).alias("total_volume"),
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volc")).otherwise(F.lit(0)))
+                / F.sum("volc")
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = f"""
+WITH j AS (
+  SELECT year(o_orderdate) AS o_year,
+         {_c('l_extendedprice * (1 - l_discount)')} AS volc,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey)
+SELECT o_year,
+       SUM(CASE WHEN supp_nation = 'NATION_3' THEN volc ELSE 0 END) / 100.0 AS nation_volume,
+       SUM(volc) / 100.0 AS total_volume,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volc ELSE 0 END) AS DOUBLE)
+         / SUM(volc) AS mkt_share
+FROM j GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (no partsupp fixture: phrased over lineitem revenue):
+    parts whose revenue exceeds a fraction of TOTAL revenue — per-key
+    aggregate filtered against a broadcast ungrouped-scalar aggregate.  The
+    per-part agg is map-side combinable; the scalar is a second, cheap pass
+    (at 100 TB both passes share the one scan via cache or a two-level agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    vol = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_part = li.groupBy("l_partkey").agg(F.sum(vol).alias("_valc"))
+    total = li.agg(F.sum(vol).alias("_tot"))
+    return (
+        per_part.join(F.broadcast(total), F.col("_valc") > F.col("_tot") * 0.001)
+        .select("l_partkey", (F.col("_valc") / 100.0).alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+Q11_SQL = f"""
+SELECT l_partkey, SUM({_c('l_extendedprice * (1 - l_discount)')}) / 100.0 AS part_value
+FROM lineitem GROUP BY l_partkey
+HAVING SUM({_c('l_extendedprice * (1 - l_discount)')}) >
+  (SELECT SUM({_c('l_extendedprice * (1 - l_discount)')}) FROM lineitem) * 0.001
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q12_late_priority_counts(spark, sf_dir):
+    """TPC-H Q12 shape (no shipmode column: grouped by l_linestatus): for
+    items shipped > 60 days after order date, count critical-priority vs
+    other orders — CASE aggregation over a large fact-fact join keyed on
+    l_orderkey (the natural co-partitioning key at scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning both
+    join sides.  The shared conjunct (the join key) stays in the join; the
+    disjunction is a post-join filter Catalyst can partially push to each
+    scan (brand/size reach the part scan, quantity reaches lineitem)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    b = F.col("p_brand")
+    pred = (
+        ((b == "Brand#1") & sz.between(1, 10) & q.between(1, 20))
+        | ((b == "Brand#2") & sz.between(10, 25) & q.between(10, 30))
+        | ((b == "Brand#3") & sz.between(20, 50) & q.between(20, 40))
+    )
+    return j.filter(pred).agg(
+        (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q19_SQL = f"""
+SELECT SUM({_c('l_extendedprice * (1 - l_discount)')}) / 100.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def q20_promo_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (no partsupp: availability proxied by shipped
+    quantity): suppliers whose PROMO-part shipped quantity exceeds 1.5x the
+    average across suppliers — aggregate -> scalar threshold -> semi-join
+    back to the supplier dimension for names."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    qty = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).groupBy(
+        "l_suppkey"
+    ).agg(F.sum(_cents(F.col("l_quantity"))).alias("_qtyc"))
+    thresh = qty.agg((F.avg("_qtyc") * 1.5).alias("_th"))
+    heavy = qty.join(F.broadcast(thresh), F.col("_qtyc") > F.col("_th")).select("l_suppkey")
+    return (
+        s.join(heavy, s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = f"""
+WITH qty AS (
+  SELECT l_suppkey, SUM({_c('l_quantity')}) AS qtyc
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO' GROUP BY l_suppkey)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM qty WHERE qtyc > (SELECT AVG(qtyc) * 1.5 FROM qty))
+ORDER BY s_name
+"""
+
+
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (lateness proxied by l_returnflag = 'R'): suppliers
+    who were the SOLE failing supplier on a finished multi-supplier order.
+    The exists / not-exists pair decorrelates into two aggregates over the
+    same (orderkey -> supplier-set) shuffle: distinct suppliers per order
+    and distinct FAILING suppliers per order."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    items = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = items.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias(
+            "n_fail"
+        ),
+        F.max(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias("fail_supp"),
+    )
+    sole = per_order.filter((F.col("n_supp") > 1) & (F.col("n_fail") == 1))
+    return (
+        sole.groupBy("fail_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("fail_supp") == s["s_suppkey"])
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+Q21_SQL = """
+WITH items AS (
+  SELECT l_orderkey, l_suppkey, l_returnflag
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_fail,
+         MAX(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS fail_supp
+  FROM items GROUP BY l_orderkey)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_order JOIN supplier ON fail_supp = s_suppkey
+WHERE n_supp > 1 AND n_fail = 1
+GROUP BY s_name ORDER BY numwait DESC, s_name
+"""
+
+
+def grouping_sets_order_stats(spark, sf_dir):
+    """GROUPING SETS with grouping() flags — the generalized rollup/cube
+    surface (SURVEY section 2.4 notes Spark's hash aggregate covers these).
+    One shuffle; Spark expands the sets map-side."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_prio,
+               COUNT(*) AS n_orders,
+               CAST(SUM({_c('o_totalprice')}) AS DOUBLE) / 100.0 AS total_value
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+GROUPING_SETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_prio,
+       COUNT(*) AS n_orders,
+       SUM({_c('o_totalprice')}) / 100.0 AS total_value
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+"""
+
+
+def window_lead_lag_ntile(spark, sf_dir):
+    """Analytic-window suite: lag (gap-to-previous), lead (next event type),
+    ntile quartile and percent_rank per user timeline — one window spec, one
+    shuffle on user_id, unique (us, event_id) ordering for determinism."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", F.expr("ts DIV 1000").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (F.col("us") - F.lag("us").over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+LEAD_LAG_SQL = """
+SELECT user_id, event_id, event_type,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us,
+       LEAD(event_type) OVER w AS next_type,
+       NTILE(4) OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+ORDER BY user_id, event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -2786,6 +3089,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "hybrid_search_topk": (hybrid_search_topk, HYBRID_SQL),
     "tfidf_top_term_per_doc": (tfidf_top_term_per_doc, TFIDF_SQL),
     "embedding_label_centroids": (embedding_label_centroids, CENTROIDS_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q11_important_parts": (q11_important_parts, Q11_SQL),
+    "q12_late_priority_counts": (q12_late_priority_counts, Q12_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+    "q20_promo_part_suppliers": (q20_promo_part_suppliers, Q20_SQL),
+    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
+    "grouping_sets_order_stats": (grouping_sets_order_stats, GROUPING_SETS_SQL),
+    "window_lead_lag_ntile": (window_lead_lag_ntile, LEAD_LAG_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "image_features_demo": (image_features_demo, None),
     "streaming_intake_eav": (streaming_intake_eav, None),
