@@ -132,10 +132,10 @@ def simhash_bits(token: Column, n_bits: int = 32) -> list[Column]:
     return bits
 
 
-def rolling_kgram_hashes(text: Column | str, k: int = 8) -> Column:
-    """All character k-gram hashes of a document as array<string> — the
-    rolling-hash pass of document fingerprinting (Rabin/winnowing style;
-    md5 stands in for the rolling polynomial so the DuckDB oracle matches).
+def rolling_kgrams(text: Column | str, k: int = 8) -> Column:
+    """All RAW character k-grams of a document as array<string> — substr
+    only, no hashing, so callers can ``array_distinct`` first and hash the
+    (smaller) distinct set.
 
     Guarded ``sequence``: Spark's sequence(1, 0) yields a DESCENDING [1, 0],
     so short docs must special-case to an empty array.
@@ -145,7 +145,14 @@ def rolling_kgram_hashes(text: Column | str, k: int = 8) -> Column:
     idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
         F.array().cast("array<int>")
     )
-    return F.transform(idx, lambda i: F.md5(F.substr(c, i, F.lit(k))))
+    return F.transform(idx, lambda i: F.substr(c, i, F.lit(k)))
+
+
+def rolling_kgram_hashes(text: Column | str, k: int = 8) -> Column:
+    """All character k-gram hashes of a document as array<string> — the
+    rolling-hash pass of document fingerprinting (Rabin/winnowing style;
+    md5 stands in for the rolling polynomial so the DuckDB oracle matches)."""
+    return F.transform(rolling_kgrams(text, k), lambda g: F.md5(g))
 
 
 def doc_fingerprint_min(text: Column | str, k: int = 8) -> Column:

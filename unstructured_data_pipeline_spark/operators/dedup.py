@@ -28,6 +28,9 @@ from unstructured_data_pipeline_spark.functions.text import (
     tokens_ws,
     word_shingles,
 )
+from unstructured_data_pipeline_spark.operators.partitioning import (
+    ensure_min_parallelism,
+)
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -35,7 +38,8 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     canonical (minimum) id and the duplicate count.  Filter
     ``dup_count > 1`` for the duplicates-only view."""
     return (
-        df.select(F.col(id_col), fingerprint(text_col).alias("content_hash"))
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), fingerprint(text_col).alias("content_hash"))
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("canonical_id"),
@@ -138,8 +142,12 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
     """(id, sh) with sh = the DISTINCT shingle set as an array column —
     entirely row-local (no explode, no shuffle).  The per-doc array is
     bounded by document length, so it scales exactly like the text itself.
-    Token array materialized first — see :func:`shingle_set`."""
-    toks = df.select(F.col(id_col).alias("id"), tokens_ws(text_col).alias("w"))
+    Token array materialized first — see :func:`shingle_set`.  Input spread
+    across cores first: shingling is the CPU-bound stage of every dedup
+    pipeline, and a few-split scan would otherwise run it serially."""
+    toks = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"), tokens_ws(text_col).alias("w")
+    )
     return toks.select(
         "id", F.array_distinct(word_shingles_from_tokens(F.col("w"), n)).alias("sh")
     )
@@ -223,7 +231,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 32) -> Data
     """
     if n_bits > 32:
         raise ValueError("int-path simhash supports up to 32 bits (8 md5 nibbles)")
-    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens_ws(text_col)).alias("tok"))
+    toks = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"), F.explode(tokens_ws(text_col)).alias("tok")
+    )
     # One md5 + one hex->int conv per token; each bit is an integer shift/mask.
     # Bit numbering matches the nibble formulation (bit j = nibble j//4 of
     # the hex string, bit j%4 of its value): nibble i sits at integer bits
@@ -271,7 +281,7 @@ def ngram_jaccard_pairs(
     Without it: full inverted-index self-join (fine at fixture scale,
     quadratic in posting-list length at scale).
     """
-    sh = shingle_arrays(df, id_col, text_col, n).persist()
+    sh = shingle_arrays(df, id_col, text_col, n)
     if not prefix_filter:
         # exhaustive index: count intersections straight off the posting
         # self-join (one groupBy, no distinct/verify passes needed)
@@ -293,6 +303,7 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         ).filter(F.col("jaccard") >= threshold)
 
+    sh = sh.persist()  # reused: prefix postings + full-array verify
     post = sh.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("shingle"))
     counts = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
     # global rarity order = (freq, shingle); the key itself is the order —

@@ -21,6 +21,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from unstructured_data_pipeline_spark.operators.partitioning import (
+    ensure_min_parallelism,
+)
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Sequential fold-left dot product in double — deterministic order."""
@@ -59,7 +63,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    c = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     pairs = c.crossJoin(F.broadcast(q))
@@ -130,7 +134,9 @@ def lsh_bucketed_topk(
         ).select(idc, vecc, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
 
     cb = with_bands(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        ensure_min_parallelism(corpus).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
         "neighbor_id",
         "c_vec",
     )
@@ -285,7 +291,9 @@ def ivf_topk(
         )
 
     lists = assign(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        ensure_min_parallelism(corpus).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
         "neighbor_id",
         "c_vec",
         1,

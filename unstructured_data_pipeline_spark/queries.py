@@ -32,6 +32,9 @@ from unstructured_data_pipeline_spark.ai.udfs import make_udfs, unwrap_response
 from unstructured_data_pipeline_spark.functions import text as TX
 from unstructured_data_pipeline_spark.operators import dedup as DD
 from unstructured_data_pipeline_spark.operators import similarity as SIM
+from unstructured_data_pipeline_spark.operators.partitioning import (
+    ensure_min_parallelism,
+)
 from unstructured_data_pipeline_spark.operators.history import (
     HistoryFilters,
     class_summary,
@@ -50,6 +53,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ensure_shipped(spark)  # executor workers must import this package (UDFs)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _heavy(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan feeding compute-heavy per-row work (hashing, shingling, HOF
+    lambdas, pandas UDFs): spread across cores when the input arrives in
+    fewer splits than the cluster's parallelism.  Single-row-group fixture
+    files scan as ONE split, which would serialize all narrow compute onto
+    one core; at deployment scale inputs come in many splits and this adds
+    no shuffle (see operators/partitioning.py)."""
+    return ensure_min_parallelism(_t(spark, sf_dir, name))
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,7 +116,7 @@ def _docs_pipeline_eav(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns only — timestamps dropped for oracle comparison)."""
     from unstructured_data_pipeline_spark.pipelines.batch import run_document_pipeline
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _heavy(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("file_ref"),
         F.concat(F.lit("@docs_stage/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias(
             "file_url"
@@ -454,7 +467,7 @@ FROM orders
 
 def distinct_sources_by_lang(spark, sf_dir):
     """A6/O4: distinct-set accumulation as sorted collect_set."""
-    d = _t(spark, sf_dir, "documents")
+    d = _heavy(spark, sf_dir, "documents")
     return (
         d.groupBy("lang")
         .agg(
@@ -567,7 +580,7 @@ PIPELINE_EAV_SQL = (
 
 def pipeline_classify_summary(spark, sf_dir):
     """AI1 rollup: docs + distinct languages per predicted class."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _heavy(spark, sf_dir, "documents")
     udfs = make_udfs()
     c = docs.withColumn("class_name", udfs["classify"](F.col("text")))
     return (
@@ -609,7 +622,7 @@ FROM base ORDER BY file_ref
 
 def summarize_documents(spark, sf_dir):
     """AI4: summarization with the 6000-char input cap contract."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _heavy(spark, sf_dir, "documents")
     udfs = make_udfs()
     return docs.select(
         "doc_id", udfs["summarize"](F.col("text")).alias("summary")
@@ -811,7 +824,7 @@ DEDUP_SIMHASH_SQL = _simhash_sql(32)
 def text_quality_metrics(spark, sf_dir):
     """Quality scoring: token counts, mean token length, stopword ratio,
     uniqueness ratio — all integer-exact until the final division."""
-    d = _t(spark, sf_dir, "documents")
+    d = _heavy(spark, sf_dir, "documents")
     toks = TX.tokens_ws("text")
     return d.select(
         "doc_id",
@@ -838,7 +851,7 @@ FROM t ORDER BY doc_id
 
 def token_counts(spark, sf_dir):
     """Token counting: whitespace + BPE-ish regex tokenizers + char length."""
-    d = _t(spark, sf_dir, "documents")
+    d = _heavy(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         TX.token_count_ws("text").cast("long").alias("n_tokens_ws"),
@@ -862,7 +875,7 @@ _LANGS = [("en", TX.STOPWORDS["en"]), ("de", TX.STOPWORDS["de"]),
 def text_lang_id(spark, sf_dir):
     """Language-ID heuristic: stopword hit counts per language, argmax with
     fixed priority en > de > es > fr, 'und' when nothing hits."""
-    d = _t(spark, sf_dir, "documents")
+    d = _heavy(spark, sf_dir, "documents")
     toks = TX.tokens_ws("text")
     hits = {}
     for code, words in _LANGS:
@@ -1094,7 +1107,7 @@ def image_features_demo(spark, sf_dir):
     (deterministic fake decoder; real Spark-side batch shape)."""
     from unstructured_data_pipeline_spark.operators.multimodal import image_features
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _heavy(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("path"),
         F.col("text").cast("binary").alias("content"),
     )
@@ -1273,14 +1286,25 @@ WHERE levenshtein(x.c_name, y.c_name) <= 2
 def doc_fingerprint_rolling(spark, sf_dir):
     """Rolling-hash document fingerprinting (winnowing-lite): all char
     8-gram hashes per doc; emit gram count, distinct-gram count, and the
-    MIN-hash fingerprint."""
-    d = _t(spark, sf_dir, "documents")
-    grams = TX.rolling_kgram_hashes("text", k=8)
-    return d.select(
+    MIN-hash fingerprint.
+
+    Hash-minimizing formulation: gram count is pure arithmetic
+    (len - k + 1), the raw substrings are DISTINCTed first, and md5 runs
+    once per distinct gram (min over distinct == min over all; distinct
+    md5s == distinct grams absent collisions, identically in both
+    engines).  Materialized as its own projection so the distinct array is
+    computed once, not re-inlined per consuming expression."""
+    d = _heavy(spark, sf_dir, "documents")
+    u = d.select(
         "doc_id",
-        F.size(grams).cast("long").alias("n_grams"),
-        F.size(F.array_distinct(grams)).cast("long").alias("n_uniq_grams"),
-        TX.doc_fingerprint_min("text", k=8).alias("fp_min"),
+        F.greatest(F.length("text") - 7, F.lit(0)).cast("long").alias("n_grams"),
+        F.array_distinct(TX.rolling_kgrams("text", k=8)).alias("_u"),
+    )
+    return u.select(
+        "doc_id",
+        "n_grams",
+        F.size("_u").cast("long").alias("n_uniq_grams"),
+        F.array_min(F.transform("_u", lambda g: F.md5(g))).alias("fp_min"),
     )
 
 
@@ -1665,7 +1689,7 @@ def docs_lang_source_crosstab(spark, sf_dir):
     language x source, explicit pivot values (no discovery pass — the
     two-job pivot-value scan is the thing to avoid at 100 TB)."""
     srcs = [f"src{i}" for i in range(5)]
-    d = _t(spark, sf_dir, "documents").filter(F.col("source").isin(srcs))
+    d = _heavy(spark, sf_dir, "documents").filter(F.col("source").isin(srcs))
     return (
         d.groupBy("lang").pivot("source", srcs).agg(F.count(F.lit(1))).na.fill(0)
     )
@@ -1919,7 +1943,7 @@ def doc_winnowing_fingerprints(spark, sf_dir):
     k-gram hashes keep the minimum; the distinct kept hashes are the doc's
     fingerprint set.  Guarantees shared substrings >= w+k-1 chars always
     collide — the plagiarism/near-dup fingerprint standard."""
-    d = _t(spark, sf_dir, "documents")
+    d = _heavy(spark, sf_dir, "documents")
     grams = TX.rolling_kgram_hashes("text", k=8)
     w = 4
     gcol = F.col("_grams")
@@ -2332,7 +2356,7 @@ def text_token_entropy(spark, sf_dir):
     """Shannon entropy of each doc's token distribution — the repetition/
     gibberish quality signal (low entropy = boilerplate, high = diverse).
     Exact integer counts until the final -sum(p*ln p)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _heavy(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(TX.tokens_ws("text")).alias("tok"))
     counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     totals = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
@@ -2360,7 +2384,7 @@ def corpus_top_terms(spark, sf_dir):
     """Corpus term statistics: top-20 terms by document frequency (then
     total frequency, then term) — explode+aggregate, the inverted-index
     building block."""
-    d = _t(spark, sf_dir, "documents")
+    d = _heavy(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(TX.tokens_ws(F.lower(F.col("text")))).alias("term")
     )
@@ -2391,7 +2415,7 @@ def text_clean_pii(spark, sf_dir):
     in both engines.  The fixture corpus has no PII, so every doc_id % 7 ==
     0 gets a deterministic email + URL appended first; the query counts and
     redacts them."""
-    d = _t(spark, sf_dir, "documents")
+    d = _heavy(spark, sf_dir, "documents")
     pii = F.when(
         F.col("doc_id") % 7 == 0,
         F.concat(
@@ -2448,7 +2472,7 @@ def doc_chunking_cdc(spark, sf_dir):
     expected chunks).  Content-defined means insertions only reshuffle
     neighboring chunks — unlike fixed-width chunking where everything after
     the edit shifts."""
-    d = _t(spark, sf_dir, "documents")
+    d = _heavy(spark, sf_dir, "documents")
     grams = TX.rolling_kgram_hashes("text", k=8)
     bounds = F.filter(grams, lambda g: F.substring(g, 1, 1) == "0")
     return d.select(
@@ -2482,7 +2506,7 @@ def hybrid_search_topk(spark, sf_dir):
     cosine top-3 over the surviving vectors.  The compose-operators shape
     every RAG pipeline needs."""
     emb = _t(spark, sf_dir, "embeddings")
-    docs = _t(spark, sf_dir, "documents").filter(
+    docs = _heavy(spark, sf_dir, "documents").filter(
         (F.col("lang") == "en") & (F.col("n_chars") >= 150)
     )
     corpus = emb.join(
@@ -2520,7 +2544,7 @@ def tfidf_top_term_per_doc(spark, sf_dir):
     (per-doc term counts x corpus document frequencies).  Emits each doc's
     highest-weighted term; idf = ln(N / df) on exact integer counts, ties
     broken by term."""
-    d = _t(spark, sf_dir, "documents")
+    d = _heavy(spark, sf_dir, "documents")
     n_docs = d.count()  # driver-side scalar: one count, broadcast into the plan
     toks = d.select(
         "doc_id", F.explode(TX.tokens_ws(F.lower(F.col("text")))).alias("term")
@@ -2686,7 +2710,7 @@ def audio_features_demo(spark, sf_dir):
     operators/multimodal.py)."""
     from unstructured_data_pipeline_spark.operators.multimodal import audio_features
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _heavy(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("path"),
         F.col("text").cast("binary").alias("content"),
     )
@@ -2699,7 +2723,7 @@ def video_frame_sample_demo(spark, sf_dir):
     operators/multimodal.py)."""
     from unstructured_data_pipeline_spark.operators.multimodal import frame_sample
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _heavy(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("path"),
         F.col("text").cast("binary").alias("content"),
     )
