@@ -3034,6 +3034,211 @@ ORDER BY user_id, event_id
 """
 
 
+def range_join_views_before_purchase(spark, sf_dir):
+    """Interval/range join, the bucketed scale shape: for every purchase,
+    count the same user's views in the preceding hour.  Naive form is a
+    theta-join (user equi + time range) whose fan-out explodes at scale;
+    here views are bucketed ONCE by hour and each purchase probes exactly
+    two buckets (its own and the previous), so the join is a bounded
+    equi-join on (user_id, bucket) and the range predicate only filters
+    within matched buckets."""
+    HOUR = 3_600_000_000  # microseconds
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", F.expr("ts DIV 1000").alias("us")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("us").alias("vus"),
+        F.floor(F.col("us") / HOUR).alias("vb"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.col("us").alias("pus"),
+        F.floor(F.col("us") / HOUR).alias("pb"),
+    )
+    probes = p.select(
+        "user_id", "event_id", "pus",
+        F.explode(F.array(F.col("pb"), F.col("pb") - 1)).alias("probe"),
+    )
+    j = probes.join(
+        v,
+        (probes["user_id"] == v["v_user"]) & (probes["probe"] == v["vb"]),
+        "left",
+    )
+    in_range = F.col("vus").between(F.col("pus") - HOUR, F.col("pus"))
+    return (
+        j.groupBy("event_id", "user_id", "pus")
+        .agg(F.sum(F.when(in_range, 1).otherwise(0)).alias("n_views_prev_hour"))
+        .select("event_id", "user_id", "pus", "n_views_prev_hour")
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+p AS (SELECT user_id, event_id, us AS pus FROM e WHERE event_type = 'purchase'),
+v AS (SELECT user_id, us AS vus FROM e WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, p.pus,
+       (SELECT COUNT(*) FROM v
+        WHERE v.user_id = p.user_id
+          AND v.vus BETWEEN p.pus - 3600000000 AND p.pus) AS n_views_prev_hour
+FROM p ORDER BY p.event_id
+"""
+
+
+def session_window_native(spark, sf_dir):
+    """Spark's NATIVE session_window operator (30-min gap) on event time —
+    the streaming-capable sessionizer (same operator works under
+    readStream + watermark).  Oracle = the classic SQL islands rewrite;
+    Spark's session ends at last_event + gap, and an event exactly at the
+    gap boundary starts a NEW session (window end is exclusive), so the
+    island break condition is diff >= gap."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.timestamp_micros(F.expr("ts DIV 1000")).alias("t")
+    )
+    s = ev.groupBy("user_id", F.session_window("t", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return s.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("sess_start_us"),
+        F.unix_micros(F.col("session_window.end")).alias("sess_end_us"),
+        "n_events",
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH o AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+m AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+g AS (
+  SELECT user_id, us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id, MIN(us) AS sess_start_us, MAX(us) + 1800000000 AS sess_end_us,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id, sid ORDER BY user_id, sess_start_us
+"""
+
+
+def corr_stats_exact(spark, sf_dir):
+    """Statistical profiling with EXACT cross-engine determinism: per
+    return flag, Pearson corr(quantity, discount) and sample stddev of
+    quantity, computed from integer power sums (quantity is integral,
+    discount in cents) — every sum is exact in int64 and < 2^53, so the
+    final double formulas are bit-identical in Spark and DuckDB, with no
+    reliance on either engine's float-accumulating corr()/stddev()."""
+    li = _t(spark, sf_dir, "lineitem")
+    qc = F.col("l_quantity").cast("long")
+    dc = _cents(F.col("l_discount"))
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qc).alias("sq"),
+        F.sum(qc * qc).alias("sqq"),
+        F.sum(dc).alias("sd"),
+        F.sum(dc * dc).alias("sdd"),
+        F.sum(qc * dc).alias("sqd"),
+    )
+    n, sq, sqq, sd, sdd, sqd = (
+        F.col("n").cast("double"),
+        F.col("sq").cast("double"),
+        F.col("sqq").cast("double"),
+        F.col("sd").cast("double"),
+        F.col("sdd").cast("double"),
+        F.col("sqd").cast("double"),
+    )
+    corr = (n * sqd - sq * sd) / (
+        F.sqrt(n * sqq - sq * sq) * F.sqrt(n * sdd - sd * sd)
+    )
+    stddev = F.sqrt((n * sqq - sq * sq) / (n * (n - F.lit(1.0))))
+    return agg.select(
+        "l_returnflag",
+        F.col("n").alias("n_items"),
+        corr.alias("qty_disc_corr"),
+        stddev.alias("qty_stddev"),
+    ).orderBy("l_returnflag")
+
+
+CORR_STATS_SQL = f"""
+WITH s AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(CAST(l_quantity AS BIGINT)) AS sq,
+         SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sqq,
+         SUM({_c('l_discount')}) AS sd,
+         SUM({_c('l_discount')} * {_c('l_discount')}) AS sdd,
+         SUM(CAST(l_quantity AS BIGINT) * {_c('l_discount')}) AS sqd
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n AS n_items,
+       (n * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * sd)
+         / (sqrt(n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq)
+            * sqrt(n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd))
+         AS qty_disc_corr,
+       sqrt((n * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq)
+            / (CAST(n AS DOUBLE) * (n - 1))) AS qty_stddev
+FROM s ORDER BY l_returnflag
+"""
+
+
+def deterministic_sample_orders(spark, sf_dir):
+    """Reproducible 1/16 hash sample (md5 of the key, first hex digit
+    '0') rolled up by priority — the scale-correct sampling technique: no
+    RNG state, no seed coordination across executors, identical sample on
+    any engine/cluster/partitioning, and the predicate evaluates at the
+    scan (no shuffle to sample)."""
+    o = _t(spark, sf_dir, "orders")
+    keep = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0"
+    return (
+        o.filter(keep)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            (F.sum(_cents(F.col("o_totalprice"))) / 100.0).alias("sample_value"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+DET_SAMPLE_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_sampled,
+       SUM({_c('o_totalprice')}) / 100.0 AS sample_value
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def window_range_frame_hour(spark, sf_dir):
+    """RANGE window frame over event TIME VALUES (not row counts): per
+    event, how many of the same user's events landed in the trailing hour.
+    Unlike a ROWS frame, peers with equal timestamps are always included
+    together, so the result is deterministic under ties."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", F.expr("ts DIV 1000").alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id", "event_id", "us",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+    )
+
+
+RANGE_FRAME_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS us,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         AS n_last_hour
+FROM events ORDER BY user_id, event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3121,6 +3326,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
     "grouping_sets_order_stats": (grouping_sets_order_stats, GROUPING_SETS_SQL),
     "window_lead_lag_ntile": (window_lead_lag_ntile, LEAD_LAG_SQL),
+    "range_join_views_before_purchase": (range_join_views_before_purchase, RANGE_JOIN_SQL),
+    "session_window_native": (session_window_native, SESSION_WINDOW_SQL),
+    "corr_stats_exact": (corr_stats_exact, CORR_STATS_SQL),
+    "deterministic_sample_orders": (deterministic_sample_orders, DET_SAMPLE_SQL),
+    "window_range_frame_hour": (window_range_frame_hour, RANGE_FRAME_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "image_features_demo": (image_features_demo, None),
     "streaming_intake_eav": (streaming_intake_eav, None),
