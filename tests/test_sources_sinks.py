@@ -65,6 +65,7 @@ def test_multi_format_source_same_relation(spark, sf_dir, tmp_path):
     cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
     cust.write.option("header", "true").mode("overwrite").csv(str(tmp_path / "c_csv"))
     cust.write.mode("overwrite").json(str(tmp_path / "c_json"))
+    cust.write.mode("overwrite").orc(str(tmp_path / "c_orc"))
 
     def agg(df):
         return sorted(
@@ -84,4 +85,5 @@ def test_multi_format_source_same_relation(spark, sf_dir, tmp_path):
         spark.read.option("header", "true").schema(cust.schema).csv(str(tmp_path / "c_csv"))
     )
     got_json = agg(spark.read.schema(cust.schema).json(str(tmp_path / "c_json")))
-    assert got_csv == want and got_json == want
+    got_orc = agg(spark.read.orc(str(tmp_path / "c_orc")))
+    assert got_csv == want and got_json == want and got_orc == want

@@ -3239,6 +3239,133 @@ FROM events ORDER BY user_id, event_id
 """
 
 
+def unpivot_customer_metrics(spark, sf_dir):
+    """Wide->long UNPIVOT (``DataFrame.unpivot``/melt) of three derived
+    customer metrics, re-aggregated per metric.  The inverse of the pivot
+    operator (C5); map-side row expansion, one tiny final shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    wide = c.select(
+        "c_custkey",
+        _cents(F.col("c_acctbal")).alias("acct_cents"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.length("c_mktsegment").cast("long").alias("seg_len"),
+    )
+    long = wide.unpivot(
+        "c_custkey", ["acct_cents", "nation", "seg_len"], "metric", "value"
+    )
+    return (
+        long.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("value").alias("total"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .orderBy("metric")
+    )
+
+
+UNPIVOT_SQL = f"""
+WITH long AS (
+  SELECT c_custkey, 'acct_cents' AS metric, {_c('c_acctbal')} AS value FROM customer
+  UNION ALL
+  SELECT c_custkey, 'nation', CAST(c_nationkey AS BIGINT) FROM customer
+  UNION ALL
+  SELECT c_custkey, 'seg_len', CAST(length(c_mktsegment) AS BIGINT) FROM customer)
+SELECT metric, COUNT(*) AS n_rows, SUM(value) AS total,
+       MIN(value) AS vmin, MAX(value) AS vmax
+FROM long GROUP BY metric ORDER BY metric
+"""
+
+
+def argmax_latest_event(spark, sf_dir):
+    """max_by / min_by aggregates (SQL argmax): per user, the event type of
+    the highest/lowest event_id — single hash aggregate, no window, no
+    self-join.  Keyed on the UNIQUE event_id so ties cannot occur and the
+    result is deterministic in both engines."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by("event_type", "event_id").alias("latest_type"),
+            F.min_by("event_type", "event_id").alias("first_type"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ARGMAX_SQL = """
+SELECT user_id,
+       arg_max(event_type, event_id) AS latest_type,
+       arg_min(event_type, event_id) AS first_type,
+       MAX(event_id) AS max_event_id
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def bool_bit_aggs(spark, sf_dir):
+    """Boolean & bitwise aggregate suite per event type: conditional count
+    (FILTER-clause semantics), bool_or/bool_and, bit_or/bit_and over a
+    bounded int domain — all map-side-combinable single-pass aggregates."""
+    ev = _events(spark, sf_dir)
+    vc = _cents(F.col("value"))
+    low_byte = F.pmod(F.col("event_id"), F.lit(256)).cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(vc > 10000, 1).otherwise(0)).alias("n_big"),
+            F.bool_or(vc > 10000).alias("any_big"),
+            F.bool_and(vc >= 0).alias("all_nonneg"),
+            F.bit_or(low_byte).alias("id_bits_or"),
+            F.bit_and(low_byte).alias("id_bits_and"),
+        )
+        .orderBy("event_type")
+    )
+
+
+BOOL_BIT_SQL = f"""
+SELECT event_type, COUNT(*) AS n,
+       SUM(CASE WHEN {_c('value')} > 10000 THEN 1 ELSE 0 END) AS n_big,
+       bool_or({_c('value')} > 10000) AS any_big,
+       bool_and({_c('value')} >= 0) AS all_nonneg,
+       bit_or(CAST(event_id % 256 AS INTEGER)) AS id_bits_or,
+       bit_and(CAST(event_id % 256 AS INTEGER)) AS id_bits_and
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def array_functions_suite(spark, sf_dir):
+    """Array-function breadth over the token array: slice, sort, distinct,
+    contains, reverse, join — all row-local JVM expressions (the array
+    algebra a document pipeline leans on constantly)."""
+    d = _heavy(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens_ws("text").alias("w"))
+    return toks.select(
+        "doc_id",
+        F.array_join(F.slice("w", 1, 3), "-").alias("first3"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct("w")), 1, 5), ","
+        ).alias("sorted5"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_uniq"),
+        F.array_contains("w", "the").alias("has_the"),
+        F.element_at(F.reverse("w"), 1).alias("last_tok"),
+    )
+
+
+ARRAY_FUNCS_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       array_to_string(w[1:3], '-') AS first3,
+       array_to_string(list_sort(list_distinct(w))[1:5], ',') AS sorted5,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+       list_contains(w, 'the') AS has_the,
+       list_reverse(w)[1] AS last_tok
+FROM t ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3331,6 +3458,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "corr_stats_exact": (corr_stats_exact, CORR_STATS_SQL),
     "deterministic_sample_orders": (deterministic_sample_orders, DET_SAMPLE_SQL),
     "window_range_frame_hour": (window_range_frame_hour, RANGE_FRAME_SQL),
+    "unpivot_customer_metrics": (unpivot_customer_metrics, UNPIVOT_SQL),
+    "argmax_latest_event": (argmax_latest_event, ARGMAX_SQL),
+    "bool_bit_aggs": (bool_bit_aggs, BOOL_BIT_SQL),
+    "array_functions_suite": (array_functions_suite, ARRAY_FUNCS_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "image_features_demo": (image_features_demo, None),
     "streaming_intake_eav": (streaming_intake_eav, None),
