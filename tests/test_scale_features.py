@@ -134,3 +134,37 @@ def test_topk_uses_take_ordered(no_aqe_no_broadcast, sf_dir):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The bucketed range/interval join must plan as an EQUI join on
+    (user, bucket) — never BroadcastNestedLoopJoin/CartesianProduct, whose
+    cost is |purchases| x |views| at scale."""
+    from unstructured_data_pipeline_spark.queries import (
+        range_join_views_before_purchase,
+    )
+
+    q = range_join_views_before_purchase(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_heavy_scan_spreads_to_default_parallelism(spark, sf_dir):
+    """ensure_min_parallelism: a single-split scan feeding CPU-heavy work
+    must fan out to the cluster's parallelism; an already-spread input is
+    left untouched (no extra shuffle)."""
+    import os as _os
+
+    from unstructured_data_pipeline_spark.operators.partitioning import (
+        ensure_min_parallelism,
+    )
+
+    d = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    target = spark.sparkContext.defaultParallelism
+    assert d.rdd.getNumPartitions() < target  # fixture: one row group
+    spread = ensure_min_parallelism(d)
+    assert spread.rdd.getNumPartitions() == target
+    # idempotent: a second call adds nothing
+    again = ensure_min_parallelism(spread)
+    assert again is spread

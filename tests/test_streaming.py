@@ -179,3 +179,47 @@ def test_binary_intake_stream(spark, tmp_path):
         for r in tables["documents_processed"].read().collect()
     }
     assert got == {"x.pdf": "invoice", "y.pdf": "receipt"}
+
+
+def test_session_window_on_stream(spark, tmp_path):
+    """Native session_window sessionization running as a STREAM: events
+    within the 30-min gap merge into one session per user; a later event
+    past the gap opens a new one.  Same operator the batch registry query
+    uses — one code path for both modes."""
+    src = tmp_path / "sess_ev"
+    _write_events(
+        src,
+        [
+            {"user_id": 1, "value": 1.0, "ts": "2026-01-01 10:00:00", "event_type": "a"},
+            {"user_id": 1, "value": 1.0, "ts": "2026-01-01 10:10:00", "event_type": "a"},
+            {"user_id": 1, "value": 1.0, "ts": "2026-01-01 11:30:00", "event_type": "a"},
+            {"user_id": 2, "value": 2.0, "ts": "2026-01-01 10:00:00", "event_type": "a"},
+        ],
+    )
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .json(str(src))
+        .withWatermark("ts", "2 hours")
+    )
+    agg = stream.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    q = (
+        agg.select(
+            "user_id",
+            F.col("session_window.start").alias("s"),
+            "n_events",
+        )
+        .writeStream.format("memory")
+        .queryName("sess_win")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["s"].hour, r["s"].minute): r["n_events"]
+        for r in spark.table("sess_win").collect()
+    }
+    assert got == {(1, 10, 0): 2, (1, 11, 30): 1, (2, 10, 0): 1}
