@@ -3366,6 +3366,110 @@ FROM t ORDER BY doc_id
 """
 
 
+def string_agg_region_nations(spark, sf_dir):
+    """LISTAGG/string_agg with DETERMINISTIC ordering: per region, the
+    sorted comma-joined nation list.  collect_list has no cross-partition
+    order guarantee, so the engine-portable form is collect -> array_sort
+    -> join (the only listagg shape that is reproducible at scale)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    return (
+        j.groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+STRING_AGG_SQL = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def regex_functions_suite(spark, sf_dir):
+    """Regex breadth over document text: group extraction, match counting,
+    replacement, and anchored matching — all JVM-side (regexp_* family),
+    Java and RE2-compatible pattern subset so semantics agree with DuckDB."""
+    d = _heavy(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
+        F.regexp_count("text", F.lit(r"[aeiou]")).cast("long").alias("n_vowels"),
+        F.length(F.regexp_replace("text", r"[aeiou]", "")).cast("long").alias(
+            "len_novowels"
+        ),
+        F.col("text").rlike(r"^[A-Z]").alias("starts_upper"),
+    )
+
+
+REGEX_SUITE_SQL = """
+SELECT doc_id,
+       regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+       CAST(len(regexp_extract_all(text, '[aeiou]')) AS BIGINT) AS n_vowels,
+       CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+         AS len_novowels,
+       regexp_matches(text, '^[A-Z]') AS starts_upper
+FROM documents ORDER BY doc_id
+"""
+
+
+def datetime_functions_suite(spark, sf_dir):
+    """Date/time function breadth on order dates: truncation, field
+    extraction, end-of-month, interval arithmetic, date_diff — rolled up
+    per order month so the result is a compact calendar profile.
+    Cross-engine notes: Spark dayofweek is 1=Sunday while DuckDB dow is
+    0=Sunday (oracle mirrors with +1); both engines' last_day/add_months
+    agree on month-end clamping."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        o.select(
+            F.date_format(F.date_trunc("month", d), "yyyy-MM").alias("month"),
+            F.dayofweek(d).alias("dow"),
+            (F.last_day(d) == d).alias("is_month_end"),
+            F.datediff(F.add_months(d, 1), d).cast("long").alias("plus_month_days"),
+            F.quarter(d).alias("q"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("dow") == 1, 1).otherwise(0)).alias("n_sunday"),
+            F.sum(F.when(F.col("is_month_end"), 1).otherwise(0)).alias("n_month_end"),
+            F.min("plus_month_days").alias("min_plus_month_days"),
+            F.max("q").alias("q_of_month"),
+        )
+        .orderBy("month")
+    )
+
+
+DATETIME_SUITE_SQL = """
+WITH x AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         dayofweek(o_orderdate) + 1 AS dow,
+         last_day(o_orderdate) = o_orderdate AS is_month_end,
+         CAST(date_diff('day', o_orderdate,
+                        o_orderdate + INTERVAL 1 MONTH) AS BIGINT)
+           AS plus_month_days,
+         quarter(o_orderdate) AS q
+  FROM orders)
+SELECT month, COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN dow = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sunday,
+       CAST(SUM(CASE WHEN is_month_end THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_month_end,
+       MIN(plus_month_days) AS min_plus_month_days,
+       MAX(q) AS q_of_month
+FROM x GROUP BY month ORDER BY month
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3462,6 +3566,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "argmax_latest_event": (argmax_latest_event, ARGMAX_SQL),
     "bool_bit_aggs": (bool_bit_aggs, BOOL_BIT_SQL),
     "array_functions_suite": (array_functions_suite, ARRAY_FUNCS_SQL),
+    "string_agg_region_nations": (string_agg_region_nations, STRING_AGG_SQL),
+    "regex_functions_suite": (regex_functions_suite, REGEX_SUITE_SQL),
+    "datetime_functions_suite": (datetime_functions_suite, DATETIME_SUITE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "image_features_demo": (image_features_demo, None),
     "streaming_intake_eav": (streaming_intake_eav, None),
