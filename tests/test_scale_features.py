@@ -168,3 +168,26 @@ def test_heavy_scan_spreads_to_default_parallelism(spark, sf_dir):
     # idempotent: a second call adds nothing
     again = ensure_min_parallelism(spread)
     assert again is spread
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Joining a PARTITIONED fact to a filtered dim must inject a runtime
+    partition filter (DPP): only the dim-selected partitions are scanned,
+    the 100 TB equivalent of not reading most of the table."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    path = str(tmp_path / "orders_by_prio")
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    dim_path = str(tmp_path / "prio_dim")
+    orders.select("o_orderpriority").distinct().write.mode("overwrite").parquet(
+        dim_path
+    )
+    # the dim filter must be a LIKELY-SELECTIVE predicate (comparison /
+    # StartsWith / In ...) for Catalyst's PartitionPruning rule to insert
+    # the runtime filter — a bare boolean attribute does not qualify
+    dim = spark.read.parquet(dim_path).filter(
+        F.col("o_orderpriority").startswith("1")
+    )
+    q = fact.join(dim, "o_orderpriority").agg(F.sum("o_totalprice"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()

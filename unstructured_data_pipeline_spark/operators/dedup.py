@@ -91,8 +91,17 @@ def lsh_candidate_pairs(
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        # xxhash64 of the joined band rows: the sig is ONLY an equality key
+        # for the bucket self-join (never surfaced), so a 8-byte int key
+        # beats a 32-char md5 string in shuffle width and probe cost; the
+        # equivalence classes are identical to hashing the same concat with
+        # any other collision-free hash (oracles mirror with md5 and agree
+        # on the resulting candidate set).
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("#", *parts)).alias("sig"))
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws("#", *parts)).alias("sig"),
+            )
         )
     buckets = signatures.select(
         "id", F.explode(F.array(*band_cols)).alias("bk")
@@ -284,8 +293,15 @@ def ngram_jaccard_pairs(
     sh = shingle_arrays(df, id_col, text_col, n)
     if not prefix_filter:
         # exhaustive index: count intersections straight off the posting
-        # self-join (one groupBy, no distinct/verify passes needed)
-        post = sh.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("shingle"))
+        # self-join (one groupBy, no distinct/verify passes needed).  The
+        # posting key is xxhash64(shingle) — an 8-byte join key instead of
+        # the shingle string; intersection counts are unchanged absent a
+        # 64-bit collision within one document pair's shingle sets.
+        post = sh.select(
+            "id",
+            F.size("sh").alias("sz"),
+            F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle"),
+        )
         sa = post.select(F.col("id").alias("a"), F.col("sz").alias("na"), "shingle")
         sb = post.select(F.col("id").alias("b"), F.col("sz").alias("nb"), "shingle")
         inter = (
