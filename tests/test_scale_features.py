@@ -191,3 +191,31 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     q = fact.join(dim, "o_orderpriority").agg(F.sum("o_totalprice"))
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_no_unbounded_join_plans(spark, sf_dir):
+    """Global plan invariant over EVERY registry query: no CartesianProduct
+    anywhere, and BroadcastNestedLoopJoin only where the build side is a
+    deliberately-broadcast tiny relation (scalar thresholds, query/centroid
+    sets) — the shapes that stay O(n) at 100 TB.  Any new query that
+    accidentally plans an unbounded non-equi join fails here."""
+    from unstructured_data_pipeline_spark.queries import REGISTRY
+
+    # build side is a broadcast single-row aggregate or bounded query set
+    BNLJ_OK = {
+        "emb_cosine_topk",      # broadcast query vectors (|Q| small)
+        "ann_ivf_topk",         # broadcast centroids (tiny)
+        "hybrid_search_topk",   # broadcast query set
+        "q2_min_cost_supplier",     # broadcast scalar min-cost threshold
+        "q11_important_parts",      # broadcast scalar total-revenue threshold
+        "q20_promo_part_suppliers", # broadcast scalar avg-quantity threshold
+        "q22_global_sales_opportunity",  # broadcast scalar avg-balance
+    }
+    offenders = {}
+    for name, (fn, _) in REGISTRY.items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, f"unbounded join plans: {offenders}"
