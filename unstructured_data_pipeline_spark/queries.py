@@ -3470,6 +3470,55 @@ FROM x GROUP BY month ORDER BY month
 """
 
 
+def null_semantics_suite(spark, sf_dir):
+    """ANSI three-valued-logic semantics, cross-engine checked: NOT IN
+    against a set CONTAINING NULL is never true (must return 0), IN
+    ignores the NULL member, null-safe equality (<=>) matches NULL to
+    NULL, and aggregates skip NULLs (COUNT(x) < COUNT(*)).  The trap this
+    documents: a NOT-IN denylist with one NULL silently filters out every
+    row — the null-aware anti join Spark plans for it is semantically
+    required, not an optimizer quirk."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("cust_ns")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_ns")
+    return spark.sql(
+        """
+        WITH v AS (SELECT nullif(n_nationkey % 7, 3) AS k FROM nation_ns),
+        x AS (SELECT nullif(c_nationkey % 5, 2) AS nx FROM cust_ns)
+        SELECT
+          (SELECT COUNT(*) FROM cust_ns
+           WHERE c_nationkey NOT IN (SELECT k FROM v)) AS n_notin_nullset,
+          (SELECT COUNT(*) FROM cust_ns
+           WHERE c_nationkey IN (SELECT k FROM v)) AS n_in_nullset,
+          (SELECT COUNT(*) FROM cust_ns
+           WHERE c_nationkey NOT IN (SELECT k FROM v WHERE k IS NOT NULL))
+            AS n_notin_cleanset,
+          (SELECT COUNT(*) FROM v a JOIN v b ON a.k <=> b.k) AS n_nullsafe_pairs,
+          (SELECT COUNT(*) FROM x) AS n_total,
+          (SELECT COUNT(nx) FROM x) AS n_nonnull,
+          (SELECT CAST(SUM(nx) AS BIGINT) FROM x) AS sum_skipping_nulls
+        """
+    )
+
+
+NULL_SEMANTICS_SQL = """
+WITH v AS (SELECT nullif(n_nationkey % 7, 3) AS k FROM nation),
+x AS (SELECT nullif(c_nationkey % 5, 2) AS nx FROM customer)
+SELECT
+  (SELECT COUNT(*) FROM customer
+   WHERE c_nationkey NOT IN (SELECT k FROM v)) AS n_notin_nullset,
+  (SELECT COUNT(*) FROM customer
+   WHERE c_nationkey IN (SELECT k FROM v)) AS n_in_nullset,
+  (SELECT COUNT(*) FROM customer
+   WHERE c_nationkey NOT IN (SELECT k FROM v WHERE k IS NOT NULL))
+    AS n_notin_cleanset,
+  (SELECT COUNT(*) FROM v a JOIN v b ON a.k IS NOT DISTINCT FROM b.k)
+    AS n_nullsafe_pairs,
+  (SELECT COUNT(*) FROM x) AS n_total,
+  (SELECT COUNT(nx) FROM x) AS n_nonnull,
+  (SELECT CAST(SUM(nx) AS BIGINT) FROM x) AS sum_skipping_nulls
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3569,6 +3618,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "string_agg_region_nations": (string_agg_region_nations, STRING_AGG_SQL),
     "regex_functions_suite": (regex_functions_suite, REGEX_SUITE_SQL),
     "datetime_functions_suite": (datetime_functions_suite, DATETIME_SUITE_SQL),
+    "null_semantics_suite": (null_semantics_suite, NULL_SEMANTICS_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "image_features_demo": (image_features_demo, None),
     "streaming_intake_eav": (streaming_intake_eav, None),
