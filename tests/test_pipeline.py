@@ -174,3 +174,28 @@ def test_history_filters_and_sql_views(spark, sf_dir):
 
     n_df = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).count()
     assert n_sql == n_df
+
+
+def test_observed_metrics_single_pass(spark):
+    """`observe()`: pipeline health metrics (docs processed, error
+    envelopes, distinct classes) accumulate DURING the one pipeline pass —
+    no second scan over 100 TB to count failures."""
+    from pyspark.sql import Observation
+
+    out = run_document_pipeline(_docs(spark), with_ocr=False)
+    obs = Observation("pipeline_metrics")
+    observed = out.processed.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("extraction_result").contains('"error"'), 1).otherwise(0)
+        ).alias("n_errors"),
+        # DISTINCT aggregates are rejected in observed metrics (they would
+        # force an extra shuffle); the sketch version is the right tool
+        F.approx_count_distinct("class_name").alias("n_classes"),
+    )
+    n = observed.count()  # the single pass
+    m = obs.get
+    assert m["n_docs"] == n == 3
+    assert m["n_errors"] == 0
+    assert m["n_classes"] >= 1
