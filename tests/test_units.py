@@ -360,3 +360,73 @@ def test_dedup_clusters_connected_components(spark):
     rep = {r["status"]: r["n_docs"] for r in dedup_report(docs, pairs, "doc_id").collect()}
     # keep = cluster minima {1, 10} + singleton {99}; drop = {2,3,4,11}
     assert rep == {"keep": 3, "drop": 4}
+
+
+# session-window and range-join boundary semantics
+
+
+def test_session_window_gap_boundary(spark):
+    """A session's end is last_event + gap, and an event AT the end still
+    merges (time <= end): exactly-gap spacing extends the session, one
+    microsecond beyond breaks it.  The SQL-islands oracle mirrors this
+    with `diff > gap` — `>=` would split exactly-gap chains the operator
+    keeps together."""
+    ev = spark.createDataFrame(
+        [
+            (1, "2026-01-01 10:00:00"),          # s1
+            (1, "2026-01-01 10:30:00.000001"),   # just past the gap -> s2
+            (2, "2026-01-01 10:00:00"),          # s1
+            (2, "2026-01-01 10:30:00"),          # exactly the gap -> merges
+        ],
+        "user_id long, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("t"))
+    got = (
+        ev.groupBy("user_id", F.session_window("t", "30 minutes"))
+        .count()
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    sessions = {r["user_id"]: r["count"] for r in got}
+    assert sessions == {1: 2, 2: 1}
+
+
+def test_range_join_window_boundaries(spark, tmp_path):
+    """The trailing-hour window is CLOSED on both ends: a view exactly one
+    hour before the purchase counts; one microsecond earlier does not;
+    a view after the purchase never counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from unstructured_data_pipeline_spark.queries import (
+        range_join_views_before_purchase,
+    )
+
+    HOUR = 3_600_000_000
+    base = 1_700_000_000_000_000  # us
+    rows = [
+        # (event_id, user_id, event_type, ts_us)
+        (1, 7, "purchase", base),
+        (2, 7, "view", base - HOUR),          # exactly 1h before -> counts
+        (3, 7, "view", base - HOUR - 1),      # just outside -> no
+        (4, 7, "view", base),                 # same instant -> counts
+        (5, 7, "view", base + 1),             # after -> no
+        (6, 8, "view", base),                 # other user -> no
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([0.0] * len(rows)),
+            "ts": pa.array([r[3] * 1000 for r in rows], pa.timestamp("ns")),
+        }
+    )
+    d = tmp_path / "evfix"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    out = {
+        r["event_id"]: r["n_views_prev_hour"]
+        for r in range_join_views_before_purchase(spark, str(d)).collect()
+    }
+    assert out == {1: 2}

@@ -3088,9 +3088,10 @@ def session_window_native(spark, sf_dir):
     """Spark's NATIVE session_window operator (30-min gap) on event time —
     the streaming-capable sessionizer (same operator works under
     readStream + watermark).  Oracle = the classic SQL islands rewrite;
-    Spark's session ends at last_event + gap, and an event exactly at the
-    gap boundary starts a NEW session (window end is exclusive), so the
-    island break condition is diff >= gap."""
+    Spark's session ends at last_event + gap and an event lands in the
+    session when its time <= that end, so an event EXACTLY gap after the
+    previous one still MERGES — the island break condition is diff > gap
+    (boundary pinned by tests/test_units.py::test_session_window_gap_boundary)."""
     ev = _events(spark, sf_dir).select(
         "user_id", F.timestamp_micros(F.expr("ts DIV 1000")).alias("t")
     )
@@ -3109,7 +3110,7 @@ SESSION_WINDOW_SQL = """
 WITH o AS (SELECT user_id, epoch_us(ts) AS us FROM events),
 m AS (
   SELECT user_id, us,
-         CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+         CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
               THEN 1 ELSE 0 END AS brk
   FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us)
 ),
