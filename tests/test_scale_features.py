@@ -219,3 +219,29 @@ def test_no_unbounded_join_plans(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, f"unbounded join plans: {offenders}"
+
+
+def test_all_queries_survive_empty_tables(spark, sf_dir, tmp_path):
+    """Every registry query must run (not crash) on ZERO-ROW copies of all
+    fixture tables — empty partitions/inputs are the steady state of a
+    100 TB job, and ANSI mode turns sloppy empty-edge expressions
+    (element_at, division, array_min) into runtime errors."""
+    import pyarrow.parquet as pq
+
+    from unstructured_data_pipeline_spark.queries import REGISTRY
+    from unstructured_data_pipeline_spark.schemas import FIXTURE_TABLES
+
+    for t in FIXTURE_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            schema = pq.read_schema(p)
+            pq.write_table(
+                schema.empty_table(), str(tmp_path / f"{t}.parquet")
+            )
+    failures = {}
+    for name, (fn, _) in REGISTRY.items():
+        try:
+            fn(spark, str(tmp_path)).collect()
+        except Exception as e:  # noqa: BLE001 — collecting all offenders
+            failures[name] = f"{type(e).__name__}: {str(e)[:120]}"
+    assert not failures, f"queries crashing on empty inputs: {failures}"
