@@ -3520,6 +3520,47 @@ SELECT
 """
 
 
+def json_roundtrip_suite(spark, sf_dir):
+    """VARIANT serialization fidelity (SURVEY §7 hard-parts): struct ->
+    canonical compact JSON (`to_json`) is BYTE-IDENTICAL across engines
+    (key order = struct order, no whitespace, plain integer formatting),
+    and the round trip back out (path extraction + typed `from_json`)
+    recovers the original values.  This is the encoding contract the
+    pipeline's VARIANT columns (prompts, extraction results, field
+    values) rely on for oracle-hashable persistence."""
+    c = _t(spark, sf_dir, "customer")
+    j = F.to_json(
+        F.struct(
+            F.col("c_custkey").alias("id"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").alias("nk"),
+        )
+    )
+    arr = F.to_json(F.array(F.col("c_custkey"), F.col("c_nationkey")))
+    return c.select(
+        "c_custkey",
+        j.alias("doc_json"),
+        F.get_json_object(j, "$.seg").alias("seg_back"),
+        F.from_json(j, "id long, seg string, nk long")["nk"].alias("nk_back"),
+        F.json_array_length(arr).cast("long").alias("arr_len"),
+    )
+
+
+JSON_ROUNDTRIP_SQL = """
+WITH x AS (
+  SELECT c_custkey,
+         CAST(to_json(struct_pack(id := c_custkey, seg := c_mktsegment,
+                                  nk := c_nationkey)) AS VARCHAR) AS j,
+         CAST(to_json([c_custkey, c_nationkey]) AS VARCHAR) AS arr
+  FROM customer)
+SELECT c_custkey, j AS doc_json,
+       json_extract_string(j, '$.seg') AS seg_back,
+       CAST(json_extract(j, '$.nk') AS BIGINT) AS nk_back,
+       CAST(json_array_length(arr) AS BIGINT) AS arr_len
+FROM x ORDER BY c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3620,6 +3661,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "regex_functions_suite": (regex_functions_suite, REGEX_SUITE_SQL),
     "datetime_functions_suite": (datetime_functions_suite, DATETIME_SUITE_SQL),
     "null_semantics_suite": (null_semantics_suite, NULL_SEMANTICS_SQL),
+    "json_roundtrip_suite": (json_roundtrip_suite, JSON_ROUNDTRIP_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "image_features_demo": (image_features_demo, None),
     "streaming_intake_eav": (streaming_intake_eav, None),
