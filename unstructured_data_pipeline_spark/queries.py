@@ -3565,56 +3565,6 @@ FROM x ORDER BY c_custkey
 # registry
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
-    "q3_top_revenue_orders": (q3_top_revenue_orders, Q3_SQL),
-    "q5_region_volume": (q5_region_volume, Q5_SQL),
-    "point_lookup_customer": (point_lookup_customer, POINT_LOOKUP_SQL),
-    "filter_predicates_customers": (filter_predicates_customers, FILTER_PRED_SQL),
-    "customer_order_stats": (customer_order_stats, CUSTOMER_ORDER_STATS_SQL),
-    "semi_join_big_spenders": (semi_join_big_spenders, SEMI_JOIN_SQL),
-    "anti_join_modest_customers": (anti_join_modest_customers, ANTI_JOIN_SQL),
-    "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_SQL),
-    "top_users_per_event_type": (top_users_per_event_type, TOP_USERS_SQL),
-    "event_type_summary": (event_type_summary, EVENT_SUMMARY_SQL),
-    "global_order_stats": (global_order_stats, GLOBAL_ORDER_STATS_SQL),
-    "distinct_sources_by_lang": (distinct_sources_by_lang, DISTINCT_SOURCES_SQL),
-    "union_distinct_labels": (union_distinct_labels, UNION_LABELS_SQL),
-    "scalar_functions_suite": (scalar_functions_suite, SCALAR_SUITE_SQL),
-    "pivot_event_values": (pivot_event_values, PIVOT_SQL),
-    "pipeline_extract_eav": (pipeline_extract_eav, PIPELINE_EAV_SQL),
-    "pipeline_classify_summary": (pipeline_classify_summary, CLASSIFY_SUMMARY_SQL),
-    "pipeline_extract_wide": (pipeline_extract_wide, PIPELINE_WIDE_SQL),
-    "summarize_documents": (summarize_documents, SUMMARIZE_SQL),
-    "history_class_summary": (history_class_summary, HISTORY_CLASS_SUMMARY_SQL),
-    "history_documents_current": (history_documents_current, HISTORY_DOCS_SQL),
-    "history_field_flatten_filtered": (history_field_flatten_filtered, FIELD_FLATTEN_SQL),
-    "history_documents_sparksql": (history_documents_sparksql, HISTORY_DOCS_SQL),
-    "dedup_exact_groups": (dedup_exact_groups, DEDUP_EXACT_SQL),
-    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
-    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
-    "text_quality_metrics": (text_quality_metrics, TEXT_QUALITY_SQL),
-    "token_counts": (token_counts, TOKEN_COUNTS_SQL),
-    "text_lang_id": (text_lang_id, TEXT_LANG_SQL),
-    "emb_cosine_topk": (emb_cosine_topk, EMB_TOPK_SQL),
-    "events_hourly_counts": (events_hourly_counts, HOURLY_SQL),
-    "events_hourly_moving_avg": (events_hourly_moving_avg, HOURLY_MAVG_SQL),
-    "sessionize_summary": (sessionize_summary, SESSIONIZE_SQL),
-    "asof_purchase_last_view": (asof_purchase_last_view, ASOF_SQL),
-    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
-    "dedup_embedding_cosine": (dedup_embedding_cosine, EMB_NEARDUP_SQL),
-    "doc_fingerprint_rolling": (doc_fingerprint_rolling, FINGERPRINT_SQL),
-    "fuzzy_name_dedup": (fuzzy_name_dedup, FUZZY_NAME_SQL),
-    "dml_upsert_customers": (dml_upsert_customers, DML_UPSERT_SQL),
-    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
-    "q4_priority_with_late_items": (q4_priority_with_late_items, Q4_SQL),
-    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
-    "q7_nation_pair_volume": (q7_nation_pair_volume, Q7_SQL),
-    "q9_profit_by_nation_year": (q9_profit_by_nation_year, Q9_SQL),
-    "full_outer_nation_balance": (full_outer_nation_balance, FULL_OUTER_SQL),
-    "doc_winnowing_fingerprints": (doc_winnowing_fingerprints, WINNOW_SQL),
-    "q10_returned_items": (q10_returned_items, Q10_SQL),
-    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
-    "q18_big_orders": (q18_big_orders, Q18_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "variant_props_extract": (variant_props_extract, VARIANT_PROPS_SQL),
     "variant_native_extract": (variant_native_extract, VARIANT_PROPS_SQL),
@@ -3669,6 +3619,56 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "audio_features_demo": (audio_features_demo, None),
     "sketch_event_stats": (sketch_event_stats, None),
     "dedup_end_to_end_report": (dedup_end_to_end_report, None),
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_revenue_orders": (q3_top_revenue_orders, Q3_SQL),
+    "q5_region_volume": (q5_region_volume, Q5_SQL),
+    "point_lookup_customer": (point_lookup_customer, POINT_LOOKUP_SQL),
+    "filter_predicates_customers": (filter_predicates_customers, FILTER_PRED_SQL),
+    "customer_order_stats": (customer_order_stats, CUSTOMER_ORDER_STATS_SQL),
+    "semi_join_big_spenders": (semi_join_big_spenders, SEMI_JOIN_SQL),
+    "anti_join_modest_customers": (anti_join_modest_customers, ANTI_JOIN_SQL),
+    "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_SQL),
+    "top_users_per_event_type": (top_users_per_event_type, TOP_USERS_SQL),
+    "event_type_summary": (event_type_summary, EVENT_SUMMARY_SQL),
+    "global_order_stats": (global_order_stats, GLOBAL_ORDER_STATS_SQL),
+    "distinct_sources_by_lang": (distinct_sources_by_lang, DISTINCT_SOURCES_SQL),
+    "union_distinct_labels": (union_distinct_labels, UNION_LABELS_SQL),
+    "scalar_functions_suite": (scalar_functions_suite, SCALAR_SUITE_SQL),
+    "pivot_event_values": (pivot_event_values, PIVOT_SQL),
+    "pipeline_extract_eav": (pipeline_extract_eav, PIPELINE_EAV_SQL),
+    "pipeline_classify_summary": (pipeline_classify_summary, CLASSIFY_SUMMARY_SQL),
+    "pipeline_extract_wide": (pipeline_extract_wide, PIPELINE_WIDE_SQL),
+    "summarize_documents": (summarize_documents, SUMMARIZE_SQL),
+    "history_class_summary": (history_class_summary, HISTORY_CLASS_SUMMARY_SQL),
+    "history_documents_current": (history_documents_current, HISTORY_DOCS_SQL),
+    "history_field_flatten_filtered": (history_field_flatten_filtered, FIELD_FLATTEN_SQL),
+    "history_documents_sparksql": (history_documents_sparksql, HISTORY_DOCS_SQL),
+    "dedup_exact_groups": (dedup_exact_groups, DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "text_quality_metrics": (text_quality_metrics, TEXT_QUALITY_SQL),
+    "token_counts": (token_counts, TOKEN_COUNTS_SQL),
+    "text_lang_id": (text_lang_id, TEXT_LANG_SQL),
+    "emb_cosine_topk": (emb_cosine_topk, EMB_TOPK_SQL),
+    "events_hourly_counts": (events_hourly_counts, HOURLY_SQL),
+    "events_hourly_moving_avg": (events_hourly_moving_avg, HOURLY_MAVG_SQL),
+    "sessionize_summary": (sessionize_summary, SESSIONIZE_SQL),
+    "asof_purchase_last_view": (asof_purchase_last_view, ASOF_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, EMB_NEARDUP_SQL),
+    "doc_fingerprint_rolling": (doc_fingerprint_rolling, FINGERPRINT_SQL),
+    "fuzzy_name_dedup": (fuzzy_name_dedup, FUZZY_NAME_SQL),
+    "dml_upsert_customers": (dml_upsert_customers, DML_UPSERT_SQL),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "q4_priority_with_late_items": (q4_priority_with_late_items, Q4_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q7_nation_pair_volume": (q7_nation_pair_volume, Q7_SQL),
+    "q9_profit_by_nation_year": (q9_profit_by_nation_year, Q9_SQL),
+    "full_outer_nation_balance": (full_outer_nation_balance, FULL_OUTER_SQL),
+    "doc_winnowing_fingerprints": (doc_winnowing_fingerprints, WINNOW_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "q18_big_orders": (q18_big_orders, Q18_SQL),
 }
 
 
