@@ -33,6 +33,11 @@ def asof_join(
 
     Implementation: union-and-window — tag both sides, sort within key by
     time, carry the last-seen right row forward with ``last(ignorenulls)``.
+    The left payload rides along in the union (nulled on right-side rows),
+    so every left row maps to exactly one output row: genuinely duplicate
+    left rows each survive, and tied right rows at the same (key, ts) can
+    never fan the output out.  Among tied right rows the one with the
+    largest ``xxhash64`` of its payload wins — arbitrary but deterministic.
     One shuffle on the key, no range-explosion join; robust to skewed keys
     at 100 TB scale (a direct ``join + filter + row_number`` materializes
     |left_key| x |right_key| pairs; this never does).
@@ -41,10 +46,13 @@ def asof_join(
         raise ValueError(direction)
 
     rcols = [c for c in right.columns if c not in (on, right_ts)]
+    lcols = [c for c in left.columns if c != on]  # includes left_ts
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("_ts"),
         F.lit(1).alias("_side"),
+        F.xxhash64(*[F.col(c) for c in right.columns]).alias("_rtie"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(c + suffix) for c in rcols],
         F.col(right_ts).alias(right_ts + suffix),
     )
@@ -52,30 +60,30 @@ def asof_join(
         F.col(on),
         F.col(left_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *[F.lit(None).cast(r.schema[c + suffix].dataType).alias(c + suffix) for c in rcols],
-        F.lit(None).cast(r.schema[right_ts + suffix].dataType).alias(right_ts + suffix),
+        F.lit(None).cast("long").alias("_rtie"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix) for c in rcols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(right_ts + suffix),
     )
     both = l.unionByName(r)
 
     if direction == "backward":
         # right rows sort before left rows at equal ts (<=), then carry forward
-        w = Window.partitionBy(on).orderBy(F.col("_ts").asc(), F.col("_side").desc()) \
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        order = [F.col("_ts").asc(), F.col("_side").desc(), F.col("_rtie").asc()]
     else:
-        w = Window.partitionBy(on).orderBy(F.col("_ts").desc(), F.col("_side").desc()) \
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        order = [F.col("_ts").desc(), F.col("_side").desc(), F.col("_rtie").asc()]
+    w = Window.partitionBy(on).orderBy(*order) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     carried = [
         F.last(F.col(c + suffix), ignorenulls=True).over(w).alias(c + suffix)
         for c in rcols + [right_ts]
     ]
-    out = both.select(on, "_ts", "_side", *carried).filter(F.col("_side") == 0)
-
-    # rejoin the left payload columns
-    lkeyed = left.withColumn("_ts", F.col(left_ts))
-    return lkeyed.join(
-        out.drop("_side"), on=[on, "_ts"], how="inner"
-    ).drop("_ts").dropDuplicates(left.columns)
+    return (
+        both.select(on, "_side", *lcols, *carried)
+        .filter(F.col("_side") == 0)
+        .drop("_side")
+    )
 
 
 def sessionize(

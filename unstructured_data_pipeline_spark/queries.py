@@ -1166,6 +1166,25 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def dedup_ngram_jaccard_prefix(spark, sf_dir):
+    """EXACT word-3-gram Jaccard near-dup pairs via the PREFIX-FILTERED
+    SSJoin (the operator default and the 100 TB shape): shingles ranked by
+    global frequency, only the |s| - ceil(t*|s|) + 1 rarest shingles of each
+    doc are indexed, so ultra-common shingles never explode the posting
+    join.  Identical output to ``dedup_ngram_jaccard`` (identity-tested);
+    registered separately so the scale path carries its own oracle hash
+    gate and bench number (VERDICT r1 #3)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 2, 1000000), " ").alias("text"),
+    )
+    corpus = d.unionByName(near)
+    return DD.ngram_jaccard_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.5, prefix_filter=True
+    )
+
+
 DEDUP_NGRAM_SQL = """
 WITH corpus AS (
   SELECT doc_id AS id, text FROM documents
@@ -3565,6 +3584,7 @@ FROM x ORDER BY c_custkey
 # registry
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "dedup_ngram_jaccard_prefix": (dedup_ngram_jaccard_prefix, DEDUP_NGRAM_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "variant_props_extract": (variant_props_extract, VARIANT_PROPS_SQL),
     "variant_native_extract": (variant_native_extract, VARIANT_PROPS_SQL),
