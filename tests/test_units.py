@@ -346,12 +346,49 @@ def test_parquet_table_compact(spark, tmp_path):
         t.append(spark.createDataFrame([(i, f"v{i}")], schema))
     import glob
 
-    n_before = len(glob.glob(str(tmp_path / "frag" / "*.parquet")))
+    n_before = len(glob.glob(os.path.join(t.data_dir(), "*.parquet")))
     assert n_before >= 20
     n_after = t.compact(target_files=2)
     assert n_after <= 2
     # contents preserved
     assert sorted(r["k"] for r in t.read().collect()) == list(range(20))
+
+
+def test_parquet_table_crash_before_publish_keeps_old_data(spark, tmp_path):
+    """VERDICT r1 #4: a rewrite that dies after writing the new version but
+    BEFORE the pointer swap must leave the previous snapshot fully live."""
+    from pyspark.sql import types as T
+
+    from unstructured_data_pipeline_spark.operators.dml import ParquetTable
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    t = ParquetTable(spark, str(tmp_path), "tbl", schema).ensure()
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], schema))
+    before = sorted(map(tuple, t.read().collect()))
+
+    # simulate the crash: new version dir fully written, publish never runs
+    boom = RuntimeError("crash before publish")
+
+    class Crashing(ParquetTable):
+        def _publish(self, version):
+            raise boom
+
+    t2 = Crashing(spark, str(tmp_path), "tbl", schema)
+    try:
+        t2.upsert(spark.createDataFrame([(2, "B"), (3, "c")], schema), ["k"])
+        raise AssertionError("expected crash")
+    except RuntimeError as e:
+        assert e is boom
+    # old snapshot still the live one, fully readable
+    assert sorted(map(tuple, t.read().collect())) == before
+    # recovery: the same upsert on a healthy table lands atomically and the
+    # orphaned version dir from the crash is garbage-collected
+    t.upsert(spark.createDataFrame([(2, "B"), (3, "c")], schema), ["k"])
+    assert sorted(map(tuple, t.read().collect())) == [(1, "a"), (2, "B"), (3, "c")]
+    vdirs = [d for d in os.listdir(t.path) if d.startswith("v-")]
+    assert vdirs == [t.current_version()]
 
 
 # ---------------------------------------------------------------------------
