@@ -181,6 +181,43 @@ def test_binary_intake_stream(spark, tmp_path):
     assert got == {"x.pdf": "invoice", "y.pdf": "receipt"}
 
 
+def test_intake_replay_is_effectively_once(spark, tmp_path):
+    """foreachBatch is at-least-once: simulate a replayed batch (sink ran,
+    checkpoint commit lost -> fresh checkpoint, same landing dir, same
+    tables) and assert the keyed-upsert sink leaves zero duplicate rows."""
+    from unstructured_data_pipeline_spark.catalog import bootstrap_warehouse
+    from unstructured_data_pipeline_spark.streaming.intake import start_intake_stream
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    for i in range(5):
+        (landing / f"d{i}.txt").write_text(f"customer doc number {i} words here")
+
+    tables = bootstrap_warehouse(spark, str(tmp_path / "wh"))
+
+    def drain(ckpt):
+        q = start_intake_stream(
+            spark, str(landing), str(tmp_path / ckpt), tables,
+            trigger_available_now=True,
+        )
+        q.awaitTermination()
+
+    drain("ckpt_a")
+    first = sorted(
+        map(tuple, tables["documents_extracted_fields"].read()
+            .select("file_ref", "field_name", "field_value").collect())
+    )
+    assert len(first) == 5 * 3  # 3 stub fields per doc
+    drain("ckpt_b")  # full replay of every file
+    second = sorted(
+        map(tuple, tables["documents_extracted_fields"].read()
+            .select("file_ref", "field_name", "field_value").collect())
+    )
+    assert second == first
+    assert tables["documents_processed"].read().count() == 5
+    assert tables["document_ocr"].read().count() == 5
+
+
 def test_session_window_on_stream(spark, tmp_path):
     """Native session_window sessionization running as a STREAM: events
     within the 30-min gap merge into one session per user; a later event

@@ -191,3 +191,25 @@ def persist_pipeline_outputs(
     if uploads is not None and "new_uploads" in tables:
         done = uploads.withColumn("processed", F.lit(True))
         tables["new_uploads"].upsert(done, ["file_name"])
+
+
+def persist_pipeline_outputs_idempotent(
+    outputs: PipelineOutputs,
+    tables: dict[str, ParquetTable],
+    uploads: DataFrame | None = None,
+) -> None:
+    """Replay-safe variant of :func:`persist_pipeline_outputs` for
+    at-least-once delivery (foreachBatch replays a batch whose sink ran but
+    whose checkpoint commit didn't): every write is an UPSERT keyed by the
+    document, so re-processing a file rewrites its rows instead of
+    duplicating them.  Cost is O(table) per batch under ``ParquetTable`` —
+    fine for intake-sized tables; Delta/Iceberg MERGE is the production
+    swap-in."""
+    tables["documents_processed"].upsert(outputs.processed, ["file_ref"])
+    tables["documents_extracted_fields"].upsert(
+        outputs.extracted_fields, ["file_ref", "field_name"]
+    )
+    tables["document_ocr"].upsert(outputs.ocr, ["file_name"])
+    if uploads is not None and "new_uploads" in tables:
+        done = uploads.withColumn("processed", F.lit(True))
+        tables["new_uploads"].upsert(done, ["file_name"])

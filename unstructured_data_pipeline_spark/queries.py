@@ -2650,9 +2650,10 @@ FROM cent WHERE pos < 4 GROUP BY label ORDER BY label
 def streaming_intake_eav(spark, sf_dir):
     """Structured Streaming intake driven end-to-end: 40 documents written
     to a landing dir, drained with trigger(availableNow) through the full
-    classify->extract pipeline into parquet tables, extracted fields read
-    back.  The checkpoint IS the processed-flag (exactly-once per file);
-    non-SQL-expressible -> rows-only check."""
+    classify->extract pipeline into parquet tables via idempotent keyed
+    upserts (at-least-once delivery, effectively-once results), extracted
+    fields read back.  The EAV output is deterministic and SQL-expressible,
+    so it carries a full DuckDB oracle (VERDICT r1 #6)."""
     import shutil
     import tempfile
 
@@ -2686,6 +2687,26 @@ def streaming_intake_eav(spark, sf_dir):
     out.count()  # materialize before the temp dir is removed
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+STREAM_EAV_SQL = f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) || '.txt' AS file_ref, text,
+         {_CLASSIFY_SQL} AS class_name
+  FROM documents WHERE doc_id < 40
+),
+eav AS (
+  SELECT file_ref, class_name, 'first_word' AS field_name,
+         string_split(text, ' ')[1] AS field_value FROM base
+  UNION ALL
+  SELECT file_ref, class_name, 'n_words',
+         CAST(len(string_split(text, ' ')) AS VARCHAR) FROM base
+  UNION ALL
+  SELECT file_ref, class_name, 'fingerprint', md5(text) FROM base
+)
+SELECT file_ref, class_name, field_name, field_value FROM eav
+ORDER BY file_ref, field_name
+"""
 
 
 def dedup_end_to_end_report(spark, sf_dir):
@@ -3634,7 +3655,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "json_roundtrip_suite": (json_roundtrip_suite, JSON_ROUNDTRIP_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "image_features_demo": (image_features_demo, None),
-    "streaming_intake_eav": (streaming_intake_eav, None),
+    "streaming_intake_eav": (streaming_intake_eav, STREAM_EAV_SQL),
     "video_frame_sample_demo": (video_frame_sample_demo, None),
     "audio_features_demo": (audio_features_demo, None),
     "sketch_event_stats": (sketch_event_stats, None),

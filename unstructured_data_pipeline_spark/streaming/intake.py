@@ -3,8 +3,12 @@
 The reference hand-rolls streaming with an uploads table and a ``processed``
 boolean flipped by MERGE (`app/Auto-Magic Document AI.py:548-554,920-926`) —
 at-least-once intake bookkeeping.  The Spark-native replacement is a
-checkpointed file-source stream: the checkpoint IS the processed flag,
-exactly-once per file, restart-safe, no bookkeeping table to merge into.
+checkpointed file-source stream: the checkpoint is the processed flag and is
+restart-safe, with no bookkeeping table to merge into.  Delivery to the sink
+is AT-LEAST-ONCE (foreachBatch replays a batch if the process dies after the
+sink writes but before the checkpoint commit); end-to-end results are still
+effectively-once because the sink upserts keyed by document
+(`persist_pipeline_outputs_idempotent`), so a replay rewrites the same rows.
 
 `start_intake_stream` wires: landing dir -> binaryFile/text stream ->
 foreachBatch(run_document_pipeline + persist).  Watermarked windowed
@@ -23,7 +27,7 @@ from unstructured_data_pipeline_spark.ai.backends import DocumentAIBackend
 from unstructured_data_pipeline_spark.operators.dml import ParquetTable
 from unstructured_data_pipeline_spark.pipelines.batch import (
     run_document_pipeline,
-    persist_pipeline_outputs,
+    persist_pipeline_outputs_idempotent,
 )
 
 
@@ -74,7 +78,8 @@ def start_intake_stream(
         if batch_df.isEmpty():
             return
         out = run_document_pipeline(batch_df, backend)
-        persist_pipeline_outputs(out, tables)
+        # keyed upserts, not appends: a replayed batch rewrites its own rows
+        persist_pipeline_outputs_idempotent(out, tables)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
