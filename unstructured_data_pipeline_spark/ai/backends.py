@@ -89,12 +89,25 @@ class DeterministicStubBackend:
 
     # -- AI3 ----------------------------------------------------------------
     def ocr(self, content: bytes) -> str:
-        """Layout-aware parse stub: utf-8 decode when the blob is text,
-        otherwise a deterministic hex-prefix marker.  Real PDF/image decode
-        (pypdfium2 / tesseract) plugs in here; those libs are not in this
-        container, so the decode step is a deterministic fake while the
-        Spark-side plumbing (binary column -> Arrow batch -> JSON envelope)
-        is real."""
+        """Layout-aware parse with content sniffing (PARSE_DOCUMENT
+        counterpart, `app.py:212-215`):
+
+        - ``%PDF`` magic -> real PDF text extraction (pypdfium2 when
+          installed, a pure-Python uncompressed-stream parser otherwise —
+          see :mod:`..ai.pdf`);
+        - utf-8 text blobs -> decoded as-is;
+        - anything else (images, audio — decoders not in this container) ->
+          a deterministic hex-prefix marker.
+
+        Always a pure function of the bytes, so the OCR path stays
+        replayable and oracle-friendly."""
+        from unstructured_data_pipeline_spark.ai import pdf as _pdf
+
+        if _pdf.is_pdf(content):
+            text = _pdf.extract_pdf_text(content)
+            if text is None:
+                text = f"<pdf:{content[:8].hex()}>"
+            return canonical_json({"content": text, "mode": "layout", "source": "pdf"})
         try:
             text = content.decode("utf-8")
         except (UnicodeDecodeError, AttributeError):

@@ -67,6 +67,15 @@ def make_udfs(backend: DocumentAIBackend | None = None) -> dict[str, Callable]:
     return {"classify": classify, "extract": extract, "ocr": ocr, "summarize": summarize}
 
 
+@F.pandas_udf(T.BinaryType())
+def render_pdf_udf(text: pd.Series) -> pd.Series:
+    """Text -> minimal single-page PDF bytes (Arrow-batched) — the fixture
+    renderer for the AI3 binary path; see ai/pdf.py."""
+    from unstructured_data_pipeline_spark.ai.pdf import make_minimal_pdf
+
+    return text.map(lambda t: make_minimal_pdf(t or ""))
+
+
 def unwrap_response(res_col):
     """AI7: pull the ``response`` object out of an extraction envelope as a
     map<string,string>; error envelopes yield an empty map (the error stays

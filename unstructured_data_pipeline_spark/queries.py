@@ -1193,6 +1193,39 @@ GROUP BY e.q_id ORDER BY e.q_id
 ANN_LSH_RECALL_SQL = _ann_lsh_recall_sql()
 
 
+def pdf_ocr_pipeline_demo(spark, sf_dir):
+    """AI3 binary path, end-to-end: document text -> real single-page PDF
+    bytes (make_minimal_pdf) -> binary column -> Arrow-batched OCR UDF with
+    content sniffing (%PDF magic) -> layout envelope -> extracted text.
+    ``roundtrip_ok`` asserts extract(render(text)) == text row-by-row, so
+    the query is self-checking; rows-only because the extraction tier
+    (pypdfium2 vs the pure-Python fallback) may differ in whitespace across
+    environments.  Reference: PARSE_DOCUMENT `app.py:212-215` + pypdfium2
+    `environment.yml:17`."""
+    from unstructured_data_pipeline_spark.ai.udfs import make_udfs, render_pdf_udf as render_pdf
+
+    docs = _heavy(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    udfs = make_udfs()
+    blobs = docs.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit(".pdf")).alias("file_ref"),
+        F.col("text"),
+        render_pdf(F.col("text")).alias("content"),
+    )
+    parsed = blobs.select(
+        "file_ref",
+        "text",
+        udfs["ocr"](F.col("content")).alias("envelope"),
+    ).select(
+        "file_ref",
+        F.get_json_object("envelope", "$.source").alias("source"),
+        F.get_json_object("envelope", "$.content").alias("extracted"),
+        (F.get_json_object("envelope", "$.content") == F.col("text")).alias(
+            "roundtrip_ok"
+        ),
+    )
+    return parsed.orderBy("file_ref")
+
+
 def image_features_demo(spark, sf_dir):
     """Multimodal plumbing: binary content -> mapInPandas decode/featurize
     (deterministic fake decoder; real Spark-side batch shape)."""
@@ -3749,6 +3782,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "null_semantics_suite": (null_semantics_suite, NULL_SEMANTICS_SQL),
     "json_roundtrip_suite": (json_roundtrip_suite, JSON_ROUNDTRIP_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
+    "pdf_ocr_pipeline_demo": (pdf_ocr_pipeline_demo, None),
     "image_features_demo": (image_features_demo, None),
     "video_frame_sample_demo": (video_frame_sample_demo, None),
     "audio_features_demo": (audio_features_demo, None),

@@ -59,6 +59,9 @@ def start_intake_stream(
             )
         )
     else:
+        from unstructured_data_pipeline_spark.ai.udfs import make_udfs
+
+        ocr_udf = make_udfs(backend)["ocr"]
         stream = (
             spark.readStream.format("binaryFile")
             # streaming sources require an explicit schema; this is the
@@ -70,7 +73,12 @@ def start_intake_stream(
             .select(
                 F.element_at(F.split(F.col("path"), "/"), -1).alias("file_ref"),
                 F.col("path").alias("file_url"),
-                F.col("content").cast("string").alias("text"),
+                # raw bytes -> OCR envelope (content-sniffed: PDF text
+                # extraction, utf-8 decode, or opaque-binary marker) -> the
+                # recovered text feeds classify/extract downstream
+                F.get_json_object(
+                    ocr_udf(F.col("content")), "$.content"
+                ).alias("text"),
             )
         )
 
