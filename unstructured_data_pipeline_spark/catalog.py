@@ -12,14 +12,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from unstructured_data_pipeline_spark.operators.dml import ParquetTable
-from unstructured_data_pipeline_spark.schemas import PIPELINE_TABLES
+from unstructured_data_pipeline_spark.schemas import (
+    PIPELINE_TABLES,
+    VARIANT_NATIVE_CONF,
+    pipeline_tables,
+)
 
 
-def bootstrap_warehouse(spark: SparkSession, root: str) -> dict[str, ParquetTable]:
-    """CREATE IF NOT EXISTS for all five pipeline tables (S8)."""
+def bootstrap_warehouse(
+    spark: SparkSession, root: str, variant_native: bool | None = None
+) -> dict[str, ParquetTable]:
+    """CREATE IF NOT EXISTS for all five pipeline tables (S8).
+
+    ``variant_native=None`` reads the session conf
+    ``spark.unstructured_data_pipeline.variantNative`` (default off): when
+    on, the structured payload columns are stored as Spark-4 VariantType;
+    writers hand the same JSON strings either way (ParquetTable converts at
+    the boundary)."""
+    if variant_native is None:
+        variant_native = (
+            str(spark.conf.get(VARIANT_NATIVE_CONF, "false")).lower() == "true"
+        )
     return {
         name: ParquetTable(spark, root, name, schema).ensure()
-        for name, schema in PIPELINE_TABLES.items()
+        for name, schema in pipeline_tables(variant_native).items()
     }
 
 

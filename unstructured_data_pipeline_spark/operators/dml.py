@@ -160,11 +160,41 @@ class ParquetTable:
         self.ensure()
         return self.spark.read.schema(self.schema).parquet(self.data_dir())
 
+    def _conform(self, df: DataFrame) -> DataFrame:
+        """Project ``df`` onto the table schema, converting at the
+        string<->VariantType boundary so callers can hand either encoding:
+
+        - string -> variant: JSON text parses as its JSON value; non-JSON
+          text becomes a variant *string* (matching Snowflake's VARIANT
+          treatment of bare strings, `app.py:276-283`);
+        - variant -> string: ``to_json`` (canonical JSON bytes).
+        """
+        cols = []
+        for f in self.schema.fields:
+            c = F.col(f.name)
+            actual = df.schema[f.name].dataType
+            want_v = isinstance(f.dataType, T.VariantType)
+            have_v = isinstance(actual, T.VariantType)
+            if want_v and not have_v:
+                s = c.cast("string")
+                esc = F.regexp_replace(s, r"\\", r"\\\\")
+                esc = F.regexp_replace(esc, '"', '\\\\"')
+                esc = F.regexp_replace(esc, "\n", r"\\n")
+                esc = F.regexp_replace(esc, "\r", r"\\r")
+                esc = F.regexp_replace(esc, "\t", r"\\t")
+                quoted = F.concat(F.lit('"'), esc, F.lit('"'))
+                cols.append(
+                    F.coalesce(F.try_parse_json(s), F.parse_json(quoted)).alias(f.name)
+                )
+            elif have_v and not want_v:
+                cols.append(F.to_json(c).alias(f.name))
+            else:
+                cols.append(c.alias(f.name))
+        return df.select(*cols)
+
     def append(self, df: DataFrame) -> None:
         self.ensure()
-        df.select(*[f.name for f in self.schema.fields]).write.mode("append").parquet(
-            self.data_dir()
-        )
+        self._conform(df).write.mode("append").parquet(self.data_dir())
 
     def _replace(self, df: DataFrame) -> None:
         self.ensure()
@@ -173,10 +203,10 @@ class ParquetTable:
         self._publish(v)
 
     def upsert(self, source: DataFrame, keys: list[str]) -> None:
-        self._replace(upsert(self.read(), source, keys))
+        self._replace(upsert(self.read(), self._conform(source), keys))
 
     def anti_insert(self, source: DataFrame, keys: list[str]) -> None:
-        fresh = source.join(
+        fresh = self._conform(source).join(
             self.read().select(*keys).distinct(), on=keys, how="left_anti"
         )
         self.append(fresh)

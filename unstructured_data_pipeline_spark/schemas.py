@@ -89,6 +89,42 @@ PIPELINE_KEYS: dict[str, list[str]] = {
     "document_ocr": ["file_name"],
 }
 
+# --- Spark-4 native VariantType upgrade path (SURVEY §1.2) -----------------
+# Session conf flag: when "true", bootstrap_warehouse stores the VARIANT-ish
+# payload columns as real VariantType instead of canonical JSON strings.
+VARIANT_NATIVE_CONF = "spark.unstructured_data_pipeline.variantNative"
+
+# which columns upgrade per table (the reference's VARIANT columns that carry
+# structured payloads; setup_database.sql:54-72)
+VARIANT_COLUMNS: dict[str, list[str]] = {
+    "documents_processed": ["extraction_result"],
+    "documents_extracted_fields": ["field_value"],
+}
+
+
+def pipeline_tables(variant_native: bool = False) -> dict[str, T.StructType]:
+    """The warehouse schemas under either VARIANT encoding.  String mode
+    (default) is byte-stable canonical JSON — what the oracle hash gate
+    compares; native mode stores binary VariantType (columnar decode,
+    ~order-faster repeated path extraction on wide payloads)."""
+    if not variant_native:
+        return dict(PIPELINE_TABLES)
+    out: dict[str, T.StructType] = {}
+    for name, schema in PIPELINE_TABLES.items():
+        vcols = set(VARIANT_COLUMNS.get(name, []))
+        out[name] = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    T.VariantType() if f.name in vcols else f.dataType,
+                    f.nullable,
+                )
+                for f in schema.fields
+            ]
+        )
+    return out
+
+
 # the binaryFile-source row shape (Spark built-in) used for raw documents
 BINARY_DOCUMENT = T.StructType(
     [
