@@ -434,6 +434,23 @@ def test_dedup_clusters_connected_components(spark):
     assert rep == {"keep": 3, "drop": 4}
 
 
+def test_dedup_clusters_iteration_cap_raises_not_splits(spark):
+    """ADVICE r1: exiting by iteration cap with labels still moving must
+    raise — a silent exit would return split (wrong) cluster ids."""
+    import pytest
+
+    from unstructured_data_pipeline_spark.operators.dedup import dedup_clusters
+
+    # a 12-node chain: min-label needs ~11 rounds to flood node 0's label
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, max_iter=3)
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(chain, max_iter=15).collect()}
+    assert set(got.values()) == {0}
+
+
 # session-window and range-join boundary semantics
 
 

@@ -9,7 +9,10 @@ EXISTS semantics, plus listing helpers over spark.catalog.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from unstructured_data_pipeline_spark.operators.dml import ParquetTable
 from unstructured_data_pipeline_spark.schemas import (
@@ -66,3 +69,92 @@ def seed_invoice_prompts(spark: SparkSession, tables: dict[str, ParquetTable]) -
 def list_tables(spark: SparkSession) -> DataFrame:
     """S4 catalog scan."""
     return spark.sql("SHOW TABLES")
+
+
+def list_stages(
+    spark: SparkSession,
+    roots: list[str],
+    tables: dict[str, ParquetTable] | None = None,
+) -> DataFrame:
+    """SHOW STAGES counterpart (`app.py:108-133`): stages here are landing
+    directories.  Mirrors the reference's union of scope listings plus the
+    stage names already seen in NEW_UPLOADS (stripped of their ``@``).
+    Output: (stage_name, stage_root) sorted by name."""
+    import os
+
+    rows: set[tuple[str, str]] = set()
+    for root in roots:
+        if os.path.isdir(root):
+            for d in os.listdir(root):
+                full = os.path.join(root, d)
+                if os.path.isdir(full):
+                    rows.add((d, full))
+    seen = None
+    if tables and "new_uploads" in tables:
+        seen = (
+            tables["new_uploads"]
+            .read()
+            .select(
+                F.regexp_replace(F.col("stage_name"), "^@", "").alias("stage_name")
+            )
+            .filter(F.col("stage_name").isNotNull() & (F.col("stage_name") != ""))
+            .distinct()
+            .withColumn("stage_root", F.lit(None).cast("string"))
+        )
+    df = spark.createDataFrame(
+        sorted(rows), "stage_name string, stage_root string"
+    )
+    if seen is not None:
+        df = (
+            df.unionByName(seen)
+            .groupBy("stage_name")
+            .agg(F.max("stage_root").alias("stage_root"))
+        )
+    return df.orderBy("stage_name")
+
+
+def list_stage_files(spark: SparkSession, stage_dir: str) -> DataFrame:
+    """DIRECTORY(@stage) counterpart (`app.py:136-140`): RELATIVE_PATH +
+    FILE_URL + size/mtime for every file in a stage.  Distributed listing
+    via the binaryFile source with the content column PRUNED — the scan
+    reads metadata only (check ReadSchema in the plan), so it is safe on a
+    stage holding terabytes of blobs."""
+    base = stage_dir.rstrip("/")
+    return (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(stage_dir)
+        .select(
+            F.regexp_replace(F.col("path"), re.escape("file:" + base) + "/?", "")
+            .alias("relative_path"),
+            F.col("path").alias("file_url"),
+            F.col("length").alias("size_bytes"),
+            F.col("modificationTime").alias("last_modified"),
+        )
+        .orderBy("relative_path")
+    )
+
+
+def setup_verification(
+    spark: SparkSession,
+    tables: dict[str, ParquetTable],
+    stage_roots: list[str] | None = None,
+) -> DataFrame:
+    """The reference's post-setup verification block
+    (`setup_database.sql:145-168`): one (object_type, count) row per object
+    family — tables, stages, document classes, seeded prompts."""
+    n_tables = len(tables)
+    n_stages = (
+        list_stages(spark, stage_roots, tables).count() if stage_roots else 0
+    )
+    n_classes = tables["class_prompts"].read().select("class_name").distinct().count()
+    n_prompts = tables["class_prompts"].read().count()
+    return spark.createDataFrame(
+        [
+            ("Tables", n_tables),
+            ("Stages", n_stages),
+            ("Document Classes", n_classes),
+            ("Prompt Rows", n_prompts),
+        ],
+        "object_type string, count long",
+    )

@@ -357,6 +357,12 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     checkpointed via localCheckpoint to keep the plan from growing
     exponentially across iterations (classic iterative-algorithm trap).
 
+    If the loop exits by iteration cap while labels are still changing, the
+    cluster ids are WRONG (a >max_iter-hop chain would be split), so that
+    case raises rather than returning silently-split clusters (ADVICE r1);
+    callers with genuinely deep graphs pass a bigger ``max_iter`` (or
+    pointer-doubling large-star/small-star is the O(log n) upgrade).
+
     Input: (a, b) pair columns.  Output: (id, cluster_id).
     """
     edges = (
@@ -396,6 +402,13 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iter={max_iter} "
+            "rounds; resulting cluster ids would be split. Increase max_iter "
+            "(graph diameter exceeds it)."
+        )
     edges.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
 

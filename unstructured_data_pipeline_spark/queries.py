@@ -66,9 +66,25 @@ def _heavy(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts as raw BIGINT nanoseconds (see module docstring)."""
+    """events with ts as raw BIGINT nanoseconds (see module docstring).
+
+    The nanosAsLong conf is scoped to this one read (set, load, restore):
+    leaving it set session-wide would silently turn every later
+    nanos-timestamp parquet read in the same session into BIGINT columns
+    (ADVICE r1).  The returned DataFrame keeps the BIGINT reading because
+    the conf is captured at logical-plan creation."""
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _t(spark, sf_dir, "events")
+    try:
+        df = _t(spark, sf_dir, "events")
+        # materialize the analyzed plan so the conf is baked in before restore
+        df.schema
+        return df
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
 
 
 def _cents(col: F.Column) -> F.Column:
