@@ -107,6 +107,23 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s cold {cold[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # round-2 additions, timed SEPARATELY — the headline set above stays
+    # frozen for round-over-round comparability (VERDICT r1 #10)
+    EXTRA = [
+        "dedup_ngram_jaccard_prefix",  # the scale-safe SSJoin path
+        "ann_lsh_recall",              # LSH ANN + exact baseline + recall join
+        "pdf_ocr_pipeline_demo",       # render->sniff->extract binary path
+        "streaming_intake_eav",        # full streaming intake drain
+    ]
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        fn, _ = REGISTRY[name]
+        fn(spark, sf_dir).collect()  # warm/JIT
+        t0 = time.perf_counter()
+        n = len(fn(spark, sf_dir).collect())
+        extra[name] = round(time.perf_counter() - t0, 3)
+        print(f"# extra {name}: {extra[name]:.3f}s ({n} rows)", file=sys.stderr)
+
     # document-pipeline throughput (BASELINE.md: docs/sec, stub AI backends,
     # full classify->extract->EAV): documents count / wall time of the EAV run
     n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
@@ -123,6 +140,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_queries": cold,
+                "extra_queries": extra,
                 "pipeline_docs_per_sec": docs_per_sec,
                 "sf": float(sf) if sf else None,
             }

@@ -330,13 +330,19 @@ def ngram_jaccard_pairs(
     prefix = (
         ranked.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= prefix_len)
-        .select("id", "shingle")
+        .select("id", "sz", "shingle")
     )
-    pa = prefix.select(F.col("id").alias("a"), "shingle")
-    pb = prefix.select(F.col("id").alias("b"), "shingle")
+    pa = prefix.select(F.col("id").alias("a"), F.col("sz").alias("sa"), "shingle")
+    pb = prefix.select(F.col("id").alias("b"), F.col("sz").alias("sb"), "shingle")
     cand = (
         pa.join(pb, "shingle")
         .filter(F.col("a") < F.col("b"))
+        # length filter: jaccard >= t forces t*max(|a|,|b|) <= min(|a|,|b|)
+        # (i <= min and J = i/(na+nb-i)), pruning size-mismatched pairs
+        # BEFORE the distinct/verify — the other classic SSJoin filter
+        .filter(
+            F.greatest("sa", "sb") * threshold <= F.least("sa", "sb")
+        )
         .select("a", "b")
         .distinct()
     )

@@ -21,14 +21,47 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# measuring a plan's partition count (df.rdd.getNumPartitions) forces an
+# extra physical-planning pass; split counts are a function of the input
+# files (size-based, unaffected by projection/filter pushdown), so the probe
+# result is cached per file-set (VERDICT r1 minor #4)
+_SPLIT_CACHE: dict[tuple[str, ...], int] = {}
+_SPLIT_CACHE_MAX = 256
 
-def ensure_min_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
+# set to "false" to make every call a guaranteed no-op (real deployments
+# whose inputs always arrive well-split can skip even the probe)
+ENSURE_MIN_PARALLELISM_CONF = "spark.unstructured_data_pipeline.ensureMinParallelism"
+
+
+def ensure_min_parallelism(
+    df: DataFrame, target: int | None = None, threshold: int | None = None
+) -> DataFrame:
     """Repartition ``df`` to ``target`` (default: the cluster's
     ``defaultParallelism``) iff its physical plan currently yields fewer
-    partitions.  A no-op — zero added shuffle — when the input is already
-    spread, so it is safe to leave in 100 TB paths."""
+    than ``threshold`` (default: ``target``) partitions.  A no-op — zero
+    added shuffle — when the input is already spread, so it is safe to
+    leave in 100 TB paths."""
+    spark = df.sparkSession
+    if str(spark.conf.get(ENSURE_MIN_PARALLELISM_CONF, "true")).lower() != "true":
+        return df
     if target is None:
-        target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+        target = spark.sparkContext.defaultParallelism
+    if threshold is None:
+        threshold = target
+    # key on files + the ANALYZED plan's semantic hash (already computed for
+    # the schema, so cheap): same scan -> cache hit; a plan with different
+    # shape over the same files (e.g. post-shuffle) keys separately
+    try:
+        sem = df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        sem = None
+    files = (tuple(df.inputFiles()), sem)
+    if files[0] and sem is not None and files in _SPLIT_CACHE:
+        n = _SPLIT_CACHE[files]
+    else:
+        n = df.rdd.getNumPartitions()
+        if files[0] and sem is not None and len(_SPLIT_CACHE) < _SPLIT_CACHE_MAX:
+            _SPLIT_CACHE[files] = n
+    if n < threshold:
         return df.repartition(target)
     return df

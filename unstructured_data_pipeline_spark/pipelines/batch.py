@@ -106,9 +106,12 @@ def run_document_pipeline(
     )
     # the AI UDF stages are the expensive path — make sure they run with
     # cluster-wide parallelism even when the source is one small file.
+    from unstructured_data_pipeline_spark.operators.partitioning import (
+        ensure_min_parallelism,
+    )
+
     par = spark.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < max(2, par // 2):
-        base = base.repartition(par)
+    base = ensure_min_parallelism(base, target=par, threshold=max(2, par // 2))
 
     # prompt dimension: provided schemas upserted over auto-generated ones.
     # The class domain of the stub classifier is closed (3 classes), so the
