@@ -1,0 +1,159 @@
+"""Multimodal decode tiers: REAL stdlib parsing for PNG/GIF/BMP/JPEG headers,
+24-bit BMP pixels, and WAV PCM; deterministic-fake fallbacks for everything
+else.  Fixtures are generated in-test with stdlib only."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import pytest
+
+from unstructured_data_pipeline_spark.operators.multimodal import (
+    _bmp_pixel_stats,
+    _decode_audio,
+    _decode_image,
+    _parse_wav,
+)
+
+
+def make_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Uncompressed 24-bit bottom-up BMP of one solid color."""
+    row = bytes(rgb[::-1]) * width  # BGR order
+    row += b"\x00" * ((-len(row)) % 4)
+    pixels = row * height
+    header_size = 14 + 40
+    total = header_size + len(pixels)
+    bmp = struct.pack("<2sIHHI", b"BM", total, 0, 0, header_size)
+    bmp += struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(pixels), 2835, 2835, 0, 0)
+    return bmp + pixels
+
+
+def make_png(width: int, height: int) -> bytes:
+    """PNG signature + IHDR only (enough for header-tier decode)."""
+    ihdr = struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\x00" * 4
+    )
+
+
+def make_gif(width: int, height: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00" * 8
+
+
+def make_jpeg(width: int, height: int) -> bytes:
+    """SOI + APP0 + SOF0 skeleton (enough for the marker walk)."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(
+        ">HH", height, width
+    ) + b"\x03\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def make_wav(rate: int, samples: list[float], width: int = 2, nch: int = 1) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        if width == 2:
+            w.writeframes(
+                struct.pack(f"<{len(samples)}h",
+                            *[int(max(-1, min(1, s)) * 32767) for s in samples])
+            )
+        else:
+            w.writeframes(bytes(int((s + 1) * 127.5) for s in samples))
+    return buf.getvalue()
+
+
+def test_real_image_header_decode():
+    assert _decode_image(make_png(640, 480)) == ("image/png", 640, 480)
+    assert _decode_image(make_gif(31, 17)) == ("image/gif", 31, 17)
+    assert _decode_image(make_bmp(8, 4, (255, 0, 0)))[:3] == ("image/bmp", 8, 4)
+    assert _decode_image(make_jpeg(1920, 1080)) == ("image/jpeg", 1920, 1080)
+
+
+def test_unknown_format_gets_deterministic_fake_geometry():
+    a = _decode_image(b"\x00\x01gibberish")
+    b = _decode_image(b"\x00\x01gibberish")
+    assert a == b
+    assert a[0] == "application/octet-stream"
+    assert 64 <= a[1] < 256 and 64 <= a[2] < 256
+
+
+def test_bmp_pixel_stats_real():
+    # solid red: mean_r=1, mean_g=0, mean_b=0, gray std=0
+    stats = _bmp_pixel_stats(make_bmp(5, 3, (255, 0, 0)))
+    assert stats is not None
+    mr, mg, mb, std = stats
+    assert mr == pytest.approx(1.0) and mg == 0.0 and mb == 0.0
+    assert std == pytest.approx(0.0, abs=1e-6)
+    # solid mid-gray: all means 0.5-ish, std 0
+    stats2 = _bmp_pixel_stats(make_bmp(4, 4, (128, 128, 128)))
+    assert stats2[0] == pytest.approx(128 / 255)
+    # non-BMP -> None (fake tier takes over)
+    assert _bmp_pixel_stats(b"not a bmp") is None
+
+
+def test_wav_decode_real_16bit():
+    rate, pcm = _parse_wav(make_wav(44100, [0.0, 0.5, -0.5, 1.0]))
+    assert rate == 44100
+    assert len(pcm) == 4
+    assert pcm[1] == pytest.approx(0.5, abs=1e-3)
+    assert pcm[2] == pytest.approx(-0.5, abs=1e-3)
+
+
+def test_wav_decode_stereo_downmix_and_8bit():
+    stereo = make_wav(8000, [1.0, -1.0, 0.5, 0.5], nch=2)  # 2 frames x 2 ch
+    rate, pcm = _parse_wav(stereo)
+    assert rate == 8000 and len(pcm) == 2
+    assert pcm[0] == pytest.approx(0.0, abs=1e-2)  # (1 + -1)/2
+    assert pcm[1] == pytest.approx(0.5, abs=1e-2)
+    rate8, pcm8 = _parse_wav(make_wav(16000, [0.0, 0.25], width=1))
+    assert rate8 == 16000 and len(pcm8) == 2
+
+
+def test_non_wav_audio_falls_back_deterministically():
+    rate, pcm = _decode_audio(b"\x01\x02\x03mp3ish")
+    assert rate == 16000 and len(pcm) == 9
+    assert _decode_audio(b"\x01\x02\x03mp3ish") == (rate, pcm)
+
+
+def test_image_features_spark_pipeline_with_real_bmp(spark):
+    from unstructured_data_pipeline_spark.operators.multimodal import image_features
+
+    df = spark.createDataFrame(
+        [("red.bmp", make_bmp(6, 6, (255, 0, 0))),
+         ("p.png", make_png(320, 200)),
+         ("x.bin", b"opaque")],
+        "path string, content binary",
+    )
+    got = {r["id"]: r for r in image_features(df, dim=6).collect()}
+    assert got["red.bmp"]["mime"] == "image/bmp"
+    assert got["red.bmp"]["width"] == 6
+    assert got["red.bmp"]["feat"][0] == pytest.approx(1.0)  # real mean_r
+    assert got["p.png"]["width"] == 320 and got["p.png"]["height"] == 200
+    assert got["x.bin"]["mime"] == "application/octet-stream"
+
+
+def test_audio_features_spark_pipeline_with_real_wav(spark):
+    import math
+
+    from unstructured_data_pipeline_spark.operators.multimodal import audio_features
+
+    tone = [math.sin(2 * math.pi * 440 * i / 8000) for i in range(800)]
+    df = spark.createDataFrame(
+        [("tone.wav", make_wav(8000, tone)), ("noise.bin", bytes(range(64)))],
+        "path string, content binary",
+    )
+    got = {r["id"]: r for r in audio_features(df).collect()}
+    t = got["tone.wav"]
+    assert t["sample_rate"] == 8000
+    assert t["n_samples"] == 800
+    # sine RMS = 1/sqrt(2); 440 Hz over 0.1 s -> ~88 zero crossings
+    assert t["rms"] == pytest.approx(1 / math.sqrt(2), rel=0.01)
+    assert 80 <= t["zero_crossings"] <= 96
+    assert got["noise.bin"]["sample_rate"] == 16000  # fake tier

@@ -5,10 +5,20 @@ Convention: a modality column is ``content BINARY`` plus a metadata struct
 Arrow-batched ``mapInPandas`` transforms so the binary payloads never leave
 the executors and batches amortize the Python boundary.
 
-The actual decoders (Pillow / ffmpeg / torchaudio) are NOT in this container,
-so the decode kernels are deterministic fakes behind ``_decode_image`` /
-``_sample_frames`` — clearly marked; the Spark-side plumbing (schemas,
-partitioning, UDF signatures, batch shapes) is real and tested.
+Decode tiers (all pure functions of the bytes — replayable):
+
+- **Real, stdlib-only**: container/geometry parsing for PNG, GIF, BMP and
+  JPEG (magic sniff + header walk), full PCM decode for WAV (``wave`` +
+  ``struct``), real per-channel pixel statistics for uncompressed 24-bit
+  BMP.
+- **Optional import**: Pillow (``PIL.Image``) upgrades geometry + pixel
+  stats to every format it supports; absent in this container.
+- **Deterministic fake**: feature vectors for compressed payloads the
+  stdlib can't decode (md5-derived, clearly marked) — swap for a vision /
+  audio encoder in production.
+
+The Spark-side plumbing (schemas, partitioning, UDF signatures, batch
+shapes) is real and tested in every tier.
 """
 
 from __future__ import annotations
@@ -33,34 +43,130 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 
-def _decode_image(content: bytes) -> tuple[str, int, int]:
-    """DETERMINISTIC FAKE decode (real impl: PIL.Image.open).
+try:  # optional full-fidelity tier
+    from PIL import Image as _PILImage  # pragma: no cover - not installed here
+except Exception:
+    _PILImage = None
 
-    Sniffs magic bytes for the mime and derives a fake geometry from the
-    content hash so tests are reproducible.  Swap for a real decoder when the
-    imaging libs are available.
-    """
-    if content[:8] == b"\x89PNG\r\n\x1a\n":
-        mime = "image/png"
-    elif content[:3] == b"\xff\xd8\xff":
-        mime = "image/jpeg"
-    elif content[:5] == b"%PDF-":
-        mime = "application/pdf"
-    else:
+
+def _jpeg_dimensions(content: bytes) -> tuple[int, int] | None:
+    """Walk JPEG markers to the SOFn segment: payload is
+    (precision u8, height u16be, width u16be)."""
+    import struct
+
+    i = 2
+    while i + 9 < len(content):
+        if content[i] != 0xFF:
+            return None
+        marker = content[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
+            i += 2
+            continue
+        (seglen,) = struct.unpack(">H", content[i + 2 : i + 4])
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):  # SOFn
+            h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+            return w, h
+        i += 2 + seglen
+    return None
+
+
+def _decode_image(content: bytes) -> tuple[str, int, int]:
+    """Image container decode: REAL header parsing for PNG/GIF/BMP/JPEG
+    (stdlib struct walks, no imaging libs needed), Pillow when installed
+    for everything else, md5-derived FAKE geometry as the last resort so
+    unknown payloads still flow through the pipeline deterministically."""
+    import struct
+
+    try:
+        if content[:8] == b"\x89PNG\r\n\x1a\n" and len(content) >= 24:
+            w, h = struct.unpack(">II", content[16:24])  # IHDR
+            return "image/png", w, h
+        if content[:6] in (b"GIF87a", b"GIF89a") and len(content) >= 10:
+            w, h = struct.unpack("<HH", content[6:10])
+            return "image/gif", w, h
+        if content[:2] == b"BM" and len(content) >= 26:
+            w, h = struct.unpack("<ii", content[18:26])  # BITMAPINFOHEADER
+            return "image/bmp", abs(w), abs(h)
+        if content[:3] == b"\xff\xd8\xff":
+            dims = _jpeg_dimensions(content)
+            if dims:
+                return "image/jpeg", dims[0], dims[1]
+            mime = "image/jpeg"
+        elif content[:5] == b"%PDF-":
+            mime = "application/pdf"
+        else:
+            mime = "application/octet-stream"
+    except struct.error:
         mime = "application/octet-stream"
+    if _PILImage is not None:  # pragma: no cover - lib absent here
+        try:
+            import io
+
+            with _PILImage.open(io.BytesIO(content)) as im:
+                return mime if mime != "application/octet-stream" else (
+                    f"image/{(im.format or 'unknown').lower()}"
+                ), im.width, im.height
+        except Exception:
+            pass
+    # FAKE tier: md5-derived geometry, reproducible everywhere
     import hashlib
 
     h = hashlib.md5(content).digest()
     return mime, 64 + h[0] % 192, 64 + h[1] % 192
 
 
+def _bmp_pixel_stats(content: bytes) -> list[float] | None:
+    """REAL pixel statistics for uncompressed 24-bit BMP: per-channel means
+    in [0, 1] + grayscale std — the honest feature prefix for payloads the
+    stdlib can fully decode."""
+    import struct
+
+    try:
+        if content[:2] != b"BM" or len(content) < 54:
+            return None
+        (offset,) = struct.unpack("<I", content[10:14])
+        w, h = struct.unpack("<ii", content[18:26])
+        (bpp,) = struct.unpack("<H", content[28:30])
+        (compression,) = struct.unpack("<I", content[30:34])
+        if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+            return None
+        height = abs(h)
+        row_bytes = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+        if offset + row_bytes * height > len(content):
+            return None
+        sums = [0, 0, 0]
+        sq = 0.0
+        n = w * height
+        for row in range(height):
+            base = offset + row * row_bytes
+            for x in range(w):
+                b, g, r = content[base + 3 * x : base + 3 * x + 3]
+                sums[0] += r
+                sums[1] += g
+                sums[2] += b
+                gray = (r + g + b) / (3 * 255.0)
+                sq += gray * gray
+        mr, mg, mb = (s / (n * 255.0) for s in sums)
+        mean_gray = (sums[0] + sums[1] + sums[2]) / (3 * n * 255.0)
+        var = max(0.0, sq / n - mean_gray * mean_gray)
+        return [mr, mg, mb, var**0.5]
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
 def _feature_vector(content: bytes, dim: int = 8) -> list[float]:
-    """DETERMINISTIC FAKE feature extraction (real impl: a vision encoder).
-    md5-derived values in [-1, 1]."""
+    """Feature extraction: REAL pixel statistics lead the vector when the
+    payload is stdlib-decodable (24-bit BMP — per-channel means + gray
+    std); the remainder (and the whole vector for compressed formats) is
+    the DETERMINISTIC FAKE tier, md5-derived values in [-1, 1] standing in
+    for a vision encoder."""
     import hashlib
 
-    out = []
-    for i in range(dim):
+    out: list[float] = []
+    stats = _bmp_pixel_stats(content)
+    if stats:
+        out.extend(stats[:dim])
+    for i in range(len(out), dim):
         h = hashlib.md5(content + i.to_bytes(2, "big")).digest()
         out.append(2.0 * (int.from_bytes(h[:4], "big") / 0xFFFFFFFF) - 1.0)
     return out
@@ -133,10 +239,45 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
+def _parse_wav(content: bytes) -> tuple[int, list[float]] | None:
+    """REAL WAV decode via the stdlib ``wave`` module: 8/16-bit PCM, any
+    channel count (downmixed to mono by averaging).  Returns None for
+    non-WAV or unsupported sample widths."""
+    import io
+    import struct
+    import wave
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(content)) as w:
+            rate = w.getframerate()
+            nch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError):
+        return None
+    if width == 1:  # unsigned 8-bit
+        samples = [(b - 128) / 128.0 for b in raw]
+    elif width == 2:  # signed 16-bit LE
+        samples = [s / 32768.0 for s in struct.unpack(f"<{len(raw) // 2}h", raw)]
+    else:
+        return None
+    if nch > 1:
+        samples = [
+            sum(samples[i : i + nch]) / nch for i in range(0, len(samples), nch)
+        ]
+    return rate, samples
+
+
 def _decode_audio(content: bytes) -> tuple[int, list[float]]:
-    """DETERMINISTIC FAKE decode (real impl: soundfile/ffmpeg, neither in
-    this container).  Interprets the bytes as signed 8-bit PCM at a fake
-    16 kHz rate so the downstream feature math is real."""
+    """Audio decode: REAL stdlib WAV parsing when the bytes are a RIFF/WAVE
+    container; otherwise the DETERMINISTIC FAKE tier (bytes as signed 8-bit
+    PCM at a nominal 16 kHz) so compressed formats (mp3/ogg — decoders not
+    in this container) still flow through the real feature math."""
+    wav = _parse_wav(content)
+    if wav is not None:
+        return wav
     pcm = [(b - 128) / 128.0 for b in content]
     return 16000, pcm
 
