@@ -811,6 +811,120 @@ WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
 """
 
 
+def corpus_curation_report(spark, sf_dir):
+    """The end-to-end training-data curation decision, as ONE oracle-backed
+    report: every document gets a status by first-match precedence —
+
+      exact_dup   not the canonical (min-id) copy of its content hash
+      near_dup    the larger id of an exact-Jaccard >= 0.5 pair among
+                  exact-dedup survivors (greedy keep-the-min rule)
+      lang_filtered  outside the kept-language set
+      low_quality    n_tokens < 15 or unique-token ratio < 0.5
+      kept        everything else — what a pretraining run would ingest
+
+    Corpus plants both duplicate kinds (%7 exact copies, %5 first-word-
+    dropped near copies).  This composes the dedup + quality + lang-id
+    operators the way a real 100 TB curation pass chains them; every stage
+    is deterministic, so the whole funnel hash-checks against DuckDB."""
+    from unstructured_data_pipeline_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    exact_extra = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    )
+    near_extra = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 2, 1000000), " ").alias("text"),
+        "lang",
+    )
+    corpus = d.unionByName(exact_extra).unionByName(near_extra)
+    corpus = ensure_min_parallelism(corpus).persist()
+
+    hashed = corpus.withColumn("h", fingerprint("text"))
+    canon = hashed.groupBy("h").agg(F.min("doc_id").alias("canonical"))
+    marked = hashed.join(canon, "h").withColumn(
+        "is_exact_dup", F.col("doc_id") != F.col("canonical")
+    )
+    survivors = marked.filter(~F.col("is_exact_dup")).select("doc_id", "text")
+    near_drop = (
+        DD.ngram_jaccard_pairs(
+            survivors, "doc_id", "text", n=3, threshold=0.5, prefix_filter=True
+        )
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+        .withColumn("_nd", F.lit(1))
+    )
+    toks = F.split(F.col("text"), " ")
+    uniq_ratio = F.size(F.array_distinct(toks)) / F.size(toks)
+    statused = marked.join(near_drop, "doc_id", "left").select(
+        F.when(F.col("is_exact_dup"), "exact_dup")
+        .when(F.col("_nd").isNotNull(), "near_dup")
+        .when(~F.col("lang").isin("en", "es", "de", "fr"), "lang_filtered")
+        .when((F.size(toks) < 15) | (uniq_ratio < 0.5), "low_quality")
+        .otherwise("kept")
+        .alias("status")
+    )
+    return (
+        statused.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("status")
+    )
+
+
+CURATION_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 3000000, array_to_string(string_split(text, ' ')[2:], ' '), lang
+  FROM documents WHERE doc_id % 5 = 0
+),
+hashed AS (
+  SELECT doc_id, text, lang,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+  FROM corpus
+),
+canon AS (SELECT h, MIN(doc_id) AS canonical FROM hashed GROUP BY h),
+marked AS (
+  SELECT hashed.*, doc_id <> canonical AS is_exact_dup
+  FROM hashed JOIN canon USING (h)
+),
+toks AS (SELECT doc_id AS id, string_split(text, ' ') AS w
+         FROM marked WHERE NOT is_exact_dup),
+sh AS (
+  SELECT DISTINCT id,
+         unnest(list_transform(generate_series(1, len(w) - 2),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM toks
+),
+cnt AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT x.id AS a, y.id AS b, COUNT(*) AS i
+  FROM sh x JOIN sh y ON y.s = x.s AND x.id < y.id
+  GROUP BY 1, 2
+),
+neardrop AS (
+  SELECT DISTINCT b AS doc_id
+  FROM inter JOIN cnt na ON na.id = a JOIN cnt nb ON nb.id = b
+  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+),
+statused AS (
+  SELECT CASE
+    WHEN m.is_exact_dup THEN 'exact_dup'
+    WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+    WHEN m.lang NOT IN ('en', 'es', 'de', 'fr') THEN 'lang_filtered'
+    WHEN len(string_split(m.text, ' ')) < 15
+         OR CAST(len(list_distinct(string_split(m.text, ' '))) AS DOUBLE)
+            / len(string_split(m.text, ' ')) < 0.5 THEN 'low_quality'
+    ELSE 'kept' END AS status
+  FROM marked m LEFT JOIN neardrop nd ON nd.doc_id = m.doc_id
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM statused GROUP BY status ORDER BY status
+"""
+
+
 def dedup_minhash_recall(spark, sf_dir):
     """Quality evidence for the MinHash-LSH dedup path: recall of the
     banded-LSH pairs against the EXACT Jaccard ground truth on the same
@@ -3895,6 +4009,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "json_roundtrip_suite": (json_roundtrip_suite, JSON_ROUNDTRIP_SQL),
     # round-2 additions past slot 50: driver rows expected next round
     "dedup_minhash_recall": (dedup_minhash_recall, DEDUP_MINHASH_RECALL_SQL),
+    "corpus_curation_report": (corpus_curation_report, CURATION_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "pdf_ocr_pipeline_demo": (pdf_ocr_pipeline_demo, None),
     "image_features_demo": (image_features_demo, None),
