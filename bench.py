@@ -114,6 +114,11 @@ def main() -> None:
         "ann_lsh_recall",              # LSH ANN + exact baseline + recall join
         "pdf_ocr_pipeline_demo",       # render->sniff->extract binary path
         "streaming_intake_eav",        # full streaming intake drain
+        "corpus_curation_report",      # end-to-end curation funnel
+        "decontam_benchmark_overlap",  # 8-gram benchmark-overlap join
+        "kmeans_embeddings_clusters",  # 3 distributed Lloyd's passes
+        "pack_context_windows",        # greedy packing via applyInPandas
+        "stratified_sample_documents", # per-stratum hash sampling
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:

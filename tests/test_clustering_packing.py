@@ -1,0 +1,114 @@
+"""Unit tests for the round-2 training-data operators: k-means clustering
+(operators/clustering.py), greedy context-window packing
+(operators/packing.py), and the benchmark-decontamination query contract.
+The cross-engine value checks live in the DuckDB parity sweep
+(test_oracle_parity.py); these pin the algorithmic invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from unstructured_data_pipeline_spark import queries as Q
+from unstructured_data_pipeline_spark.operators.clustering import (
+    kmeans_embeddings,
+)
+from unstructured_data_pipeline_spark.operators.packing import pack_greedy
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# k-means
+
+
+def test_kmeans_partitions_all_points(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = kmeans_embeddings(emb, "vec_id", "embedding", k=8, iters=2).collect()
+    assert sum(r["n_points"] for r in out) == emb.count()
+    assert sorted(r["k"] for r in out) == sorted(set(r["k"] for r in out))
+
+
+def test_kmeans_deterministic_rerun(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = kmeans_embeddings(emb, "vec_id", "embedding", k=4, iters=2).collect()
+    b = kmeans_embeddings(emb, "vec_id", "embedding", k=4, iters=2).collect()
+    assert a == b
+
+
+def test_kmeans_separates_known_clusters(spark):
+    # two tight blobs far apart; k=2 must split them exactly
+    rows = [(i, [float(10 + (i % 3))] * 4) for i in range(6)] + [
+        (i, [float(-10 - (i % 3))] * 4) for i in range(6, 12)
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = kmeans_embeddings(df, "id", "v", k=2, iters=2, scale=1000)
+    sizes = sorted(r["n_points"] for r in out.collect())
+    assert sizes == [6, 6]
+
+
+def test_kmeans_fewer_points_than_k_is_empty(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "id long, v array<double>"
+    )
+    out = kmeans_embeddings(df, "id", "v", k=8, iters=1)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "k", "n_points", "dim1_sum", "total_q_sum", "centroid_dim1",
+    ]
+
+
+# ---------------------------------------------------------------------------
+# greedy packing
+
+
+def _packs(spark, sizes, budget):
+    rows = [("s", i, sz) for i, sz in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "shard string, id long, sz long")
+    out = pack_greedy(df, "shard", "id", "sz", budget=budget)
+    return [r["pack_id"] for r in out.orderBy("id").collect()]
+
+
+def test_pack_greedy_boundaries(spark):
+    # budget 10: [4,4,4] -> packs [0,0,1]; exact fit [6,4] stays together
+    assert _packs(spark, [4, 4, 4], 10) == [0, 0, 1]
+    assert _packs(spark, [6, 4, 1], 10) == [0, 0, 1]
+
+
+def test_pack_greedy_oversized_row_gets_own_pack(spark):
+    assert _packs(spark, [3, 25, 3, 3], 10) == [0, 1, 2, 2]
+    # oversized FIRST row also occupies pack 0 alone
+    assert _packs(spark, [25, 3], 10) == [0, 1]
+
+
+def test_pack_greedy_respects_budget_and_preserves_rows(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (f"s{i % 3}", i, rng.randint(1, 9)) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "shard string, id long, sz long")
+    out = pack_greedy(df, "shard", "id", "sz", budget=20)
+    assert out.count() == 60
+    over = (
+        out.groupBy("shard", "pack_id")
+        .agg(F.sum("sz").alias("t"))
+        .filter(F.col("t") > 20)
+        .count()
+    )
+    assert over == 0  # no oversized single rows in this fixture
+
+
+# ---------------------------------------------------------------------------
+# decontamination query contract
+
+
+def test_decontam_flags_planted_docs(spark):
+    out = Q.decontam_benchmark_overlap(spark, SF)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    planted = [i for i in rows if i >= 5_000_000]
+    assert planted  # every doc_id % 34 == 0 re-plant must be caught
+    for i in planted:
+        # the re-plant shares every one of its 8-grams with its source
+        assert rows[i]["n_overlap"] == rows[i]["n_grams"]
+        assert rows[i]["contamination_rate"] == 1.0

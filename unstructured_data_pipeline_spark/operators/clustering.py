@@ -1,0 +1,134 @@
+"""Distributed Lloyd's k-means over an embedding column.
+
+The reference app has no clustering; this extends the training-data-pipeline
+surface (semantic clustering for data mixing / diversity sampling) in the
+standard distributed shape Spark MLlib uses: centroids live on the driver
+(k*d values, tiny), each iteration is ONE distributed aggregation, points
+never leave the executors.
+
+Engineered for *cross-engine exactness* so the whole iterative algorithm can
+carry a DuckDB oracle (see ``queries.kmeans_embeddings_clusters``):
+
+* Embeddings are quantized to integers (``floor(v*scale + 0.5)``, the cents
+  trick) at ingest; centroid state is an EXACT integer pair
+  ``(elementwise sum, count)`` — aggregation order cannot change it.
+* Assignment distances are computed in doubles, but from exact integers via
+  the same IEEE op sequence in both engines: ``s[i]/n`` (one double divide),
+  subtract, square, then a *sequential* left fold over the dimensions
+  (Spark ``aggregate`` HOF == DuckDB ``list_reduce``; the ``0.0`` initial
+  accumulator is exact because every term is ``>= +0.0``).
+* Ties in the argmin break on the lower cluster index (struct ordering).
+
+Scale notes (100 TB): per iteration the only distributed work is one
+map-side-combinable groupBy on ``k`` producing ``k`` rows of ``d+1``
+aggregates — no shuffle of point data, no cross join, nothing quadratic.
+The driver holds ``k*(d+1)`` integers.  Empty clusters carry the previous
+centroid forward (deterministic, mirrors the oracle's LEFT JOIN COALESCE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RESULT_SCHEMA = (
+    "k int, n_points bigint, dim1_sum bigint, total_q_sum bigint, "
+    "centroid_dim1 double"
+)
+
+
+def quantize_vec(vec, scale: int):
+    """float vector -> exact integer vector (same IEEE ops as the oracle's
+    ``CAST(floor(CAST(v AS DOUBLE)*scale + 0.5) AS BIGINT)``)."""
+    return F.transform(
+        vec.cast("array<double>"),
+        lambda v: F.floor(v * F.lit(scale) + F.lit(0.5)).cast("long"),
+    )
+
+
+def _assign(pts: DataFrame, centroids: list[tuple[list[int], int]], d: int) -> DataFrame:
+    """Add the argmin cluster id.  One struct-array min per row — row-local,
+    zero shuffle; centroids enter the plan as array *literals* (constant,
+    not re-built per element)."""
+    x = F.col("x")
+    entries = []
+    def make_step(s_lit, n_lit):
+        def step(acc, i):
+            diff = F.element_at(x, i) - F.element_at(s_lit, i) / n_lit
+            return acc + diff * diff
+
+        return step
+
+    for j, (s, n) in enumerate(centroids):
+        s_lit = F.lit([int(v) for v in s])
+        n_lit = F.lit(int(n))
+        dist = F.aggregate(
+            F.sequence(F.lit(1), F.lit(d)), F.lit(0.0), make_step(s_lit, n_lit)
+        )
+        entries.append(F.struct(dist.alias("d"), F.lit(j).alias("k")))
+    return pts.select(
+        "id", "x", F.array_min(F.array(*entries))["k"].alias("k")
+    )
+
+
+def kmeans_embeddings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Run ``iters`` Lloyd updates seeded from the ``k`` lowest-id points,
+    then return per-cluster stats of the final assignment:
+    ``(k, n_points, dim1_sum, total_q_sum, centroid_dim1)`` — all exact
+    integers except the final rounded centroid coordinate."""
+    spark = df.sparkSession
+    pts = df.select(
+        F.col(id_col).alias("id"), quantize_vec(F.col(vec_col), scale).alias("x")
+    )
+    seeds = pts.orderBy("id").limit(k).collect()
+    if len(seeds) < k:  # degenerate input (fewer points than clusters)
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    d = len(seeds[0]["x"])
+    centroids: list[tuple[list[int], int]] = [(list(r["x"]), 1) for r in seeds]
+
+    pts = pts.persist()
+    try:
+        for _ in range(iters):
+            assigned = _assign(pts, centroids, d)
+            rows = assigned.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("x", i + 1)).alias(f"s{i}")
+                    for i in range(d)
+                ],
+            ).collect()
+            updated = {
+                r["k"]: ([r[f"s{i}"] for i in range(d)], r["n"]) for r in rows
+            }
+            centroids = [updated.get(j, centroids[j]) for j in range(k)]
+    finally:
+        pts.unpersist(blocking=False)
+
+    final = _assign(pts, centroids, d)
+    return (
+        final.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.element_at("x", 1)).alias("dim1_sum"),
+            F.sum(
+                F.aggregate("x", F.lit(0).cast("long"), lambda a, v: a + v)
+            ).alias("total_q_sum"),
+        )
+        .select(
+            "k",
+            "n_points",
+            "dim1_sum",
+            "total_q_sum",
+            F.round(F.col("dim1_sum") / F.col("n_points"), 6).alias(
+                "centroid_dim1"
+            ),
+        )
+        .orderBy("k")
+    )

@@ -925,6 +925,282 @@ FROM statused GROUP BY status ORDER BY status
 """
 
 
+def decontam_benchmark_overlap(spark, sf_dir):
+    """Benchmark decontamination: flag training docs that share any word
+    8-gram with a held-out benchmark split (doc_id % 17 == 0) — the
+    standard pretraining-hygiene check (e.g. GPT-3 appendix C / PaLM
+    13-gram overlap).  The fixture has little natural cross-doc 8-gram
+    overlap, so every benchmark doc with doc_id % 34 == 0 is re-planted
+    into the corpus under id+5000000 with its first word dropped —
+    guaranteed contamination the filter must catch.
+
+    Scale shape: DISTINCT gram sets per doc, benchmark grams reduced to one
+    distinct set (bounded by benchmark size — broadcastable at real scale),
+    one equi-join on the gram string.  Never all-pairs; cost is
+    O(corpus grams + hits)."""
+    d = _heavy(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    planted = bench.filter(F.col("doc_id") % 34 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 2, 1000000), " ").alias("text"),
+    )
+    corpus = d.filter(F.col("doc_id") % 17 != 0).unionByName(planted)
+    grams8 = lambda c: F.array_distinct(TX.word_shingles(c, 8))  # noqa: E731
+    bench_sh = bench.select(F.explode(grams8(F.col("text"))).alias("s")).distinct()
+    corp_sh = corpus.select(
+        "doc_id", F.explode(grams8(F.col("text"))).alias("s")
+    )
+    total = corp_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = corp_sh.join(bench_sh, "s").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        hits.join(total, "doc_id")
+        .select(
+            "doc_id",
+            "n_overlap",
+            "n_grams",
+            F.round(F.col("n_overlap") / F.col("n_grams"), 6).alias(
+                "contamination_rate"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DECONTAM_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 5000000, array_to_string(string_split(text, ' ')[2:], ' ')
+  FROM documents WHERE doc_id % 34 = 0
+),
+csh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 7),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]))
+         AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus) t
+),
+bsh AS (
+  SELECT DISTINCT
+         unnest(list_transform(generate_series(1, len(w) - 7),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]))
+         AS s
+  FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 17 = 0) t
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM csh GROUP BY doc_id),
+hit AS (
+  SELECT c.doc_id, COUNT(*) AS n_overlap
+  FROM csh c JOIN bsh b ON b.s = c.s GROUP BY c.doc_id
+)
+SELECT h.doc_id, n_overlap, n_grams,
+       ROUND(CAST(n_overlap AS DOUBLE) / n_grams, 6) AS contamination_rate
+FROM hit h JOIN tot t ON t.doc_id = h.doc_id
+ORDER BY h.doc_id
+"""
+
+
+def kmeans_embeddings_clusters(spark, sf_dir):
+    """Distributed Lloyd's k-means (k=8, 2 updates + final assignment) over
+    the embeddings table — the semantic-clustering / data-mixing building
+    block.  The ENTIRE iterative algorithm is oracle-checked: integer-
+    quantized vectors, exact integer centroid state, and a sequential
+    double fold for distances make every iteration bit-identical to the
+    unrolled DuckDB mirror (see operators/clustering.py for the exactness
+    contract and the 100 TB shape: one map-side-combinable aggregation per
+    iteration, centroids broadcast as literals, no point ever leaves its
+    executor)."""
+    from unstructured_data_pipeline_spark.operators import clustering as CL
+
+    emb = _heavy(spark, sf_dir, "embeddings")
+    return CL.kmeans_embeddings(
+        emb, "vec_id", "embedding", k=8, iters=2, scale=1000
+    )
+
+
+def _kmeans_sql(k: int = 8, d: int = 64, iters: int = 2, scale: int = 1000) -> str:
+    """Unrolled DuckDB mirror of ``operators/clustering.kmeans_embeddings``:
+    same quantization, same sequential-fold distance (list_reduce == the
+    aggregate HOF: every term is >= +0.0 so Spark's 0.0 initial accumulator
+    is exact), same lowest-index tie-break, same empty-cluster carry."""
+    dist = (
+        f"list_reduce(list_transform(generate_series(1, {d}), "
+        "i -> (p.x[i] - c.s[i]/c.n) * (p.x[i] - c.s[i]/c.n)), "
+        "(acc, v) -> acc + v)"
+    )
+    parts = [
+        f"""WITH pts AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+           v -> CAST(floor(CAST(v AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS x
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS k,
+         x AS s, CAST(1 AS BIGINT) AS n
+  FROM pts ORDER BY id LIMIT {k}
+)"""
+    ]
+    for it in range(1, iters + 2):
+        prev = f"c{it - 1}"
+        parts.append(
+            f""",
+a{it} AS (
+  SELECT id, x, k FROM (
+    SELECT p.id, p.x, c.k,
+           row_number() OVER (PARTITION BY p.id ORDER BY {dist} ASC, c.k ASC) AS rn
+    FROM pts p CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)"""
+        )
+        if it <= iters:
+            parts.append(
+                f""",
+s{it} AS (
+  SELECT k, g.i AS pos, CAST(SUM(x[g.i]) AS BIGINT) AS sv,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM a{it}, generate_series(1, {d}) AS g(i) GROUP BY k, g.i
+),
+c{it} AS (
+  SELECT {prev}.k, COALESCE(agg.s, {prev}.s) AS s, COALESCE(agg.n, {prev}.n) AS n
+  FROM {prev} LEFT JOIN (
+    SELECT k, list(sv ORDER BY pos) AS s, MAX(cnt) AS n FROM s{it} GROUP BY k
+  ) agg ON agg.k = {prev}.k
+)"""
+            )
+    parts.append(
+        f"""
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(x[1]) AS BIGINT) AS dim1_sum,
+       CAST(SUM(list_reduce(x, (a, b) -> a + b)) AS BIGINT) AS total_q_sum,
+       ROUND(CAST(SUM(x[1]) AS BIGINT) / CAST(COUNT(*) AS BIGINT), 6) AS centroid_dim1
+FROM a{iters + 1} GROUP BY k ORDER BY k"""
+    )
+    return "".join(parts)
+
+
+KMEANS_SQL = _kmeans_sql()
+
+
+def pack_context_windows(spark, sf_dir):
+    """Greedy context-window packing (budget 256 whitespace tokens) of the
+    corpus into training-sequence packs, sharded by (lang, doc_id % 4) —
+    sequential within a shard, parallel across shards via applyInPandas
+    (see operators/packing.py).  Output is the per-pack manifest: size,
+    token total, and fill rate against the budget."""
+    from unstructured_data_pipeline_spark.operators import packing as PK
+
+    d = _heavy(spark, sf_dir, "documents")
+    docs = d.select(
+        F.concat(
+            F.col("lang"), F.lit("_"), (F.col("doc_id") % 4).cast("string")
+        ).alias("shard"),
+        F.col("doc_id").alias("id"),
+        TX.token_count_ws("text").cast("long").alias("sz"),
+    )
+    packed = PK.pack_greedy(docs, "shard", "id", "sz", budget=256)
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("sz").alias("tokens"))
+        .select(
+            "shard",
+            "pack_id",
+            "n_docs",
+            "tokens",
+            F.round(F.col("tokens") / F.lit(256), 6).alias("fill_rate"),
+        )
+        .orderBy("shard", "pack_id")
+    )
+
+
+PACK_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT lang || '_' || CAST(doc_id % 4 AS VARCHAR) AS shard, doc_id AS id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS sz
+  FROM documents
+),
+ord AS (
+  SELECT shard, id, sz,
+         row_number() OVER (PARTITION BY shard ORDER BY id) AS rn
+  FROM toks
+),
+packed AS (
+  SELECT shard, id, sz, rn, CAST(0 AS BIGINT) AS pack_id, sz AS cur
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.id, o.sz, o.rn,
+         CASE WHEN p.cur + o.sz > 256 THEN p.pack_id + 1 ELSE p.pack_id END,
+         CASE WHEN p.cur + o.sz > 256 THEN o.sz ELSE p.cur + o.sz END
+  FROM packed p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT shard, pack_id, COUNT(*) AS n_docs, CAST(SUM(sz) AS BIGINT) AS tokens,
+       ROUND(CAST(SUM(sz) AS BIGINT) / 256, 6) AS fill_rate
+FROM packed GROUP BY shard, pack_id ORDER BY shard, pack_id
+"""
+
+
+def stratified_sample_documents(spark, sf_dir):
+    """Stratified deterministic sampling: per-language target rates applied
+    via md5 hex-digit buckets (en 8/16, es 4/16, de 2/16, everything else
+    1/16) — no RNG state, identical sample on any engine/cluster/
+    partitioning, and the predicate evaluates at the scan.  Output is the
+    per-stratum audit: population, sample size, target vs achieved rate."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    lang = F.col("lang")
+    keep = (
+        ((lang == "en") & h.isin(*"01234567"))
+        | ((lang == "es") & h.isin(*"0123"))
+        | ((lang == "de") & h.isin("0", "1"))
+        | (~lang.isin("en", "es", "de") & (h == "0"))
+    )
+    target = (
+        F.when(lang == "en", 0.5)
+        .when(lang == "es", 0.25)
+        .when(lang == "de", 0.125)
+        .otherwise(0.0625)
+    )
+    return (
+        d.select("lang", keep.cast("long").alias("kept"), target.alias("target_rate"))
+        .groupBy("lang", "target_rate")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("kept").alias("n_sampled"))
+        .select(
+            "lang",
+            "n_docs",
+            "n_sampled",
+            "target_rate",
+            F.round(F.col("n_sampled") / F.col("n_docs"), 6).alias("achieved_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+WITH h AS (
+  SELECT lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx,
+         CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'es' THEN 0.25
+              WHEN lang = 'de' THEN 0.125 ELSE 0.0625 END AS target_rate
+  FROM documents
+),
+k AS (
+  SELECT lang, target_rate,
+         CASE WHEN (lang = 'en' AND hx IN ('0','1','2','3','4','5','6','7'))
+                OR (lang = 'es' AND hx IN ('0','1','2','3'))
+                OR (lang = 'de' AND hx IN ('0','1'))
+                OR (lang NOT IN ('en','es','de') AND hx = '0')
+              THEN 1 ELSE 0 END AS kept
+  FROM h
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(kept) AS BIGINT) AS n_sampled,
+       CAST(target_rate AS DOUBLE) AS target_rate,
+       ROUND(CAST(SUM(kept) AS BIGINT) / COUNT(*), 6) AS achieved_rate
+FROM k GROUP BY lang, target_rate ORDER BY lang
+"""
+
+
 def dedup_minhash_recall(spark, sf_dir):
     """Quality evidence for the MinHash-LSH dedup path: recall of the
     banded-LSH pairs against the EXACT Jaccard ground truth on the same
@@ -4010,6 +4286,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # round-2 additions past slot 50: driver rows expected next round
     "dedup_minhash_recall": (dedup_minhash_recall, DEDUP_MINHASH_RECALL_SQL),
     "corpus_curation_report": (corpus_curation_report, CURATION_SQL),
+    "decontam_benchmark_overlap": (decontam_benchmark_overlap, DECONTAM_SQL),
+    "kmeans_embeddings_clusters": (kmeans_embeddings_clusters, KMEANS_SQL),
+    "pack_context_windows": (pack_context_windows, PACK_SQL),
+    "stratified_sample_documents": (stratified_sample_documents, STRATIFIED_SAMPLE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "pdf_ocr_pipeline_demo": (pdf_ocr_pipeline_demo, None),
     "image_features_demo": (image_features_demo, None),
