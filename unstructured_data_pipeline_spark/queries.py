@@ -1003,6 +1003,191 @@ ORDER BY h.doc_id
 """
 
 
+def text_repetition_metrics(spark, sf_dir):
+    """Gopher-style repetition signals per document (quality-filter rules
+    for pretraining corpora): duplicate-word fraction and the char share of
+    the most frequent word 2-gram.  All ratios from exact integer counts;
+    top-gram ties resolved by taking the count (not the gram), so the
+    output is order-free."""
+    d = _heavy(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        TX.token_count_ws("text").alias("n_words"),
+        F.size(F.array_distinct(TX.tokens_ws("text"))).alias("n_uniq"),
+        TX.word_shingles(F.col("text"), 2).alias("grams"),
+    )
+    g = toks.select(
+        "doc_id", "n_words", "n_uniq", F.explode("grams").alias("gram")
+    )
+    per_gram = g.groupBy("doc_id", "n_words", "n_uniq", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_gram.groupBy("doc_id", "n_words", "n_uniq")
+        .agg(F.max("cnt").alias("top_bigram_cnt"), F.sum("cnt").alias("n_bigrams"))
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(
+                (F.col("n_words") - F.col("n_uniq")) / F.col("n_words"), 6
+            ).alias("dup_word_frac"),
+            "top_bigram_cnt",
+            "n_bigrams",
+            F.round(F.col("top_bigram_cnt") / F.col("n_bigrams"), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+base AS (
+  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_uniq,
+         list_transform(generate_series(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1]) AS grams
+  FROM toks
+),
+g AS (
+  SELECT doc_id, n_words, n_uniq, unnest(grams) AS gram FROM base
+),
+per_gram AS (
+  SELECT doc_id, n_words, n_uniq, gram, COUNT(*) AS cnt
+  FROM g GROUP BY doc_id, n_words, n_uniq, gram
+)
+SELECT doc_id, n_words,
+       ROUND(CAST(n_words - n_uniq AS DOUBLE) / n_words, 6) AS dup_word_frac,
+       CAST(MAX(cnt) AS BIGINT) AS top_bigram_cnt,
+       CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_bigram_frac
+FROM per_gram GROUP BY doc_id, n_words, n_uniq ORDER BY doc_id
+"""
+
+
+def embedding_quantize_int8(spark, sf_dir):
+    """Int8 embedding quantization audit — the storage shape for
+    billion-vector ANN: per-vector symmetric scale (max|v|/127), quantize
+    with the cents trick, exact reconstruction-error bound.  All per-vector
+    reductions are order-free (max / integer sum), so the whole audit is
+    hash-checkable cross-engine.  Output per label: vector count, exact
+    total of quantized values, worst reconstruction error."""
+    emb = _heavy(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # two selects: materialize amax/scale once (no CSE inside HOF lambdas)
+    scaled = emb.select(
+        "vec_id",
+        "label",
+        "v",
+        (
+            F.array_max(F.transform("v", lambda x: F.abs(x))) / F.lit(127.0)
+        ).alias("scale"),
+    )
+    s = F.col("scale")
+    q = lambda x: F.when(s == 0.0, F.lit(0).cast("long")).otherwise(  # noqa: E731
+        F.floor(x / s + F.lit(0.5)).cast("long")
+    )
+    per_vec = scaled.select(
+        "label",
+        F.aggregate(
+            F.transform("v", q), F.lit(0).cast("long"), lambda a, b: a + b
+        ).alias("sum_q"),
+        F.array_max(
+            F.transform("v", lambda x: F.abs(x - q(x).cast("double") * s))
+        ).alias("max_err"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("sum_q").alias("sum_q_total"),
+            F.round(F.max("max_err"), 6).alias("worst_err"),
+        )
+        .orderBy("label")
+    )
+
+
+EMB_QUANT_SQL = """
+WITH scaled AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings
+),
+per_vec AS (
+  SELECT label,
+         list_reduce(list_transform(v,
+           x -> CASE WHEN scale = 0.0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST(floor(x / scale + 0.5) AS BIGINT) END),
+           (a, b) -> a + b) AS sum_q,
+         list_max(list_transform(v,
+           x -> abs(x - CASE WHEN scale = 0.0 THEN 0.0
+                            ELSE floor(x / scale + 0.5) END * scale))) AS max_err
+  FROM scaled
+)
+SELECT label, COUNT(*) AS n_vecs, CAST(SUM(sum_q) AS BIGINT) AS sum_q_total,
+       ROUND(MAX(max_err), 6) AS worst_err
+FROM per_vec GROUP BY label ORDER BY label
+"""
+
+
+def source_mixture_weights(spark, sf_dir):
+    """Data-mixing plan: per-source token totals, corpus share, and the
+    up/down-sampling weight that would equalize the mixture (uniform
+    target).  Exact integer token counts; the tiny post-aggregation total
+    comes from an unpartitioned window over the per-source rows (5 rows —
+    never the raw data)."""
+    d = _t(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count_ws("text").cast("long")).alias("tokens"),
+    )
+    w = Window.partitionBy()
+    return (
+        per_src.select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.sum("tokens").over(w).alias("total_tokens"),
+            F.count(F.lit(1)).over(w).alias("n_sources"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.round(F.col("tokens") / F.col("total_tokens"), 6).alias("share"),
+            F.round(
+                F.col("total_tokens")
+                / (F.col("n_sources") * F.col("tokens")),
+                6,
+            ).alias("uniform_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_SQL = """
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT source, n_docs, tokens,
+         CAST(SUM(tokens) OVER () AS BIGINT) AS total_tokens,
+         COUNT(*) OVER () AS n_sources
+  FROM per_src
+)
+SELECT source, n_docs, tokens,
+       ROUND(CAST(tokens AS DOUBLE) / total_tokens, 6) AS share,
+       ROUND(CAST(total_tokens AS DOUBLE) / (n_sources * tokens), 6) AS uniform_weight
+FROM tot ORDER BY source
+"""
+
+
 def kmeans_embeddings_clusters(spark, sf_dir):
     """Distributed Lloyd's k-means (k=8, 2 updates + final assignment) over
     the embeddings table — the semantic-clustering / data-mixing building
@@ -4290,6 +4475,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "kmeans_embeddings_clusters": (kmeans_embeddings_clusters, KMEANS_SQL),
     "pack_context_windows": (pack_context_windows, PACK_SQL),
     "stratified_sample_documents": (stratified_sample_documents, STRATIFIED_SAMPLE_SQL),
+    "text_repetition_metrics": (text_repetition_metrics, REPETITION_SQL),
+    "embedding_quantize_int8": (embedding_quantize_int8, EMB_QUANT_SQL),
+    "source_mixture_weights": (source_mixture_weights, MIXTURE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "pdf_ocr_pipeline_demo": (pdf_ocr_pipeline_demo, None),
     "image_features_demo": (image_features_demo, None),
