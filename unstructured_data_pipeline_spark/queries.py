@@ -1188,6 +1188,97 @@ FROM tot ORDER BY source
 """
 
 
+_KMV_K = 64
+_HEX16_12 = 16**12  # 2^48 — the KMV hash-prefix denominator
+
+
+def _kmv_val_sql(col: str) -> str:
+    """BIGINT value of the first 12 hex nibbles of ``col`` (DuckDB side)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1) * {16 ** (11 - i)}"
+        for i in range(12)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _kmv_val_spark(col) -> F.Column:
+    """Same 12-nibble value, Spark side — identical integer arithmetic."""
+    from unstructured_data_pipeline_spark.functions.text import hex_nibble_value
+
+    val = F.lit(0).cast("long")
+    for i in range(12):
+        val = val + hex_nibble_value(F.substring(col, i + 1, 1)).cast("long") * F.lit(
+            16 ** (11 - i)
+        )
+    return val
+
+
+def kmv_distinct_sketch(spark, sf_dir):
+    """K-minimum-values distinct-count sketch per event type — unlike HLL
+    (``sketch_event_stats``, rows-only by necessity) KMV over md5 is fully
+    DETERMINISTIC, so an approximate algorithm carries an exact oracle hash
+    gate: estimate = (k-1) / fraction(k-th smallest hash), with the exact
+    count used below k.  Scale shape: the per-group top-k runs as a
+    rank-filter window (map-side partial via the distinct pre-aggregation);
+    only k hashes per group survive to the final agg."""
+    ev = _events(spark, sf_dir)
+    pairs = ev.select("event_type", F.col("user_id").cast("string").alias("u")).distinct()
+    h = pairs.select("event_type", F.md5(F.col("u")).alias("h"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    topk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("vk"), F.count(F.lit(1)).alias("n_le_k"))
+    )
+    totals = h.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    val = F.greatest(_kmv_val_spark(F.col("vk")), F.lit(1))
+    est = F.when(F.col("n_users") < _KMV_K, F.col("n_users").cast("double")).otherwise(
+        F.lit((_KMV_K - 1) * _HEX16_12) / val
+    )
+    return (
+        topk.join(totals, "event_type")
+        .select(
+            "event_type",
+            "n_users",
+            F.round(est, 4).alias("kmv_estimate"),
+            F.round(F.abs(est - F.col("n_users")) / F.col("n_users"), 4).alias(
+                "rel_error"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+KMV_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS u FROM events
+),
+h AS (SELECT event_type, md5(u) AS h FROM pairs),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+),
+topk AS (
+  SELECT event_type, MAX(h) AS vk, COUNT(*) AS n_le_k
+  FROM ranked WHERE rn <= {_KMV_K} GROUP BY event_type
+),
+totals AS (SELECT event_type, COUNT(*) AS n_users FROM h GROUP BY event_type),
+est AS (
+  SELECT t.event_type, tot.n_users,
+         CASE WHEN tot.n_users < {_KMV_K} THEN CAST(tot.n_users AS DOUBLE)
+              ELSE {(_KMV_K - 1) * _HEX16_12} /
+                   GREATEST({_kmv_val_sql('t.vk')}, 1)
+         END AS est
+  FROM topk t JOIN totals tot ON tot.event_type = t.event_type
+)
+SELECT event_type, n_users, ROUND(est, 4) AS kmv_estimate,
+       ROUND(ABS(est - n_users) / n_users, 4) AS rel_error
+FROM est ORDER BY event_type
+"""
+
+
 def kmeans_embeddings_clusters(spark, sf_dir):
     """Distributed Lloyd's k-means (k=8, 2 updates + final assignment) over
     the embeddings table — the semantic-clustering / data-mixing building
@@ -4478,6 +4569,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "text_repetition_metrics": (text_repetition_metrics, REPETITION_SQL),
     "embedding_quantize_int8": (embedding_quantize_int8, EMB_QUANT_SQL),
     "source_mixture_weights": (source_mixture_weights, MIXTURE_SQL),
+    "kmv_distinct_sketch": (kmv_distinct_sketch, KMV_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "pdf_ocr_pipeline_demo": (pdf_ocr_pipeline_demo, None),
     "image_features_demo": (image_features_demo, None),
