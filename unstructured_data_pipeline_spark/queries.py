@@ -945,11 +945,18 @@ def decontam_benchmark_overlap(spark, sf_dir):
         F.array_join(F.slice(F.split(F.col("text"), " "), 2, 1000000), " ").alias("text"),
     )
     corpus = d.filter(F.col("doc_id") % 17 != 0).unionByName(planted)
-    grams8 = lambda c: F.array_distinct(TX.word_shingles(c, 8))  # noqa: E731
-    bench_sh = bench.select(F.explode(grams8(F.col("text"))).alias("s")).distinct()
-    corp_sh = corpus.select(
-        "doc_id", F.explode(grams8(F.col("text"))).alias("s")
-    )
+
+    def grams8(df):  # materialize the token array once (split is O(len))
+        toks = df.select("doc_id", TX.tokens_ws("text").alias("w"))
+        return toks.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(TX.word_shingles_from_tokens(F.col("w"), 8))
+            ).alias("s"),
+        )
+
+    bench_sh = grams8(bench).select("s").distinct()
+    corp_sh = grams8(corpus)
     total = corp_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     hits = corp_sh.join(bench_sh, "s").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_overlap")
@@ -1010,11 +1017,13 @@ def text_repetition_metrics(spark, sf_dir):
     top-gram ties resolved by taking the count (not the gram), so the
     output is order-free."""
     d = _heavy(spark, sf_dir, "documents")
-    toks = d.select(
+    # materialize the token array once; derive every metric from it
+    w = d.select("doc_id", TX.tokens_ws("text").alias("w"))
+    toks = w.select(
         "doc_id",
-        TX.token_count_ws("text").alias("n_words"),
-        F.size(F.array_distinct(TX.tokens_ws("text"))).alias("n_uniq"),
-        TX.word_shingles(F.col("text"), 2).alias("grams"),
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_uniq"),
+        TX.word_shingles_from_tokens(F.col("w"), 2).alias("grams"),
     )
     g = toks.select(
         "doc_id", "n_words", "n_uniq", F.explode("grams").alias("gram")
