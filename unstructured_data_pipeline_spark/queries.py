@@ -811,6 +811,54 @@ WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
 """
 
 
+def dedup_clusters_report(spark, sf_dir):
+    """Connected-components cluster assignment over the (already
+    oracle-verified) MinHash-LSH near-dup pairs — this graduates the
+    ITERATIVE min-label algorithm (`operators/dedup.dedup_clusters`) to a
+    full hash gate: the DuckDB mirror computes the identical components via
+    recursive-CTE transitive closure.  Output: (doc_id, cluster_id,
+    cluster_size) for every node of the pair graph."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 2, 1000000), " ").alias("text"),
+    )
+    corpus = d.unionByName(near)
+    pairs = DD.near_dup_pairs(
+        corpus, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.5
+    )
+    clusters = DD.dedup_clusters(pairs)
+    wsz = Window.partitionBy("cluster_id")
+    return (
+        clusters.select(
+            F.col("id").alias("doc_id"),
+            "cluster_id",
+            F.count(F.lit(1)).over(wsz).alias("cluster_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+{DEDUP_MINHASH_SQL}
+),
+edges AS (
+  SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs
+),
+nodes AS (SELECT DISTINCT x AS id FROM edges),
+reach AS (
+  SELECT id AS node, id AS label FROM nodes
+  UNION
+  SELECT e.y AS node, r.label FROM reach r JOIN edges e ON e.x = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp ORDER BY doc_id
+"""
+
+
 def corpus_curation_report(spark, sf_dir):
     """The end-to-end training-data curation decision, as ONE oracle-backed
     report: every document gets a status by first-match precedence —
@@ -4579,6 +4627,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_quantize_int8": (embedding_quantize_int8, EMB_QUANT_SQL),
     "source_mixture_weights": (source_mixture_weights, MIXTURE_SQL),
     "kmv_distinct_sketch": (kmv_distinct_sketch, KMV_SQL),
+    "dedup_clusters_report": (dedup_clusters_report, CLUSTERS_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "pdf_ocr_pipeline_demo": (pdf_ocr_pipeline_demo, None),
     "image_features_demo": (image_features_demo, None),
