@@ -320,10 +320,19 @@ def ngram_jaccard_pairs(
         ).filter(F.col("jaccard") >= threshold)
 
     sh = sh.persist()  # reused: prefix postings + full-array verify
-    post = sh.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("shingle"))
+    # postings carry xxhash64(shingle) — 8-byte shuffle keys / sort keys
+    # instead of shingle strings (same trick as the exhaustive path; the
+    # final verify is exact string array_intersect, so candidates from
+    # hashed postings change nothing absent a 64-bit collision inside one
+    # candidate pair's shingle sets)
+    post = sh.select(
+        "id",
+        F.size("sh").alias("sz"),
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle"),
+    )
     counts = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
-    # global rarity order = (freq, shingle); the key itself is the order —
-    # no rank window over the whole vocabulary needed.
+    # global rarity order = (freq, shingle-hash); the key itself is the
+    # order — no rank window over the whole vocabulary needed.
     ranked = post.join(counts, "shingle")
     prefix_len = (F.floor(F.col("sz") * (1.0 - threshold)) + 1).cast("int")
     w = Window.partitionBy("id").orderBy("freq", "shingle")
