@@ -2328,6 +2328,65 @@ def dml_upsert_customers(spark, sf_dir):
     )
 
 
+def dml_delete_append_lifecycle(spark, sf_dir):
+    """DELETE WHERE (D3) + append (D4) through the REAL table layer
+    (`operators/dml.ParquetTable`: versioned snapshots, atomic CURRENT
+    pointer): customers land in a scratch table, negative-balance
+    AUTOMOBILE rows are deleted, zeroed ARCHIVED replacements appended,
+    and the per-segment rollup is read back from the published snapshot —
+    so the driver row covers the delete->publish->append->read path, not
+    just the DataFrame algebra."""
+    import shutil
+    import tempfile
+
+    from unstructured_data_pipeline_spark.operators.dml import ParquetTable
+
+    cust = _t(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="udp_dml_")
+    gone = (F.col("c_mktsegment") == "AUTOMOBILE") & (F.col("c_acctbal") < 0)
+    t = ParquetTable(spark, root, "customers_scratch", cust.schema)
+    t.append(cust)
+    t.delete_where(gone)
+    archived = cust.filter(gone).select(
+        (F.col("c_custkey") + 20000000).alias("c_custkey"),
+        F.concat(F.lit("ARCH#"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("ARCHIVED").alias("c_mktsegment"),
+    )
+    t.append(archived)
+    out = (
+        t.read()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(_cents(F.col("c_acctbal"))) / 100.0).alias("sum_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+        .cache()
+    )
+    out.count()  # materialize before the scratch dir is removed
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+DML_DELETE_APPEND_SQL = f"""
+WITH gone AS (
+  SELECT * FROM customer WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 0
+),
+final AS (
+  SELECT * FROM customer
+  WHERE NOT (c_mktsegment = 'AUTOMOBILE' AND c_acctbal < 0)
+  UNION ALL
+  SELECT c_custkey + 20000000, 'ARCH#' || c_name, c_nationkey, 0.0, 'ARCHIVED'
+  FROM gone
+)
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       SUM({_c('c_acctbal')}) / 100.0 AS sum_acctbal
+FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 DML_UPSERT_SQL = f"""
 WITH source AS (
   SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,
@@ -4628,6 +4687,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "source_mixture_weights": (source_mixture_weights, MIXTURE_SQL),
     "kmv_distinct_sketch": (kmv_distinct_sketch, KMV_SQL),
     "dedup_clusters_report": (dedup_clusters_report, CLUSTERS_SQL),
+    "dml_delete_append_lifecycle": (dml_delete_append_lifecycle, DML_DELETE_APPEND_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "pdf_ocr_pipeline_demo": (pdf_ocr_pipeline_demo, None),
     "image_features_demo": (image_features_demo, None),
