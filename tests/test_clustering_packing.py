@@ -99,6 +99,46 @@ def test_pack_greedy_respects_budget_and_preserves_rows(spark):
     assert over == 0  # no oversized single rows in this fixture
 
 
+def _pack_model(sizes: list[int], budget: int) -> list[int]:
+    """Pure-python reference of the greedy packing contract."""
+    out, cur, pid = [], 0, 0
+    for s in sizes:
+        if cur > 0 and cur + s > budget:
+            pid += 1
+            cur = 0
+        cur += s
+        out.append(pid)
+    return out
+
+
+def test_pack_greedy_matches_model_property(spark):
+    """Property: the distributed applyInPandas path reproduces the pure
+    sequential model for arbitrary shard/size mixes (guards pandas dtype /
+    ordering regressions)."""
+    import random
+
+    rng = random.Random(123)
+    for trial in range(5):
+        budget = rng.randint(5, 60)
+        rows = []
+        per_shard: dict[str, list[tuple[int, int]]] = {}
+        for i in range(rng.randint(1, 120)):
+            shard = f"s{rng.randint(0, 3)}"
+            sz = rng.randint(1, budget * 2)  # includes oversized rows
+            rows.append((shard, i, sz))
+            per_shard.setdefault(shard, []).append((i, sz))
+        df = spark.createDataFrame(rows, "shard string, id long, sz long")
+        got = {
+            (r["shard"], r["id"]): r["pack_id"]
+            for r in pack_greedy(df, "shard", "id", "sz", budget).collect()
+        }
+        for shard, items in per_shard.items():
+            items.sort()
+            expect = _pack_model([sz for _, sz in items], budget)
+            for (i, _), pid in zip(items, expect):
+                assert got[(shard, i)] == pid, (trial, shard, i)
+
+
 # ---------------------------------------------------------------------------
 # decontamination query contract
 

@@ -2387,6 +2387,44 @@ FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def export_roundtrip_report(spark, sf_dir):
+    """S7 export evidence through the DISTRIBUTED sink: the customer table
+    is written out as headered CSV (the scale export shape), read back with
+    an explicit schema, and rolled up per segment — so the driver row
+    covers write->read CSV fidelity (quoting, numeric text round-trip of
+    doubles), not just the DataFrame in memory."""
+    import shutil
+    import tempfile
+
+    from unstructured_data_pipeline_spark.sources.export import export_csv_dir
+
+    cust = _t(spark, sf_dir, "customer")
+    out_dir = tempfile.mkdtemp(prefix="udp_export_")
+    export_csv_dir(cust, out_dir)
+    back = spark.read.option("header", "true").schema(cust.schema).csv(out_dir)
+    out = (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(_cents(F.col("c_acctbal"))) / 100.0).alias("sum_acctbal"),
+            F.min("c_name").alias("first_name"),
+        )
+        .orderBy("c_mktsegment")
+        .cache()
+    )
+    out.count()  # materialize before the export dir is removed
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
+
+
+EXPORT_ROUNDTRIP_SQL = f"""
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       SUM({_c('c_acctbal')}) / 100.0 AS sum_acctbal,
+       MIN(c_name) AS first_name
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 DML_UPSERT_SQL = f"""
 WITH source AS (
   SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,
@@ -4688,6 +4726,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "kmv_distinct_sketch": (kmv_distinct_sketch, KMV_SQL),
     "dedup_clusters_report": (dedup_clusters_report, CLUSTERS_SQL),
     "dml_delete_append_lifecycle": (dml_delete_append_lifecycle, DML_DELETE_APPEND_SQL),
+    "export_roundtrip_report": (export_roundtrip_report, EXPORT_ROUNDTRIP_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "pdf_ocr_pipeline_demo": (pdf_ocr_pipeline_demo, None),
     "image_features_demo": (image_features_demo, None),
