@@ -65,3 +65,29 @@ def ensure_min_parallelism(
     if n < threshold:
         return df.repartition(target)
     return df
+
+
+def morton_key(x, y, bits: int = 8):
+    """Z-order (Morton) interleave of two non-negative integer columns —
+    the multi-dimensional clustering key for data-skipping layouts: writing
+    a table sorted by ``morton_key(a, b)`` gives parquet row groups tight
+    min/max ranges on BOTH ``a`` and ``b``, so selective filters on either
+    column prune files (the Delta/Iceberg OPTIMIZE ZORDER idea, as a plain
+    sort key).
+
+    Built from div/mod integer arithmetic only (no engine-specific bit
+    ops), so the key is bit-identical across engines and SQL-mirrorable:
+    ``z = sum_j bit_j(x)*4^j + bit_j(y)*2*4^j`` — caller clamps inputs to
+    ``2^bits``.
+    """
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        p = 2**j
+        z = (
+            z
+            + (x.cast("long") / F.lit(p)).cast("long") % 2 * F.lit(4**j)
+            + (y.cast("long") / F.lit(p)).cast("long") % 2 * F.lit(2 * 4**j)
+        )
+    return z

@@ -2425,6 +2425,61 @@ FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def zorder_layout_report(spark, sf_dir):
+    """Z-order (Morton) clustering audit: events keyed by the interleave of
+    (user_id, whole-dollar value), bucketed into 16 z-ranges — the
+    write-layout that gives parquet row groups tight min/max envelopes on
+    BOTH dimensions (multi-column data skipping; the OPTIMIZE ZORDER idea
+    as a plain sort key).  The per-bucket min/max report IS the
+    data-skipping evidence: every bucket spans a narrow box in (user,
+    dollar) space instead of the full range.  Pure div/mod integer
+    arithmetic -> bit-identical cross-engine."""
+    from unstructured_data_pipeline_spark.operators.partitioning import morton_key
+
+    ev = _events(spark, sf_dir)
+    dims = ev.select(
+        F.least(F.col("user_id").cast("long"), F.lit(255)).alias("xq"),
+        F.least(
+            F.floor(_cents(F.col("value")) / 100).cast("long"), F.lit(255)
+        ).alias("yq"),
+    )
+    keyed = dims.withColumn("z", morton_key(F.col("xq"), F.col("yq"), bits=8))
+    return (
+        keyed.groupBy((F.col("z") / F.lit(4096)).cast("long").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("xq").alias("user_min"),
+            F.max("xq").alias("user_max"),
+            F.min("yq").alias("dollar_min"),
+            F.max("yq").alias("dollar_max"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+def _morton_sql(x: str, y: str, bits: int = 8) -> str:
+    terms = []
+    for j in range(bits):
+        p = 2**j
+        terms.append(f"(({x}) // {p}) % 2 * {4 ** j}")
+        terms.append(f"(({y}) // {p}) % 2 * {2 * 4 ** j}")
+    return "(" + " + ".join(terms) + ")"
+
+
+ZORDER_SQL = f"""
+WITH dims AS (
+  SELECT LEAST(CAST(user_id AS BIGINT), 255) AS xq,
+         LEAST(CAST(FLOOR({_c('value')} / 100) AS BIGINT), 255) AS yq
+  FROM events
+),
+keyed AS (SELECT xq, yq, {_morton_sql('xq', 'yq')} AS z FROM dims)
+SELECT CAST(z // 4096 AS BIGINT) AS z_bucket, COUNT(*) AS n_events,
+       MIN(xq) AS user_min, MAX(xq) AS user_max,
+       MIN(yq) AS dollar_min, MAX(yq) AS dollar_max
+FROM keyed GROUP BY z_bucket ORDER BY z_bucket
+"""
+
+
 DML_UPSERT_SQL = f"""
 WITH source AS (
   SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,
@@ -4727,6 +4782,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_clusters_report": (dedup_clusters_report, CLUSTERS_SQL),
     "dml_delete_append_lifecycle": (dml_delete_append_lifecycle, DML_DELETE_APPEND_SQL),
     "export_roundtrip_report": (export_roundtrip_report, EXPORT_ROUNDTRIP_SQL),
+    "zorder_layout_report": (zorder_layout_report, ZORDER_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "pdf_ocr_pipeline_demo": (pdf_ocr_pipeline_demo, None),
     "image_features_demo": (image_features_demo, None),
