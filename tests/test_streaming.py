@@ -260,3 +260,35 @@ def test_session_window_on_stream(spark, tmp_path):
         for r in spark.table("sess_win").collect()
     }
     assert got == {(1, 10, 0): 2, (1, 11, 30): 1, (2, 10, 0): 1}
+
+
+def test_rollup_merge_is_replay_safe(spark, tmp_path):
+    """Additive merge + batch-id high-watermark: re-delivering a batch
+    (at-least-once foreachBatch) must not double-count."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from unstructured_data_pipeline_spark.operators.dml import ParquetTable
+    from unstructured_data_pipeline_spark.streaming.rollup import (
+        last_applied_batch,
+        merge_rollup_batch,
+    )
+
+    table = ParquetTable(
+        spark,
+        str(tmp_path),
+        "rollup",
+        T.StructType.fromDDL("bucket long, n long, total long"),
+    )
+    b0 = spark.createDataFrame([(1, 2, 10), (2, 1, 5)], "bucket long, n long, total long")
+    b1 = spark.createDataFrame([(1, 1, 7), (3, 4, 2)], "bucket long, n long, total long")
+
+    assert merge_rollup_batch(table, b0, ["bucket"], ["n", "total"], 0)
+    assert merge_rollup_batch(table, b1, ["bucket"], ["n", "total"], 1)
+    # replays of both batches are no-ops
+    assert not merge_rollup_batch(table, b0, ["bucket"], ["n", "total"], 0)
+    assert not merge_rollup_batch(table, b1, ["bucket"], ["n", "total"], 1)
+    assert last_applied_batch(table) == 1
+
+    got = {r["bucket"]: (r["n"], r["total"]) for r in table.read().collect()}
+    assert got == {1: (3, 17), 2: (1, 5), 3: (4, 2)}

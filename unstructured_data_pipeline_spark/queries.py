@@ -3839,6 +3839,93 @@ def dedup_end_to_end_report(spark, sf_dir):
     return dedup_report(corpus, pairs, "doc_id")
 
 
+def continuous_rollup_events(spark, sf_dir):
+    """Hypertable-style CONTINUOUS rollup driven end-to-end: events arrive
+    as three parquet files, a Structured Streaming query
+    (maxFilesPerTrigger=1) folds each micro-batch's partial aggregate into
+    a persistent hourly rollup table via additive merge with a batch-id
+    high-watermark (replay-safe; see streaming/rollup.py).  The final table
+    must equal the one-shot batch aggregate no matter how arrivals were
+    micro-batched — which is exactly what the DuckDB oracle checks."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from unstructured_data_pipeline_spark.operators.dml import ParquetTable
+    from unstructured_data_pipeline_spark.streaming.rollup import merge_rollup_batch
+
+    ev = _events(spark, sf_dir).select(
+        F.expr("ts DIV 3600000000000").alias("hour_bucket"),
+        "event_type",
+        _cents(F.col("value")).alias("cents"),
+        "event_id",
+    )
+    root = tempfile.mkdtemp(prefix="udp_rollup_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    for i in range(3):  # three deterministic arrival chunks
+        chunk_dir = os.path.join(root, f"_chunk{i}")
+        ev.filter(F.col("event_id") % 3 == i).drop("event_id").coalesce(
+            1
+        ).write.mode("overwrite").parquet(chunk_dir)
+        part = next(
+            p for p in os.listdir(chunk_dir) if p.endswith(".parquet")
+        )
+        os.replace(
+            os.path.join(chunk_dir, part),
+            os.path.join(landing, f"chunk_{i}.parquet"),
+        )
+
+    table = ParquetTable(
+        spark,
+        root,
+        "hourly_rollup",
+        T.StructType.fromDDL(
+            "hour_bucket long, event_type string, n_events long, cents long"
+        ),
+    )
+    keys = ["hour_bucket", "event_type"]
+
+    def fold(batch_df, batch_id):
+        partial = batch_df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("cents")
+        )
+        merge_rollup_batch(table, partial, keys, ["n_events", "cents"], batch_id)
+
+    q = (
+        spark.readStream.schema("hour_bucket long, event_type string, cents long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        table.read()
+        .select(
+            "hour_bucket",
+            "event_type",
+            "n_events",
+            (F.col("cents") / 100.0).alias("sum_value"),
+        )
+        .orderBy("hour_bucket", "event_type")
+        .cache()
+    )
+    out.count()  # materialize before the scratch dir is removed
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+CONT_ROLLUP_SQL = f"""
+SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+       COUNT(*) AS n_events, SUM({_c('value')}) / 100.0 AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type
+"""
+
+
 def sketch_event_stats(spark, sf_dir):
     """One-pass sketches — the 100 TB substitutes for exact distinct/
     quantile: HyperLogLog++ distinct users and Greenwald-Khanna approximate
@@ -4783,6 +4870,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dml_delete_append_lifecycle": (dml_delete_append_lifecycle, DML_DELETE_APPEND_SQL),
     "export_roundtrip_report": (export_roundtrip_report, EXPORT_ROUNDTRIP_SQL),
     "zorder_layout_report": (zorder_layout_report, ZORDER_SQL),
+    "continuous_rollup_events": (continuous_rollup_events, CONT_ROLLUP_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "pdf_ocr_pipeline_demo": (pdf_ocr_pipeline_demo, None),
     "image_features_demo": (image_features_demo, None),
