@@ -84,8 +84,11 @@ def main() -> None:
     # per-query timings measure the operator, not first-touch I/O
     for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    # warm events via the normalizing reader (handles nanos parquet across
+    # Spark versions — see queries._events)
+    from unstructured_data_pipeline_spark.queries import _events
+
+    _events(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}

@@ -68,3 +68,17 @@ def test_setup_verification_counts(spark, tmp_path):
         "Document Classes": 1,
         "Prompt Rows": 1,
     }
+
+
+def test_verify_table_counts_per_table(spark, tmp_path):
+    from unstructured_data_pipeline_spark.catalog import verify_table_counts
+
+    tables = bootstrap_warehouse(spark, str(tmp_path / "wh"))
+    seed_invoice_prompts(spark, tables)
+    rows = verify_table_counts(spark, tables).collect()
+    got = {r["table_name"]: r["row_count"] for r in rows}
+    # every bootstrapped table reports, names sorted, seed row visible
+    assert set(got) == set(tables)
+    assert [r["table_name"] for r in rows] == sorted(tables)
+    assert got["class_prompts"] == 1
+    assert all(v == 0 for k, v in got.items() if k != "class_prompts")

@@ -83,7 +83,13 @@ def test_pdf_ocr_pipeline_demo_roundtrips(spark, sf_dir):
 
     out = pdf_ocr_pipeline_demo(spark, sf_dir).collect()
     assert len(out) > 0
-    assert all(r["source"] == "pdf" for r in out)
+    # two branches: .pdf rows roundtrip text through a real PDF; every 7th
+    # doc renders a real BMP and must dispatch through the image branch
+    pdfs = [r for r in out if r["file_ref"].endswith(".pdf")]
+    imgs = [r for r in out if r["file_ref"].endswith(".bmp")]
+    assert pdfs and imgs
+    assert all(r["source"] == "pdf" for r in pdfs)
+    assert all(r["source"] == "image" for r in imgs)
     assert all(r["roundtrip_ok"] for r in out)
 
 

@@ -8,8 +8,9 @@ from __future__ import annotations
 import json
 import sys
 import time
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from tests.oracle_harness import compare, run_oracle  # noqa: E402
 
@@ -40,12 +41,16 @@ def main() -> None:
         status = "ok" if not results[name]["problems"] else "FAIL"
         print(f"# {status} {name} {dt:.2f}s", file=sys.stderr, flush=True)
     bad = {k: v for k, v in results.items() if v["problems"]}
+    # stdout carries exactly one JSON line; failure details go to stderr so
+    # automation can parse stdout and trust the exit code
     print(json.dumps({"total": len(results), "failed": list(bad)}))
     for k, v in bad.items():
-        print(f"## {k}")
+        print(f"## {k}", file=sys.stderr)
         for p in v["problems"]:
-            print(f"   {p}")
+            print(f"   {p}", file=sys.stderr)
     spark.stop()
+    if bad:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

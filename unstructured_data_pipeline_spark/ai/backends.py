@@ -95,12 +95,17 @@ class DeterministicStubBackend:
         - ``%PDF`` magic -> real PDF text extraction (pypdfium2 when
           installed, a pure-Python uncompressed-stream parser otherwise —
           see :mod:`..ai.pdf`);
+        - image magic (png/jpeg/gif/bmp) -> text via the optional
+          Pillow+pytesseract tier (:mod:`..ai.image_ocr`; reference accepts
+          jpg/png at `app.py:365`), falling back to a deterministic
+          ``<image:fmt:hex>`` marker when the OCR libs are absent or fail;
         - utf-8 text blobs -> decoded as-is;
-        - anything else (images, audio — decoders not in this container) ->
+        - anything else (audio — decoders not in this container) ->
           a deterministic hex-prefix marker.
 
-        Always a pure function of the bytes, so the OCR path stays
-        replayable and oracle-friendly."""
+        Always a pure function of the bytes (given a fixed library tier),
+        so the OCR path stays replayable and oracle-friendly."""
+        from unstructured_data_pipeline_spark.ai import image_ocr as _img
         from unstructured_data_pipeline_spark.ai import pdf as _pdf
 
         if _pdf.is_pdf(content):
@@ -108,6 +113,14 @@ class DeterministicStubBackend:
             if text is None:
                 text = f"<pdf:{content[:8].hex()}>"
             return canonical_json({"content": text, "mode": "layout", "source": "pdf"})
+        fmt = _img.sniff_image_format(content)
+        if fmt is not None:
+            text = _img.extract_image_text(content)
+            if text is None:
+                text = f"<image:{fmt}:{content[:8].hex()}>"
+            return canonical_json(
+                {"content": text, "mode": "layout", "source": "image"}
+            )
         try:
             text = content.decode("utf-8")
         except (UnicodeDecodeError, AttributeError):

@@ -76,6 +76,22 @@ def render_pdf_udf(text: pd.Series) -> pd.Series:
     return text.map(lambda t: make_minimal_pdf(t or ""))
 
 
+@F.pandas_udf(T.BinaryType())
+def render_image_udf(text: pd.Series) -> pd.Series:
+    """Text -> minimal solid-color BMP bytes (Arrow-batched), color seeded
+    by the text's md5 — the image-branch fixture renderer for the AI3 path
+    (reference accepts jpg/png uploads, `app.py:365`); see ai/image_ocr.py."""
+    import hashlib
+
+    from unstructured_data_pipeline_spark.ai.image_ocr import make_minimal_bmp
+
+    def one(t: str | None) -> bytes:
+        h = hashlib.md5((t or "").encode("utf-8")).digest()
+        return make_minimal_bmp(4, 4, (h[0], h[1], h[2]))
+
+    return text.map(one)
+
+
 def unwrap_response(res_col):
     """AI7: pull the ``response`` object out of an extraction envelope as a
     map<string,string>; error envelopes yield an empty map (the error stays

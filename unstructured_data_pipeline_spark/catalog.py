@@ -135,6 +135,19 @@ def list_stage_files(spark: SparkSession, stage_dir: str) -> DataFrame:
     )
 
 
+def verify_table_counts(
+    spark: SparkSession, tables: dict[str, ParquetTable]
+) -> DataFrame:
+    """INFORMATION_SCHEMA-style per-table row counts
+    (`setup_database.sql:148-161`): one (table_name, row_count) row per
+    warehouse table, sorted by name — the post-setup check that every
+    CREATE landed and seeds arrived.  Counts are parquet-metadata reads
+    (count() over a ParquetTable scan never materializes rows), so this is
+    safe against warehouse tables of any size."""
+    counts = [(name, tables[name].read().count()) for name in sorted(tables)]
+    return spark.createDataFrame(counts, "table_name string, row_count long")
+
+
 def setup_verification(
     spark: SparkSession,
     tables: dict[str, ParquetTable],

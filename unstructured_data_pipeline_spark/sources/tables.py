@@ -23,10 +23,13 @@ def load_fixture_tables(
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             if name == "events":
-                # events.parquet carries nanosecond timestamps, which the
-                # parquet reader rejects unless surfaced as raw BIGINTs
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            out[name] = spark.read.parquet(path)
+                # events.parquet carries nanosecond timestamps; normalize
+                # ts to BIGINT epoch-micros across Spark versions
+                from unstructured_data_pipeline_spark.queries import _events
+
+                out[name] = _events(spark, sf_dir)
+            else:
+                out[name] = spark.read.parquet(path)
     return out
 
 
