@@ -4043,6 +4043,145 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def video_frames_contract(spark, sf_dir):
+    """Hash-checkable contract over the video frame-sampling plumbing
+    (upgrade of the rows-only demo, VERDICT r2 #9): the fake frame kernel
+    slices each payload into at-most-4 chunks of step = max(1, len // 4)
+    bytes, so per-video frame count and total frame bytes are PURE INTEGER
+    FUNCTIONS of the payload byte length — exactly recomputable by the
+    DuckDB oracle from octet_length.  A wrong chunk boundary, dropped row,
+    or schema drift in the mapInPandas plumbing breaks the hash."""
+    from unstructured_data_pipeline_spark.operators.multimodal import frame_sample
+
+    docs = _heavy(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    out = frame_sample(docs, max_frames=4)
+    return (
+        out.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.length("frame")).alias("total_bytes"),
+        )
+        .orderBy("id")
+    )
+
+
+VIDEO_FRAMES_SQL = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         octet_length(CAST(text AS BLOB)) AS len
+  FROM documents
+), c AS (
+  SELECT id, len, GREATEST(1, len // 4) AS step FROM d
+)
+SELECT id,
+       CAST(LEAST(4, GREATEST(1, len // step)) AS BIGINT) AS n_frames,
+       CAST(LEAST(LEAST(4, GREATEST(1, len // step)) * step, len) AS BIGINT)
+         AS total_bytes
+FROM c ORDER BY id
+"""
+
+
+def audio_features_contract(spark, sf_dir):
+    """Hash-checkable contract over the audio-features plumbing (upgrade of
+    the rows-only demo, VERDICT r2 #9): the fake decoder treats the payload
+    as signed-8-bit PCM at a nominal 16 kHz, so sample_rate and n_samples
+    (== payload byte length) are exact, oracle-recomputable columns; the
+    float features are asserted as range booleans (rms in [0,1], crossings
+    in [0, n_samples]) rather than hashed — floats never enter the hash
+    (module determinism rules)."""
+    from unstructured_data_pipeline_spark.operators.multimodal import audio_features
+
+    docs = _heavy(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    out = audio_features(docs)
+    return out.select(
+        "id",
+        "sample_rate",
+        "n_samples",
+        ((F.col("rms") >= 0) & (F.col("rms") <= 1)).alias("rms_in_range"),
+        (
+            (F.col("zero_crossings") >= 0)
+            & (F.col("zero_crossings") <= F.col("n_samples"))
+        ).alias("zc_in_range"),
+    ).orderBy("id")
+
+
+AUDIO_FEATURES_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       16000 AS sample_rate,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_samples,
+       TRUE AS rms_in_range,
+       TRUE AS zc_in_range
+FROM documents ORDER BY id
+"""
+
+
+def image_features_contract(spark, sf_dir):
+    """Hash-checkable contract over the image decode/featurize plumbing
+    (upgrade of the rows-only demo, VERDICT r2 #9): for payloads with no
+    image magic the decoder emits mime 'application/octet-stream' and
+    md5-derived fake geometry (64 + digest_byte % 192) — and DuckDB has
+    md5(), so the oracle recomputes mime/width/height EXACTLY from the
+    same bytes.  The float feature vector is asserted as booleans (dim ==
+    8, every component in [-1, 1]).  Documents whose text happens to start
+    with a real container magic (BM / GIF8 / %PDF-) are excluded on BOTH
+    sides — they'd take the real-decode path whose geometry parse isn't
+    mirrored here."""
+    from unstructured_data_pipeline_spark.operators.multimodal import image_features
+
+    docs = (
+        _heavy(spark, sf_dir, "documents")
+        .filter(
+            ~F.col("text").startswith("BM")
+            & ~F.col("text").startswith("GIF8")
+            & ~F.col("text").startswith("%PDF-")
+        )
+        .select(
+            F.col("doc_id").cast("string").alias("path"),
+            F.col("text").cast("binary").alias("content"),
+        )
+    )
+    out = image_features(docs, dim=8)
+    return out.select(
+        "id",
+        "mime",
+        "width",
+        "height",
+        (F.size("feat") == 8).alias("feat_dim_ok"),
+        F.forall("feat", lambda x: (x >= -1) & (x <= 1)).alias("feat_in_range"),
+    ).orderBy("id")
+
+
+IMAGE_FEATURES_SQL = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, md5(text) AS h
+  FROM documents
+  WHERE NOT starts_with(text, 'BM')
+    AND NOT starts_with(text, 'GIF8')
+    AND NOT starts_with(text, '%PDF-')
+), b AS (
+  SELECT id,
+         (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS b0,
+         (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS b1
+  FROM d
+)
+SELECT id,
+       'application/octet-stream' AS mime,
+       CAST(64 + b0 % 192 AS INTEGER) AS width,
+       CAST(64 + b1 % 192 AS INTEGER) AS height,
+       TRUE AS feat_dim_ok,
+       TRUE AS feat_in_range
+FROM b ORDER BY id
+"""
+
+
 def audio_features_demo(spark, sf_dir):
     """Multimodal audio plumbing: binary payloads -> mapInPandas fake-PCM
     decode -> rms / zero-crossing features (real decoder slot documented in
@@ -4974,6 +5113,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "continuous_rollup_events": (continuous_rollup_events, CONT_ROLLUP_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "pdf_ocr_roundtrip_contract": (pdf_ocr_roundtrip_contract, PDF_OCR_CONTRACT_SQL),
+    "video_frames_contract": (video_frames_contract, VIDEO_FRAMES_SQL),
+    "audio_features_contract": (audio_features_contract, AUDIO_FEATURES_SQL),
+    "image_features_contract": (image_features_contract, IMAGE_FEATURES_SQL),
     "pdf_ocr_pipeline_demo": (pdf_ocr_pipeline_demo, None),
     "image_features_demo": (image_features_demo, None),
     "video_frame_sample_demo": (video_frame_sample_demo, None),
@@ -5057,6 +5199,9 @@ _R3_FIRST = [
     "continuous_rollup_events",
     "ann_lsh_topk",
     "pdf_ocr_roundtrip_contract",
+    "video_frames_contract",
+    "audio_features_contract",
+    "image_features_contract",
     "pdf_ocr_pipeline_demo",
     "image_features_demo",
     "video_frame_sample_demo",
