@@ -328,6 +328,28 @@ def test_ngram_jaccard_prefix_equals_exhaustive(spark, sf_dir):
     assert fs == ps and len(fs) > 0
 
 
+def test_ngram_jaccard_boundary_exact_pair_survives_prefix_filters(spark):
+    """A pair sitting EXACTLY at jaccard == threshold must survive the
+    prefix path's pruning cascade (prefix pigeonhole, length filter, PPJoin
+    positional bound with its float-guard epsilon).  Construction: two
+    8-word docs sharing a 6-word run -> 6 word-3-gram shingles each, 4
+    shared -> J = 4 / (6+6-4) = 0.5 exactly."""
+    from unstructured_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "qa qb c1 c2 c3 c4 c5 c6"),
+            (2, "rb rc c1 c2 c3 c4 c5 c6"),
+        ],
+        "doc_id long, text string",
+    )
+    for pf in (False, True):
+        rows = ngram_jaccard_pairs(
+            df, "doc_id", "text", 3, 0.5, prefix_filter=pf
+        ).collect()
+        assert len(rows) == 1 and rows[0]["jaccard"] == 0.5, (pf, rows)
+
+
 # ---------------------------------------------------------------------------
 # small-files compaction
 
