@@ -328,6 +328,55 @@ def test_ngram_jaccard_prefix_equals_exhaustive(spark, sf_dir):
     assert fs == ps and len(fs) > 0
 
 
+def test_ngram_jaccard_random_corpus_three_way(spark):
+    """Seeded random corpus (varied lengths, tiny vocabulary to force heavy
+    shingle sharing, docs shorter than n) checked THREE ways: prefix path ==
+    exhaustive path == a pure-Python set-arithmetic model.  Catches pruning
+    bugs the planted-near-dup fixture corpus can't reach (deep overlap
+    structure, boundary sizes, empty shingle sets)."""
+    import random
+
+    from unstructured_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(20260813)
+    vocab = [f"w{i}" for i in range(8)]
+    docs = []
+    for i in range(15):
+        words = [rng.choice(vocab) for _ in range(rng.randint(1, 24))]
+        docs.append((i, " ".join(words)))
+        # plant a mutated near-copy: drop the head word or swap one word —
+        # lands pairs on both sides of the 0.5 threshold
+        mut = list(words)
+        if rng.random() < 0.5 and len(mut) > 1:
+            mut = mut[1:]
+        elif mut:
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+        docs.append((100 + i, " ".join(mut)))
+    # pure-Python model: distinct word-3-gram sets, exact pairwise jaccard
+    def sh(text):
+        w = text.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {i: sh(t) for i, t in docs}
+    want = sorted(
+        (a, b, round(len(sets[a] & sets[b]) / len(sets[a] | sets[b]), 9))
+        for a in sets
+        for b in sets
+        if a < b and sets[a] and sets[b]
+        and len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= 0.5
+    )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for pf in (False, True):
+        got = sorted(
+            (r["a"], r["b"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", 3, 0.5, prefix_filter=pf
+            ).collect()
+        )
+        assert got == want, (pf, got[:5], want[:5])
+    assert len(want) > 0  # the corpus actually planted qualifying pairs
+
+
 def test_ngram_jaccard_boundary_exact_pair_survives_prefix_filters(spark):
     """A pair sitting EXACTLY at jaccard == threshold must survive the
     prefix path's pruning cascade (prefix pigeonhole, length filter, PPJoin
