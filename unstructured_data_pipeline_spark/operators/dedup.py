@@ -357,8 +357,13 @@ def ngram_jaccard_pairs(
     # while J >= t forces i >= ceil(t*(sa+sb)/(1+t)).  min() over a pair's
     # shared prefix occurrences takes the TIGHTEST cap (every occurrence
     # upper-bounds i), and the aggregation dedups candidates in the same
-    # shuffle the old ``.distinct()`` spent — so the filter is free, and at
-    # fixture scale it cuts verify input ~30x (426k -> 14k pairs at sf0.1).
+    # shuffle the old ``.distinct()`` spent — the filter rides for free.
+    # It prunes position-SKEWED matches only, so on the near-uniform
+    # fixture corpus the reduction is small (~1% at sf0.1; the measured
+    # 5.5s -> 3.1s there comes from the hashed-array verify below); on
+    # real corpora with Zipfian shingle frequencies, where a doc's rare
+    # shingles sit early in its order and spurious matches sit late, the
+    # positional gap is what bounds the verify set.
     ub = (
         F.least(F.col("ra") - 1, F.col("rb") - 1)
         + F.least(F.col("sa") - F.col("ra"), F.col("sb") - F.col("rb"))
