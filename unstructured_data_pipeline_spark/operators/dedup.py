@@ -77,6 +77,33 @@ def minhash_signatures(
     return shingles.groupBy("id").agg(*aggs)
 
 
+def lsh_band_keys(
+    signatures: DataFrame, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """(id, band, sig) bucket keys from mh0..mhN signature columns — the
+    join key both the batch self-join (:func:`lsh_candidate_pairs`) and the
+    incremental index (:class:`IncrementalLshDedup`) bucket on.
+
+    xxhash64 of the joined band rows: the sig is ONLY an equality key (never
+    surfaced), so an 8-byte int key beats a 32-char md5 string in shuffle
+    width and probe cost; the equivalence classes are identical to hashing
+    the same concat with any other collision-free hash (oracles mirror with
+    md5 and agree on the resulting candidate set)."""
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws("#", *parts)).alias("sig"),
+            )
+        )
+    return signatures.select(
+        "id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, num_hashes: int = 8, bands: int = 4
 ) -> DataFrame:
@@ -87,25 +114,7 @@ def lsh_candidate_pairs(
     The self-join is on the band hash — only docs in the same bucket meet,
     so cost is sum over buckets of |bucket|^2, not |corpus|^2.
     """
-    rows = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]
-        # xxhash64 of the joined band rows: the sig is ONLY an equality key
-        # for the bucket self-join (never surfaced), so a 8-byte int key
-        # beats a 32-char md5 string in shuffle width and probe cost; the
-        # equivalence classes are identical to hashing the same concat with
-        # any other collision-free hash (oracles mirror with md5 and agree
-        # on the resulting candidate set).
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.concat_ws("#", *parts)).alias("sig"),
-            )
-        )
-    buckets = signatures.select(
-        "id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    buckets = lsh_band_keys(signatures, num_hashes, bands)
 
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -479,3 +488,139 @@ def dedup_report(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+class IncrementalLshDedup:
+    """Continuous-ingestion near-dup detection: dedup each arriving batch
+    against everything seen before it, without recomputing the corpus.
+
+    The 100 TB problem this solves: a batch self-join dedup re-reads the
+    whole corpus per run, but a pipeline ingesting continuously needs each
+    NEW batch checked against an ever-growing history.  State here is ONE
+    warehouse table of LSH band keys ``(doc_id, batch_id, band, sig)`` —
+    O(bands) integers per document, never shingles or text — so the index
+    grows ~32 bytes/doc/band and the per-batch cost is the batch's own
+    row-local signatures plus a bucket equi-join against the index (the
+    same sum-over-buckets |bucket|^2 economics as the batch LSH; no
+    pairwise work outside shared buckets).
+
+    Candidates are verified with EXACT n-gram Jaccard against the raw-text
+    lookup the warehouse already holds (``corpus_texts``), so the flag is a
+    true >= threshold judgment, not an LSH guess.
+
+    Duplicate rule (deterministic and replay-stable): a doc is a duplicate
+    iff some verified match was SEEN FIRST — an earlier batch, or the same
+    batch with a smaller id.  The index keeps EVERY doc's bands (duplicates
+    included), so a verdict never depends on earlier survival decisions —
+    which is what makes the whole multi-batch history recomputable by a
+    one-shot SQL oracle (see ``incremental_dedup_report``).
+
+    Replay safety: ``process_batch`` deletes the batch's own index rows
+    before re-appending them, and "seen before" reads only strictly-earlier
+    batch ids — an at-least-once caller (e.g. ``foreachBatch``) gets
+    effectively-once state and identical verdicts on replay.
+    """
+
+    def __init__(
+        self,
+        spark,
+        root: str,
+        num_hashes: int = 8,
+        bands: int = 4,
+        n: int = 3,
+        threshold: float = 0.5,
+        name: str = "lsh_band_index",
+    ) -> None:
+        from pyspark.sql import types as T
+
+        from unstructured_data_pipeline_spark.operators.dml import ParquetTable
+
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.n = n
+        self.threshold = threshold
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("batch_id", T.LongType()),
+                T.StructField("band", T.IntegerType()),
+                T.StructField("sig", T.LongType()),
+            ]
+        )
+        self.table = ParquetTable(spark, root, name, schema).ensure()
+
+    def process_batch(
+        self,
+        docs: DataFrame,
+        corpus_texts: DataFrame,
+        batch_id: int,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Flag ``docs`` (one batch) against all earlier batches + itself.
+
+        ``corpus_texts`` must cover every id that can appear in a candidate
+        pair (this batch + all earlier ones) — in a deployment that is the
+        raw documents table.  Returns (doc_id, is_dup); docs too short to
+        shingle have no signature and are never duplicates.
+        """
+        d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        sig = minhash_signature_cols(
+            shingle_arrays(d, "id", "text", self.n), self.num_hashes
+        )
+        bands_new = lsh_band_keys(sig, self.num_hashes, self.bands).persist()
+        # replay idempotence: wipe any partial state from a prior attempt
+        self.table.delete_where(F.col("batch_id") == batch_id)
+        prior = self.table.read().filter(F.col("batch_id") < batch_id)
+        cross = (
+            bands_new.join(
+                prior.select(F.col("doc_id").alias("a"), "band", "sig"),
+                ["band", "sig"],
+            )
+            .select("a", F.col("id").alias("b"))
+            .distinct()
+        )
+        x, y = bands_new.alias("x"), bands_new.alias("y")
+        within = (
+            x.join(
+                y,
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.sig") == F.col("y.sig"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+            .distinct()
+        )
+        cand = cross.unionByName(within).distinct()
+        corpus_sh = shingle_arrays(
+            corpus_texts.select(F.col(id_col), F.col(text_col)), id_col, text_col, self.n
+        )
+        dup_ids = (
+            jaccard_pairs_arr(corpus_sh, cand)
+            .filter(F.col("jaccard") >= self.threshold)
+            .select(F.col("b").alias("id"))
+            .distinct()
+            .withColumn("_d", F.lit(1))
+        )
+        flags = (
+            d.select("id")
+            .join(dup_ids, "id", "left")
+            .select(
+                F.col("id").alias("doc_id"),
+                F.col("_d").isNotNull().alias("is_dup"),
+            )
+        )
+        # flags' plan reads the index via self.table; materialize the
+        # verdicts BEFORE appending this batch's bands so the append can't
+        # leak into the lazily-evaluated "prior" scan
+        flags = flags.localCheckpoint(eager=True)
+        self.table.append(
+            bands_new.select(
+                F.col("id").alias("doc_id"),
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "band",
+                "sig",
+            )
+        )
+        bands_new.unpersist()
+        return flags

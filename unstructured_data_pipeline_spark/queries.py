@@ -825,6 +825,117 @@ WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
 """
 
 
+def incremental_dedup_report(spark, sf_dir):
+    """CONTINUOUS-INGESTION dedup, hash-gated end-to-end: the corpus
+    (documents + planted exact copies %7 and near copies %5) arrives as
+    three batches (id % 3); each batch is flagged against the accumulated
+    LSH band-key index (`operators/dedup.IncrementalLshDedup`: row-local
+    signatures, bucket equi-join vs the index table, exact-Jaccard verify
+    against raw text, idempotent index append through the versioned
+    ParquetTable layer).  A doc is a duplicate iff some verified match was
+    seen first (earlier batch, or same batch with smaller id) — the index
+    keeps every doc's bands, so the whole sequential history is
+    recomputable by the one-shot DuckDB mirror.  Output: per-batch
+    (n_docs, n_dups, n_kept).  The driver row therefore covers the
+    stateful multi-batch path: index create -> 3x (read, delete, append,
+    verify) -> report."""
+    import tempfile
+
+    from unstructured_data_pipeline_spark.operators.dedup import IncrementalLshDedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_extra = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near_extra = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 2, 1000000), " ").alias("text"),
+    )
+    # persisted: every batch pass re-reads the corpus (its own rows for
+    # signatures, the whole lookup for verification)
+    corpus = d.unionByName(exact_extra).unionByName(near_extra).persist()
+    root = tempfile.mkdtemp(prefix="udp_incdedup_")
+    inc = IncrementalLshDedup(spark, root, num_hashes=8, bands=4, n=3, threshold=0.5)
+    frames = []
+    for b in (0, 1, 2):
+        batch = corpus.filter(F.col("doc_id") % 3 == b)
+        flags = inc.process_batch(batch, corpus, b)
+        frames.append(flags.withColumn("batch_id", F.lit(b).cast("long")))
+    allf = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    out = (
+        allf.groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
+            F.sum((~F.col("is_dup")).cast("long")).alias("n_kept"),
+        )
+        .orderBy("batch_id")
+    )
+    corpus.unpersist()
+    return out
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text, doc_id % 3 AS batch FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, (doc_id + 1000000) % 3
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 3000000, array_to_string(string_split(text, ' ')[2:], ' '),
+         (doc_id + 3000000) % 3
+  FROM documents WHERE doc_id % 5 = 0
+),
+toks AS (SELECT id, string_split(text, ' ') AS w FROM corpus),
+sh AS (
+  SELECT DISTINCT id,
+         unnest(list_transform(generate_series(1, len(w) - 2),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM toks
+),
+mh AS (SELECT id, {{mins}} FROM sh GROUP BY id),
+bands AS (
+  SELECT id, b, {{band_case}} AS sig
+  FROM mh, (VALUES (0), (1), (2), (3)) t(b)
+),
+cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM bands x JOIN bands y ON x.b = y.b AND x.sig = y.sig AND x.id < y.id
+),
+cnt AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT c.a, c.b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh x ON x.id = c.a
+  JOIN sh y ON y.id = c.b AND y.s = x.s
+  GROUP BY c.a, c.b
+),
+pairs AS (
+  SELECT a, b
+  FROM inter JOIN cnt na ON na.id = a JOIN cnt nb ON nb.id = b
+  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+),
+-- seen-first rule: the dup side of each verified pair is the one NOT seen
+-- first (later batch, or same batch with the larger id)
+dups AS (
+  SELECT DISTINCT CASE
+    WHEN ca.batch < cb.batch THEN p.b
+    WHEN cb.batch < ca.batch THEN p.a
+    ELSE p.b  -- same batch: a < b by construction, so b is the duplicate
+  END AS id
+  FROM pairs p
+  JOIN corpus ca ON ca.id = p.a
+  JOIN corpus cb ON cb.id = p.b
+)
+SELECT c.batch AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       CAST(SUM(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM corpus c LEFT JOIN dups d ON d.id = c.id
+GROUP BY c.batch ORDER BY c.batch
+""".format(mins=_MH_MINS, band_case=_BAND_CASE)
+
+
 def dedup_clusters_report(spark, sf_dir):
     """Connected-components cluster assignment over the (already
     oracle-verified) MinHash-LSH near-dup pairs — this graduates the
@@ -5107,6 +5218,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "source_mixture_weights": (source_mixture_weights, MIXTURE_SQL),
     "kmv_distinct_sketch": (kmv_distinct_sketch, KMV_SQL),
     "dedup_clusters_report": (dedup_clusters_report, CLUSTERS_SQL),
+    "incremental_dedup_report": (incremental_dedup_report, INCREMENTAL_DEDUP_SQL),
     "dml_delete_append_lifecycle": (dml_delete_append_lifecycle, DML_DELETE_APPEND_SQL),
     "export_roundtrip_report": (export_roundtrip_report, EXPORT_ROUNDTRIP_SQL),
     "zorder_layout_report": (zorder_layout_report, ZORDER_SQL),
@@ -5193,6 +5305,7 @@ _R3_FIRST = [
     "source_mixture_weights",
     "kmv_distinct_sketch",
     "dedup_clusters_report",
+    "incremental_dedup_report",
     "dml_delete_append_lifecycle",
     "export_roundtrip_report",
     "zorder_layout_report",
