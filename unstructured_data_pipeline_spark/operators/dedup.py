@@ -556,6 +556,7 @@ class IncrementalLshDedup:
         batch_id: int,
         id_col: str = "doc_id",
         text_col: str = "text",
+        corpus_shingles: DataFrame | None = None,
     ) -> DataFrame:
         """Flag ``docs`` (one batch) against all earlier batches + itself.
 
@@ -563,6 +564,10 @@ class IncrementalLshDedup:
         pair (this batch + all earlier ones) — in a deployment that is the
         raw documents table.  Returns (doc_id, is_dup); docs too short to
         shingle have no signature and are never duplicates.
+
+        ``corpus_shingles``: optional precomputed ``shingle_arrays`` of the
+        SAME corpus/n — a caller processing many batches in one job can
+        persist it once instead of re-shingling the lookup per batch.
         """
         d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
         sig = minhash_signature_cols(
@@ -592,8 +597,15 @@ class IncrementalLshDedup:
             .distinct()
         )
         cand = cross.unionByName(within).distinct()
-        corpus_sh = shingle_arrays(
-            corpus_texts.select(F.col(id_col), F.col(text_col)), id_col, text_col, self.n
+        corpus_sh = (
+            corpus_shingles
+            if corpus_shingles is not None
+            else shingle_arrays(
+                corpus_texts.select(F.col(id_col), F.col(text_col)),
+                id_col,
+                text_col,
+                self.n,
+            )
         )
         dup_ids = (
             jaccard_pairs_arr(corpus_sh, cand)

@@ -852,14 +852,18 @@ def incremental_dedup_report(spark, sf_dir):
         F.array_join(F.slice(F.split(F.col("text"), " "), 2, 1000000), " ").alias("text"),
     )
     # persisted: every batch pass re-reads the corpus (its own rows for
-    # signatures, the whole lookup for verification)
+    # signatures, the whole lookup for verification); the verify-side
+    # shingle arrays are likewise computed once and shared across batches
+    from unstructured_data_pipeline_spark.operators.dedup import shingle_arrays
+
     corpus = d.unionByName(exact_extra).unionByName(near_extra).persist()
+    corpus_sh = shingle_arrays(corpus, "doc_id", "text", 3).persist()
     root = tempfile.mkdtemp(prefix="udp_incdedup_")
     inc = IncrementalLshDedup(spark, root, num_hashes=8, bands=4, n=3, threshold=0.5)
     frames = []
     for b in (0, 1, 2):
         batch = corpus.filter(F.col("doc_id") % 3 == b)
-        flags = inc.process_batch(batch, corpus, b)
+        flags = inc.process_batch(batch, corpus, b, corpus_shingles=corpus_sh)
         frames.append(flags.withColumn("batch_id", F.lit(b).cast("long")))
     allf = frames[0].unionByName(frames[1]).unionByName(frames[2])
     out = (
@@ -871,6 +875,7 @@ def incremental_dedup_report(spark, sf_dir):
         )
         .orderBy("batch_id")
     )
+    corpus_sh.unpersist()
     corpus.unpersist()
     return out
 
