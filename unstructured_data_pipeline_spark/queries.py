@@ -3999,8 +3999,11 @@ ORDER BY file_ref, field_name
 def dedup_end_to_end_report(spark, sf_dir):
     """The full dedup decision: minhash-LSH pairs -> connected-components
     clustering (iterative min-label propagation) -> keep cluster minima +
-    singletons, drop the rest.  Iterative -> no SQL oracle; the component
-    semantics are unit-tested on known graphs."""
+    singletons, drop the rest.  Hash-gated since round 3: the DuckDB
+    mirror recomputes the identical components via recursive-CTE
+    transitive closure (the `dedup_clusters_report` machinery) and lands
+    on the same keep/drop counts — graduating the last dedup-family
+    rows-only entry to a full oracle."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     near = d.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 2000000).alias("doc_id"),
@@ -4012,7 +4015,34 @@ def dedup_end_to_end_report(spark, sf_dir):
     )
     from unstructured_data_pipeline_spark.operators.dedup import dedup_report
 
-    return dedup_report(corpus, pairs, "doc_id")
+    return dedup_report(corpus, pairs, "doc_id").orderBy("status")
+
+
+END_TO_END_DEDUP_SQL = f"""
+WITH RECURSIVE pairs AS (
+{DEDUP_MINHASH_SQL}
+),
+edges AS (
+  SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs
+),
+nodes AS (SELECT DISTINCT x AS id FROM edges),
+reach AS (
+  SELECT id AS node, id AS label FROM nodes
+  UNION
+  SELECT e.y AS node, r.label FROM reach r JOIN edges e ON e.x = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node),
+corpus_ids AS (
+  SELECT doc_id AS id FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 FROM documents WHERE doc_id % 5 = 0
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+  SELECT CASE WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> ci.id
+              THEN 'drop' ELSE 'keep' END AS status
+  FROM corpus_ids ci LEFT JOIN comp c ON c.doc_id = ci.id
+) GROUP BY status ORDER BY status
+"""
 
 
 def continuous_rollup_events(spark, sf_dir):
@@ -5238,7 +5268,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "video_frame_sample_demo": (video_frame_sample_demo, None),
     "audio_features_demo": (audio_features_demo, None),
     "sketch_event_stats": (sketch_event_stats, SKETCH_BOUNDS_SQL),
-    "dedup_end_to_end_report": (dedup_end_to_end_report, None),
+    "dedup_end_to_end_report": (dedup_end_to_end_report, END_TO_END_DEDUP_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_revenue_orders": (q3_top_revenue_orders, Q3_SQL),
     "q5_region_volume": (q5_region_volume, Q5_SQL),
