@@ -7,6 +7,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 
@@ -246,3 +247,63 @@ def test_all_queries_survive_empty_tables(spark, sf_dir, tmp_path):
         except Exception as e:  # noqa: BLE001 — collecting all offenders
             failures[name] = f"{type(e).__name__}: {str(e)[:120]}"
     assert not failures, f"queries crashing on empty inputs: {failures}"
+
+
+def test_prefix_filter_bounds_posting_join_under_zipf_skew(spark):
+    """The scale claim behind prefix_filter=True: under a Zipfian shingle
+    distribution (stopword-like shingles shared by most docs) the
+    exhaustive inverted index pays sum(|posting|^2) on the hot shingles,
+    while the prefix index only posts each doc's RAREST shingles and never
+    materializes those pairs.  On the uniform fixture corpus the two are
+    comparable (see dedup.py comments); this corpus is where they diverge.
+    Both paths must still return identical verified pairs."""
+    import random
+
+    from unstructured_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_arrays,
+    )
+
+    rng = random.Random(7)
+    stop = ["the", "of", "and", "to", "in"]
+    rare = [f"t{i}" for i in range(2000)]
+    docs = []
+    for i in range(400):
+        words = [
+            rng.choice(stop) if rng.random() < 0.6 else rng.choice(rare)
+            for _ in range(30)
+        ]
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sh = shingle_arrays(df, "doc_id", "text", 3).persist()
+    post = sh.select(
+        "id",
+        F.size("sh").alias("sz"),
+        F.explode(F.expr("transform(sh, s -> xxhash64(s))")).alias("shingle"),
+    )
+    pa = post.select(F.col("id").alias("a"), "shingle")
+    pb = post.select(F.col("id").alias("b"), "shingle")
+    full_pairs = pa.join(pb, "shingle").filter(F.col("a") < F.col("b")).count()
+
+    counts = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("id").orderBy("freq", "shingle")
+    prefix = (
+        post.join(counts, "shingle")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= (F.floor(F.col("sz") * 0.5) + 1).cast("int"))
+    )
+    qa = prefix.select(F.col("id").alias("a"), "shingle")
+    qb = prefix.select(F.col("id").alias("b"), "shingle")
+    pref_pairs = qa.join(qb, "shingle").filter(F.col("a") < F.col("b")).count()
+
+    # measured ~23k vs ~7 on this seed; demand 50x so the assertion has
+    # plenty of headroom against seed or library drift
+    assert full_pairs > 50 * max(1, pref_pairs), (full_pairs, pref_pairs)
+
+    full = ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.5, prefix_filter=False)
+    pref = ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.5, prefix_filter=True)
+    fs = sorted((r["a"], r["b"], round(r["jaccard"], 9)) for r in full.collect())
+    ps = sorted((r["a"], r["b"], round(r["jaccard"], 9)) for r in pref.collect())
+    assert fs == ps
+    sh.unpersist()
