@@ -83,3 +83,73 @@ def test_matches_one_shot_batch_lsh(spark, tmp_path, corpus):
         want[y] = True
     _, flags = _run(spark, tmp_path, corpus, order)
     assert flags == want
+
+
+def test_incremental_dedup_in_streaming_intake(spark, tmp_path):
+    """The operator in its intended seat: a checkpointed file-source stream
+    whose foreachBatch flags each arriving wave against the accumulated
+    index, using the stream's own batch_id (monotonic across restarts via
+    the checkpoint) as the batch key.  Wave 2 contains a near-dup of a
+    wave-1 doc and must be flagged; the originals must not be."""
+    from pyspark.sql import types as T
+
+    from unstructured_data_pipeline_spark.operators.dedup import IncrementalLshDedup
+    from unstructured_data_pipeline_spark.operators.dml import ParquetTable
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    (landing / "10.txt").write_text(base)
+    (landing / "11.txt").write_text(
+        "completely unrelated text about spark shuffles and parquet files here"
+    )
+
+    wh = str(tmp_path / "wh")
+    inc = IncrementalLshDedup(spark, wh)
+    doc_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    flag_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("is_dup", T.BooleanType())]
+    )
+    docs_seen = ParquetTable(spark, wh, "docs_seen", doc_schema).ensure()
+    flags_tbl = ParquetTable(spark, wh, "dedup_flags", flag_schema).ensure()
+
+    def process(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        docs = batch_df.select(
+            F.regexp_extract(F.col("file_ref"), r"(\d+)", 1).cast("long").alias("doc_id"),
+            "text",
+        )
+        # raw docs land first (idempotent), so the verify lookup always
+        # covers this batch + all earlier ones — replay included
+        docs_seen.upsert(docs, ["doc_id"])
+        flags = inc.process_batch(docs, docs_seen.read(), batch_id)
+        flags_tbl.upsert(flags, ["doc_id"])
+
+    def drain():
+        q = (
+            spark.readStream.format("text")
+            .option("wholetext", "true")
+            .load(str(landing))
+            .select(
+                F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file_ref"),
+                F.col("value").alias("text"),
+            )
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got = {r["doc_id"]: r["is_dup"] for r in flags_tbl.read().collect()}
+    assert got == {10: False, 11: False}
+
+    # wave 2: a near-dup of doc 10 arrives later -> flagged against history
+    (landing / "12.txt").write_text(" ".join(base.split(" ")[1:]))
+    drain()
+    got = {r["doc_id"]: r["is_dup"] for r in flags_tbl.read().collect()}
+    assert got == {10: False, 11: False, 12: True}
