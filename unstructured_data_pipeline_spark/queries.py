@@ -2095,9 +2095,10 @@ def ann_lsh_recall(spark, sf_dir):
     )
 
 
-def _ann_lsh_recall_sql() -> str:
-    """Generate the DuckDB mirror of ann_lsh_recall with the deterministic
-    hyperplane components inlined as list literals."""
+def _lsh_mirror_parts() -> dict[str, str]:
+    """Shared SQL fragments for the LSH ANN mirrors: sign-bit columns from
+    the inlined deterministic hyperplanes, the banded bucket rows, and the
+    double-precision cosine dot products."""
     from unstructured_data_pipeline_spark.operators.similarity import _hyperplane
 
     planes = [_hyperplane(64, p) for p in range(8)]
@@ -2115,12 +2116,21 @@ def _ann_lsh_recall_sql() -> str:
         "FROM bits"
         for b in range(4)
     )
-    dot_qc = _DOT.format(a="cv", b="qv")
-    dot_cc = _DOT.format(a="cv", b="cv")
-    dot_qq = _DOT.format(a="qv", b="qv")
-    return f"""
-WITH bits AS (SELECT vec_id, embedding, {bit_cols} FROM embeddings),
-cband AS ({band_rows}),
+    return {
+        "bit_cols": bit_cols,
+        "band_rows": band_rows,
+        "dot_qc": _DOT.format(a="cv", b="qv"),
+        "dot_cc": _DOT.format(a="cv", b="cv"),
+        "dot_qq": _DOT.format(a="qv", b="qv"),
+    }
+
+
+def _lsh_approx_ctes(p: dict[str, str]) -> str:
+    """bits -> cband -> qband -> cand -> approx(q_id, neighbor_id, rnk):
+    the LSH candidate generation + bucket-bounded top-5, shared by the
+    top-k and recall mirrors."""
+    return f"""bits AS (SELECT vec_id, embedding, {p["bit_cols"]} FROM embeddings),
+cband AS ({p["band_rows"]}),
 qband AS (SELECT * FROM cband WHERE vec_id < 8),
 cand AS (
   SELECT DISTINCT q.vec_id AS q_id, q.embedding AS qv,
@@ -2129,14 +2139,34 @@ cand AS (
   WHERE c.vec_id <> q.vec_id
 ),
 approx AS (
-  SELECT q_id, neighbor_id FROM (
+  SELECT q_id, neighbor_id, rnk FROM (
     SELECT q_id, neighbor_id,
            row_number() OVER (PARTITION BY q_id
-               ORDER BY {dot_qc} / (sqrt({dot_cc}) * sqrt({dot_qq})) DESC,
+               ORDER BY {p["dot_qc"]} / (sqrt({p["dot_cc"]}) * sqrt({p["dot_qq"]})) DESC,
                         neighbor_id) AS rnk
     FROM cand) t
   WHERE rnk <= 5
-),
+)"""
+
+
+def _ann_lsh_topk_sql() -> str:
+    """DuckDB mirror of the LSH top-k itself (rank-only projection — the
+    float cosine stays out of the hash per the module determinism rules)."""
+    parts = _lsh_mirror_parts()
+    return f"""
+WITH {_lsh_approx_ctes(parts)}
+SELECT q_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk
+FROM approx ORDER BY q_id, rnk
+"""
+
+
+def _ann_lsh_recall_sql() -> str:
+    """Generate the DuckDB mirror of ann_lsh_recall with the deterministic
+    hyperplane components inlined as list literals."""
+    parts = _lsh_mirror_parts()
+    dot_qc, dot_cc, dot_qq = parts["dot_qc"], parts["dot_cc"], parts["dot_qq"]
+    return f"""
+WITH {_lsh_approx_ctes(parts)},
 qx AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
 cx AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
 exact AS (
@@ -2156,6 +2186,23 @@ GROUP BY e.q_id ORDER BY e.q_id
 
 
 ANN_LSH_RECALL_SQL = _ann_lsh_recall_sql()
+ANN_LSH_TOPK_SQL = _ann_lsh_topk_sql()
+
+
+def ann_lsh_topk_contract(spark, sf_dir):
+    """Hash-checkable projection of ann_lsh_topk (upgrade of the last
+    rows-only ANN entry): the bucket-bounded top-5 neighbor ids and ranks
+    are fully deterministic (md5-derived hyperplanes, neighbor-id tie
+    break), so the DuckDB mirror re-derives the SAME neighbor lists from
+    inlined plane constants; only the float cosine stays out of the hash
+    (module determinism rules — the recall query separately bounds its
+    quality)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    out = SIM.lsh_bucketed_topk(emb, q, k=5, dim=64, n_planes=8, bands=4)
+    return out.select(
+        "q_id", "neighbor_id", F.col("rank").cast("int").alias("rnk")
+    ).orderBy("q_id", "rnk")
 
 
 def pdf_ocr_pipeline_demo(spark, sf_dir):
@@ -5259,6 +5306,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "zorder_layout_report": (zorder_layout_report, ZORDER_SQL),
     "continuous_rollup_events": (continuous_rollup_events, CONT_ROLLUP_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
+    "ann_lsh_topk_contract": (ann_lsh_topk_contract, ANN_LSH_TOPK_SQL),
     "pdf_ocr_roundtrip_contract": (pdf_ocr_roundtrip_contract, PDF_OCR_CONTRACT_SQL),
     "video_frames_contract": (video_frames_contract, VIDEO_FRAMES_SQL),
     "audio_features_contract": (audio_features_contract, AUDIO_FEATURES_SQL),
@@ -5346,6 +5394,7 @@ _R3_FIRST = [
     "zorder_layout_report",
     "continuous_rollup_events",
     "ann_lsh_topk",
+    "ann_lsh_topk_contract",
     "pdf_ocr_roundtrip_contract",
     "video_frames_contract",
     "audio_features_contract",
