@@ -590,3 +590,34 @@ def test_range_join_window_boundaries(spark, tmp_path):
         for r in range_join_views_before_purchase(spark, str(d)).collect()
     }
     assert out == {1: 2}
+
+
+def test_hashed_bow_embedding_properties(spark):
+    """Feature-hashing vectorizer: fixed dim, integer-valued signed-count
+    profile, token-order invariance of the multiset profile, zero-vector
+    docs dropped, deterministic across calls."""
+    from unstructured_data_pipeline_spark.operators.similarity import (
+        hashed_bow_embedding,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),
+            (2, "gamma alpha beta alpha"),  # same multiset, different order
+            (3, "delta epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["vec_id"]: r["embedding"] for r in
+           hashed_bow_embedding(df, "doc_id", "text", dim=16).collect()}
+    assert set(out) <= {1, 2, 3} and 1 in out
+    assert all(len(v) == 16 for v in out.values())
+    assert all(float(x).is_integer() for v in out.values() for x in v)
+    # same token multiset -> identical vector regardless of order
+    assert out[1] == out[2]
+    # repeated token contributes twice: sum of |components| >= 2 for doc 1
+    assert sum(abs(x) for x in out[1]) >= 2
+    # determinism across invocations
+    again = {r["vec_id"]: r["embedding"] for r in
+             hashed_bow_embedding(df, "doc_id", "text", dim=16).collect()}
+    assert again == out

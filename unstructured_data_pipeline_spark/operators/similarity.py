@@ -316,3 +316,62 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "rank", "cos")
     )
+
+
+def hashed_bow_embedding(
+    df: DataFrame, id_col: str, text_col: str, dim: int = 32
+) -> DataFrame:
+    """Feature-hashing ("hashing trick", Weinberger et al. 2009) text
+    vectorizer — a deterministic, vocabulary-free stand-in for a learned
+    encoder that turns raw text into the ``(vec_id, embedding)`` shape
+    every similarity operator here consumes: token ``t`` adds sign(t) = ±1
+    (an md5 nibble) to bucket ``md5(t) % dim``, and the document vector is
+    its signed bucket profile as doubles.
+
+    Entirely row-local JVM Column expressions — no shuffle, no Python, no
+    vocabulary state to ship, so it runs at scan speed on any corpus size;
+    md5-derived buckets/signs make the vectors bit-identical in the DuckDB
+    oracle.  The md5 array is materialized as its own projection first
+    (Catalyst inlines lambda bodies without CSE — the ``shingle_set``
+    lesson), keeping the bucket fold O(dim * tokens) integer ops per doc.
+
+    Documents whose buckets fully cancel (zero vector — no direction, so
+    cosine is undefined) are dropped, mirroring the SQL side's norm > 0
+    filter.  Swap in a real encoder by replacing this one function; the
+    downstream top-k / LSH / IVF operators are shape-compatible.
+    """
+    from unstructured_data_pipeline_spark.functions.text import tokens_ws
+
+    toks = df.select(F.col(id_col).alias("vec_id"), tokens_ws(text_col).alias("w"))
+    hashed = toks.select(
+        "vec_id", F.transform("w", lambda t: F.md5(t)).alias("hs")
+    )
+    bs = hashed.select(
+        "vec_id",
+        F.transform(
+            "hs",
+            lambda h: F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % dim,
+        ).alias("bk"),
+        F.transform(
+            "hs",
+            lambda h: (F.conv(F.substring(h, 5, 1), 16, 10).cast("long") % 2) * 2 - 1,
+        ).alias("sg"),
+    )
+    emb = bs.select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.aggregate(
+                F.zip_with(
+                    "bk", "sg", lambda b, s: F.struct(b.alias("b"), s.alias("s"))
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, p: acc
+                + F.when(p["b"] == i.cast("long"), p["s"]).otherwise(F.lit(0)),
+            ).cast("double"),
+        ).alias("embedding"),
+    )
+    sq = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda acc, v: acc + v * v
+    )
+    return emb.filter(sq > 0)

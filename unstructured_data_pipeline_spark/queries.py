@@ -2189,6 +2189,65 @@ ANN_LSH_RECALL_SQL = _ann_lsh_recall_sql()
 ANN_LSH_TOPK_SQL = _ann_lsh_topk_sql()
 
 
+def text_knn_hashed_embedding(spark, sf_dir):
+    """EMBEDDING GENERATION closing the text->vector gap: raw document text
+    is vectorized by the deterministic feature-hashing encoder
+    (`operators/similarity.hashed_bow_embedding`: md5 bucket + sign, signed
+    bucket-count profile, row-local Column expressions) and fed straight
+    into the standard exact cosine top-k — the full
+    text -> embed -> similarity-search pipeline with no pre-existing
+    embeddings table.  Rank-only projection (ANN-contract pattern): the
+    DuckDB oracle recomputes the SAME 32-dim vectors from the same md5
+    arithmetic and must produce the same neighbor ids and ranks; the float
+    cosine stays out of the hash."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = SIM.hashed_bow_embedding(d, "doc_id", "text", dim=32)
+    q = emb.filter(F.col("vec_id") < 4)
+    out = SIM.cosine_topk(emb, q, k=3)
+    return out.select(
+        "q_id", "neighbor_id", F.col("rank").cast("int").alias("rnk")
+    ).orderBy("q_id", "rnk")
+
+
+def _text_knn_hashed_sql() -> str:
+    hexval = "(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+    b4 = " + ".join(
+        hexval.format(pos=i + 1) + f" * {16 ** (3 - i)}" for i in range(4)
+    )
+    dot = "list_sum(list_transform(generate_series(1, 32), i -> {a}[i] * {b}[i]))"
+    dot_qc = dot.format(a="cv", b="qv")
+    dot_cc = dot.format(a="cv", b="cv")
+    dot_qq = dot.format(a="qv", b="qv")
+    return f"""
+WITH toks AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents),
+hsx AS (SELECT id, list_transform(w, t -> md5(t)) AS hs FROM toks),
+bs AS (SELECT id,
+  list_transform(hs, h -> ({b4}) % 32) AS bk,
+  list_transform(hs, h -> (({hexval.format(pos=5)}) % 2) * 2 - 1) AS sg
+  FROM hsx),
+emb AS (SELECT id,
+  list_transform(generate_series(0, 31), i ->
+    CAST(list_sum(list_transform(generate_series(1, len(bk)), j ->
+      CASE WHEN bk[j] = i THEN sg[j] ELSE 0 END)) AS DOUBLE)) AS v
+  FROM bs),
+nz AS (SELECT id, v FROM emb
+       WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+q AS (SELECT id AS q_id, v AS qv FROM nz WHERE id < 4),
+c AS (SELECT id AS neighbor_id, v AS cv FROM nz)
+SELECT q_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT q_id, neighbor_id,
+         row_number() OVER (PARTITION BY q_id
+             ORDER BY {dot_qc} / (sqrt({dot_cc}) * sqrt({dot_qq})) DESC,
+                      neighbor_id) AS rnk
+  FROM c, q WHERE neighbor_id <> q_id) t
+WHERE rnk <= 3
+ORDER BY q_id, rnk
+"""
+
+
+TEXT_KNN_HASHED_SQL = _text_knn_hashed_sql()
+
+
 def ann_lsh_topk_contract(spark, sf_dir):
     """Hash-checkable projection of ann_lsh_topk (upgrade of the last
     rows-only ANN entry): the bucket-bounded top-5 neighbor ids and ranks
@@ -5307,6 +5366,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "continuous_rollup_events": (continuous_rollup_events, CONT_ROLLUP_SQL),
     "ann_lsh_topk": (ann_lsh_topk, None),
     "ann_lsh_topk_contract": (ann_lsh_topk_contract, ANN_LSH_TOPK_SQL),
+    "text_knn_hashed_embedding": (text_knn_hashed_embedding, TEXT_KNN_HASHED_SQL),
     "pdf_ocr_roundtrip_contract": (pdf_ocr_roundtrip_contract, PDF_OCR_CONTRACT_SQL),
     "video_frames_contract": (video_frames_contract, VIDEO_FRAMES_SQL),
     "audio_features_contract": (audio_features_contract, AUDIO_FEATURES_SQL),
@@ -5395,6 +5455,7 @@ _R3_FIRST = [
     "continuous_rollup_events",
     "ann_lsh_topk",
     "ann_lsh_topk_contract",
+    "text_knn_hashed_embedding",
     "pdf_ocr_roundtrip_contract",
     "video_frames_contract",
     "audio_features_contract",
