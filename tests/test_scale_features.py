@@ -205,6 +205,7 @@ def test_no_unbounded_join_plans(spark, sf_dir):
     # build side is a broadcast single-row aggregate or bounded query set
     BNLJ_OK = {
         "emb_cosine_topk",      # broadcast query vectors (|Q| small)
+        "text_knn_hashed_embedding",  # same shape: broadcast |Q|=4 hashed vectors
         "ann_lsh_recall",       # embeds the exact baseline (broadcast |Q|=8)
         "ann_ivf_topk",         # broadcast centroids (tiny)
         "hybrid_search_topk",   # broadcast query set
