@@ -122,6 +122,11 @@ def main() -> None:
         "kmeans_embeddings_clusters",  # 3 distributed Lloyd's passes
         "pack_context_windows",        # greedy packing via applyInPandas
         "stratified_sample_documents", # per-stratum hash sampling
+        # round-3 additions
+        "incremental_dedup_report",    # 3-batch stateful dedup vs band index
+        "text_knn_hashed_embedding",   # text -> hashed embedding -> top-k
+        "dedup_end_to_end_report",     # LSH pairs -> components -> keep/drop
+        "ann_lsh_topk_contract",       # LSH top-5 rank contract
     ]
     extra: dict[str, float] = {}
     for name in EXTRA:
