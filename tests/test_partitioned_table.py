@@ -1,0 +1,153 @@
+"""PartitionedParquetTable: partition-pruned copy-on-write MERGE/DELETE.
+
+The scale claim under test is physical, not just relational: an upsert
+touching one partition must (a) produce the same table as the O(table)
+whole-rewrite upsert, and (b) carry every untouched partition over as
+HARDLINKS of the previous version's files — zero data bytes rewritten.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from unstructured_data_pipeline_spark.operators.dml import (
+    ParquetTable,
+    PartitionedParquetTable,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("seg", T.StringType()),
+        T.StructField("val", T.DoubleType()),
+    ]
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _base_rows():
+    return [(i, ["A", "B", "C"][i % 3], float(i)) for i in range(30)]
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = PartitionedParquetTable(
+        spark, str(tmp_path), "events_part", SCHEMA, partition_by=["seg"]
+    )
+    t.ensure()
+    t.append(_mk(spark, _base_rows()))
+    return t
+
+
+def _leaf_files(data_dir):
+    out = {}
+    for base, _dirs, files in os.walk(data_dir):
+        rel = os.path.relpath(base, data_dir)
+        for f in files:
+            if f.endswith(".parquet"):
+                out.setdefault(rel, []).append(os.path.join(base, f))
+    return out
+
+
+def test_merge_matches_whole_table_upsert(spark, tmp_path, table):
+    src = _mk(spark, [(0, "A", 100.0), (3, "A", 103.0), (99, "A", 199.0)])
+    # reference result: the unpartitioned O(table) upsert over the same rows
+    ref = ParquetTable(spark, str(tmp_path), "ref", SCHEMA)
+    ref.ensure()
+    ref.append(_mk(spark, _base_rows()))
+    ref.upsert(src, keys=["k", "seg"])
+    table.upsert(src, keys=["k", "seg"])
+    got = sorted(tuple(r) for r in table.read().collect())
+    want = sorted(tuple(r) for r in ref.read().collect())
+    assert got == want
+    assert (0, "A", 100.0) in got and (99, "A", 199.0) in got
+
+
+def test_merge_hardlinks_untouched_partitions(spark, table):
+    before = _leaf_files(table.data_dir())
+    inode_before = {
+        rel: {os.stat(p).st_ino for p in ps} for rel, ps in before.items()
+    }
+    table.upsert(_mk(spark, [(0, "A", 100.0)]), keys=["k", "seg"])
+    after = _leaf_files(table.data_dir())
+    # untouched partitions: identical inodes (hardlinked, not copied)
+    for rel in ("seg=B", "seg=C"):
+        assert {os.stat(p).st_ino for p in after[rel]} == inode_before[rel]
+    # touched partition: fully rewritten, no old inodes survive
+    assert not ({os.stat(p).st_ino for p in after["seg=A"]} & inode_before["seg=A"])
+
+
+def test_merge_creates_new_partition(spark, table):
+    table.upsert(_mk(spark, [(500, "D", 5.0)]), keys=["k", "seg"])
+    rows = table.read().filter(F.col("seg") == "D").collect()
+    assert [(r.k, r.val) for r in rows] == [(500, 5.0)]
+    assert table.read().count() == 31
+
+
+def test_merge_scan_is_partition_pruned(spark, table):
+    """The rewrite's read of the live table must prune to the touched
+    partition at the scan (partition filter visible in the plan)."""
+    pred = table._touched_pred([("A",)])
+    plan = (
+        table.read()
+        .filter(pred)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "seg" in plan
+
+
+def test_cross_partition_key_move_raises(spark, table):
+    # key 1 lives in seg=B; merging it under seg=A (key excludes seg) would
+    # leave the B row alive -> the guard must refuse
+    with pytest.raises(ValueError, match="across partitions"):
+        table.upsert(_mk(spark, [(1, "A", 1.5)]), keys=["k"])
+
+
+def test_partition_local_key_skips_guard(spark, table):
+    # same shape but the partition col is part of the key: no complement
+    # scan, no error, clean merge
+    table.upsert(_mk(spark, [(1, "A", 1.5)]), keys=["k", "seg"])
+    a = table.read().filter((F.col("k") == 1) & (F.col("seg") == "A")).collect()
+    b = table.read().filter((F.col("k") == 1) & (F.col("seg") == "B")).collect()
+    assert len(a) == 1 and len(b) == 1  # B row untouched, A row inserted
+
+
+def test_delete_where_pruned(spark, table):
+    table.delete_where(F.col("val") < 10.0, partitions=[("B",)])
+    left = table.read().groupBy("seg").count().collect()
+    counts = {r.seg: r["count"] for r in left}
+    assert counts["A"] == 10 and counts["C"] == 10
+    assert counts["B"] == sum(1 for i in range(30) if i % 3 == 1 and i >= 10)
+
+
+def test_upsert_idempotent(spark, table):
+    src = _mk(spark, [(0, "A", 42.0), (777, "B", 7.0)])
+    table.upsert(src, keys=["k", "seg"])
+    once = sorted(tuple(r) for r in table.read().collect())
+    table.upsert(src, keys=["k", "seg"])
+    assert sorted(tuple(r) for r in table.read().collect()) == once
+
+
+def test_crash_before_publish_keeps_old_version(spark, table, monkeypatch):
+    """A failure after writing the new version dir but before the pointer
+    swap must leave the previous version fully live (inherited pointer-
+    commit safety)."""
+    before = sorted(tuple(r) for r in table.read().collect())
+
+    def boom(_version):
+        raise RuntimeError("crash before publish")
+
+    monkeypatch.setattr(table, "_publish", boom)
+    with pytest.raises(RuntimeError):
+        table.upsert(_mk(spark, [(0, "A", 9.9)]), keys=["k", "seg"])
+    monkeypatch.undo()
+    assert sorted(tuple(r) for r in table.read().collect()) == before

@@ -328,6 +328,27 @@ def test_ngram_jaccard_prefix_equals_exhaustive(spark, sf_dir):
     assert fs == ps and len(fs) > 0
 
 
+def test_ngram_jaccard_verify_exact_matches_hashed(spark, sf_dir):
+    """verify_exact=True (collision-proof string intersect, ADVICE r3) must
+    agree with the default hashed-array verify on the fixture corpus — the
+    two tiers only diverge under a 64-bit xxhash collision."""
+    from unstructured_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    near = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.expr("array_join(slice(split(text, ' '), 2, 1000000), ' ')").alias("text"),
+    )
+    corpus = d.unionByName(near)
+    hashed = ngram_jaccard_pairs(corpus, "doc_id", "text", 3, 0.5)
+    exact = ngram_jaccard_pairs(corpus, "doc_id", "text", 3, 0.5, verify_exact=True)
+    hs = sorted((r["a"], r["b"], round(r["jaccard"], 9)) for r in hashed.collect())
+    es = sorted((r["a"], r["b"], round(r["jaccard"], 9)) for r in exact.collect())
+    assert hs == es and len(hs) > 0
+
+
 def test_ngram_jaccard_random_corpus_three_way(spark):
     """Seeded random corpus (varied lengths, tiny vocabulary to force heavy
     shingle sharing, docs shorter than n) checked THREE ways: prefix path ==

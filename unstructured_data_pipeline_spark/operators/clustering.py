@@ -71,7 +71,7 @@ def _assign(pts: DataFrame, centroids: list[tuple[list[int], int]], d: int) -> D
     )
 
 
-def kmeans_embeddings(
+def kmeans_assignments(
     df: DataFrame,
     id_col: str,
     vec_col: str,
@@ -79,17 +79,18 @@ def kmeans_embeddings(
     iters: int = 2,
     scale: int = 1000,
 ) -> DataFrame:
-    """Run ``iters`` Lloyd updates seeded from the ``k`` lowest-id points,
-    then return per-cluster stats of the final assignment:
-    ``(k, n_points, dim1_sum, total_q_sum, centroid_dim1)`` — all exact
-    integers except the final rounded centroid coordinate."""
+    """Run ``iters`` Lloyd updates seeded from the ``k`` lowest-id points
+    and return the final assignment ``(id, x, k)`` — the building block
+    :func:`kmeans_embeddings` aggregates into stats and SemDeDup blocks
+    near-dup search on.  Same exactness contract as the module docstring
+    (quantized integers, sequential-fold distances, low-index tie-break)."""
     spark = df.sparkSession
     pts = df.select(
         F.col(id_col).alias("id"), quantize_vec(F.col(vec_col), scale).alias("x")
     )
     seeds = pts.orderBy("id").limit(k).collect()
     if len(seeds) < k:  # degenerate input (fewer points than clusters)
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return spark.createDataFrame([], "id long, x array<bigint>, k int")
     d = len(seeds[0]["x"])
     centroids: list[tuple[list[int], int]] = [(list(r["x"]), 1) for r in seeds]
 
@@ -111,7 +112,22 @@ def kmeans_embeddings(
     finally:
         pts.unpersist(blocking=False)
 
-    final = _assign(pts, centroids, d)
+    return _assign(pts, centroids, d)
+
+
+def kmeans_embeddings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Run ``iters`` Lloyd updates seeded from the ``k`` lowest-id points,
+    then return per-cluster stats of the final assignment:
+    ``(k, n_points, dim1_sum, total_q_sum, centroid_dim1)`` — all exact
+    integers except the final rounded centroid coordinate."""
+    final = kmeans_assignments(df, id_col, vec_col, k, iters, scale)
     return (
         final.groupBy("k")
         .agg(

@@ -282,6 +282,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     prefix_filter: bool = True,
+    verify_exact: bool = False,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs — no LSH approximation.
 
@@ -291,13 +292,23 @@ def ngram_jaccard_pairs(
     share an indexed shingle (pigeonhole on the >= t overlap), so the
     candidate self-join runs over the PREFIX postings — rare shingles with
     short posting lists — instead of the full inverted index whose
-    ultra-common shingles dominate sum(|posting|^2).  Verification is exact
-    ``array_intersect`` on the full per-doc shingle arrays, so the output
-    is IDENTICAL to the exhaustive index — this is a pure candidate-
-    pruning strategy (Chaudhuri et al.'s SSJoin / prefix filtering).
+    ultra-common shingles dominate sum(|posting|^2); a PPJoin positional
+    filter then tightens the candidate set (Chaudhuri et al.'s SSJoin /
+    prefix filtering).
 
-    Without it: full inverted-index self-join (fine at fixture scale,
-    quadratic in posting-list length at scale).
+    Verification (``verify_exact``, ADVICE r3): the default verifies on
+    xxhash64-hashed shingle arrays — 8-byte elements instead of shingle
+    strings, the measured fixture-scale win (5.5s -> ~3.1s at sf0.1) and
+    the right shuffle shape at scale; a 64-bit collision inside one pair's
+    shingle sets (~2^-64 per pair) could then perturb that pair's reported
+    jaccard — the SAME caveat the exhaustive path carries.
+    ``verify_exact=True`` intersects the original shingle STRINGS instead:
+    collision-proof output identical to an exhaustive string index, at the
+    cost of shipping string arrays through the two verify joins (candidate
+    sets are filter-bounded, so this stays affordable).
+
+    Without ``prefix_filter``: full inverted-index self-join (fine at
+    fixture scale, quadratic in posting-list length at scale).
     """
     sh = shingle_arrays(df, id_col, text_col, n)
     if not prefix_filter:
@@ -328,12 +339,14 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         ).filter(F.col("jaccard") >= threshold)
 
-    sh = sh.persist()  # reused: prefix postings + hashed-array verify
+    sh = sh.persist()  # reused: prefix postings + verify stage
     # postings carry xxhash64(shingle) — 8-byte shuffle keys / sort keys
-    # instead of shingle strings (same trick as the exhaustive path; the
-    # verify intersects the hashed arrays, so results change nothing absent
-    # a 64-bit collision inside one candidate pair's shingle sets — the
-    # same caveat the exhaustive path documents)
+    # instead of shingle strings.  Hashing here affects only CANDIDATE
+    # generation (a collision can merge two shingles' postings and admit a
+    # spurious candidate, never drop a true one — prefix membership per doc
+    # is computed on the same hashed order both sides); with
+    # ``verify_exact`` the string verify below rejects any such extras, so
+    # the final output is collision-proof end-to-end.
     post = sh.select(
         "id",
         F.size("sh").alias("sz"),
@@ -397,10 +410,14 @@ def ngram_jaccard_pairs(
         .filter(F.col("_ub") >= i_min)
         .select("a", "b")
     )
-    # verify on the hashed arrays: 8-byte equality in array_intersect
-    # instead of shingle-string compares (strings never leave the scan)
-    hashed = sh.select("id", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh"))
-    return jaccard_pairs_arr(hashed, cand).filter(F.col("jaccard") >= threshold)
+    # verify tier per the docstring: hashed arrays by default (the benched
+    # fixture-scale and 100 TB shuffle shape), exact strings on request
+    verify_src = (
+        sh
+        if verify_exact
+        else sh.select("id", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh"))
+    )
+    return jaccard_pairs_arr(verify_src, cand).filter(F.col("jaccard") >= threshold)
 
 
 def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:

@@ -70,11 +70,18 @@ def _jpeg_dimensions(content: bytes) -> tuple[int, int] | None:
     return None
 
 
-def _decode_image(content: bytes) -> tuple[str, int, int]:
+def _decode_image(content: bytes, use_pillow: bool = True) -> tuple[str, int, int]:
     """Image container decode: REAL header parsing for PNG/GIF/BMP/JPEG
     (stdlib struct walks, no imaging libs needed), Pillow when installed
     for everything else, md5-derived FAKE geometry as the last resort so
-    unknown payloads still flow through the pipeline deterministically."""
+    unknown payloads still flow through the pipeline deterministically.
+
+    ``use_pillow=False`` skips the optional-Pillow probe so the output is
+    a pure function of the bytes IN EVERY ENVIRONMENT — the hash-checked
+    contract queries need this: Pillow can open ASCII formats (PNM 'P1'..
+    'P6', XBM) that the magic-prefix exclusion filter can't cheaply
+    enumerate, and a Pillow-equipped environment would otherwise diverge
+    from the md5-fake oracle (ADVICE r3, low)."""
     import struct
 
     try:
@@ -98,7 +105,7 @@ def _decode_image(content: bytes) -> tuple[str, int, int]:
             mime = "application/octet-stream"
     except struct.error:
         mime = "application/octet-stream"
-    if _PILImage is not None:  # pragma: no cover - lib absent here
+    if use_pillow and _PILImage is not None:  # pragma: no cover - lib absent here
         try:
             import io
 
@@ -173,18 +180,24 @@ def _feature_vector(content: bytes, dim: int = 8) -> list[float]:
 
 
 def image_features(
-    df: DataFrame, id_col: str = "path", content_col: str = "content", dim: int = 8
+    df: DataFrame,
+    id_col: str = "path",
+    content_col: str = "content",
+    dim: int = 8,
+    use_pillow: bool = True,
 ) -> DataFrame:
     """Decode + featurize an image column: one mapInPandas pass, output one
     row per image with mime/geometry metadata and a float feature vector
-    (joinable into the similarity-search operators)."""
+    (joinable into the similarity-search operators).  ``use_pillow=False``
+    pins the stdlib+fake decode tiers for environment-independent output
+    (see :func:`_decode_image`)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 content = bytes(r[content_col]) if r[content_col] is not None else b""
-                mime, w, h = _decode_image(content)
+                mime, w, h = _decode_image(content, use_pillow=use_pillow)
                 rows.append(
                     {
                         "id": str(r[id_col]),
