@@ -135,6 +135,8 @@ def main() -> None:
         "merge_partitioned_lifecycle",   # partition-pruned MERGE table layer
         "semdedup_report",               # cluster-blocked embedding dedup
         "boilerplate_removal_report",    # paragraph-df stripping + rebuild
+        "table_time_travel_report",      # snapshot retention + AS-OF reads
+        "heavy_hitters_contract",        # Misra-Gries top-k error contract
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

@@ -151,3 +151,43 @@ def test_crash_before_publish_keeps_old_version(spark, table, monkeypatch):
         table.upsert(_mk(spark, [(0, "A", 9.9)]), keys=["k", "seg"])
     monkeypatch.undo()
     assert sorted(tuple(r) for r in table.read().collect()) == before
+
+
+def test_retention_time_travel_and_age_out(spark, tmp_path):
+    """retain=2: the last two snapshots stay readable (AS-OF), older ones
+    age out and raise; retain=1 default keeps only CURRENT (existing GC
+    behavior, pinned by test_parquet_table_crash_before_publish...)."""
+    t = PartitionedParquetTable(
+        spark, str(tmp_path), "tt", SCHEMA, partition_by=["seg"], retain=2
+    )
+    t.ensure()
+    t.append(_mk(spark, _base_rows()))
+    v1 = t.current_version()
+    t.upsert(_mk(spark, [(0, "A", 100.0)]), keys=["k", "seg"])
+    v2 = t.current_version()
+    assert t.versions() == [v1, v2]
+    # v1 is the pre-merge state, v2 the post-merge state
+    assert t.read_version(v1).filter("k = 0 AND seg = 'A'").collect()[0].val == 0.0
+    assert t.read_version(v2).filter("k = 0 AND seg = 'A'").collect()[0].val == 100.0
+    # third snapshot ages v1 out
+    t.upsert(_mk(spark, [(3, "A", 103.0)]), keys=["k", "seg"])
+    assert v1 not in t.versions() and len(t.versions()) == 2
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        t.read_version(v1)
+
+
+def test_retention_snapshots_share_untouched_files(spark, tmp_path):
+    """With retain>=2 the hardlink carry means consecutive snapshots SHARE
+    the untouched partitions' data files (same inodes) — history costs
+    O(changed partitions), not O(table) per snapshot."""
+    t = PartitionedParquetTable(
+        spark, str(tmp_path), "tt2", SCHEMA, partition_by=["seg"], retain=2
+    )
+    t.ensure()
+    t.append(_mk(spark, _base_rows()))
+    v1 = t.current_version()
+    v1_b = {os.stat(p).st_ino for p in _leaf_files(os.path.join(t.path, v1))["seg=B"]}
+    t.upsert(_mk(spark, [(0, "A", 100.0)]), keys=["k", "seg"])
+    v2 = t.current_version()
+    v2_b = {os.stat(p).st_ino for p in _leaf_files(os.path.join(t.path, v2))["seg=B"]}
+    assert v1_b == v2_b  # shared storage across snapshots

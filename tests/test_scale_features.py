@@ -212,6 +212,7 @@ def test_no_unbounded_join_plans(spark, sf_dir):
         # q2_min_cost_supplier left this list in r4: its synthetic cost
         # relation is now a mod-key equi-join (VERDICT r3 #2), so the
         # invariant asserts it stays BNLJ-free
+        "heavy_hitters_contract",   # broadcast single-row total-count scalar
         "q11_important_parts",      # broadcast scalar total-revenue threshold
         "q20_promo_part_suppliers", # broadcast scalar avg-quantity threshold
         "q22_global_sales_opportunity",  # broadcast scalar avg-balance

@@ -642,3 +642,33 @@ def test_hashed_bow_embedding_properties(spark):
     again = {r["vec_id"]: r["embedding"] for r in
              hashed_bow_embedding(df, "doc_id", "text", dim=16).collect()}
     assert again == out
+
+
+def test_mg_heavy_hitters_bounds_random(spark):
+    """Misra-Gries estimates vs brute-force truth on a Zipf-ish random
+    stream, with k small enough that compression actually fires: every
+    estimate in [true - n/(k+1), true], and every item with true count
+    above the survival threshold is present."""
+    import random
+
+    from unstructured_data_pipeline_spark.operators.sketches import mg_heavy_hitters
+
+    rng = random.Random(20260814)
+    # heavy skew: item i drawn with weight ~ 1/(i+1)
+    universe = [f"t{i}" for i in range(200)]
+    weights = [1.0 / (i + 1) for i in range(200)]
+    stream = rng.choices(universe, weights=weights, k=20000)
+    truth = {}
+    for s in stream:
+        truth[s] = truth.get(s, 0) + 1
+    n, k = len(stream), 16
+    df = spark.createDataFrame([(s,) for s in stream], "item string").repartition(8)
+    est = {r["item"]: r["est"] for r in mg_heavy_hitters(df, "item", k=k).collect()}
+    assert len(est) > 0
+    bound = n / (k + 1)
+    for item, e in est.items():
+        t = truth.get(item, 0)
+        assert t - bound <= e <= t, (item, e, t, bound)
+    for item, t in truth.items():
+        if t > bound:
+            assert item in est and est[item] > 0, (item, t, bound)

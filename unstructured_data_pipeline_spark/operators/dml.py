@@ -103,11 +103,26 @@ class ParquetTable:
     is Delta/Iceberg with real transactional MERGE, as SCALE.md documents.
     """
 
-    def __init__(self, spark: SparkSession, root: str, name: str, schema: T.StructType):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        name: str,
+        schema: T.StructType,
+        retain: int = 1,
+    ):
         self.spark = spark
         self.name = name
         self.schema = schema
         self.path = os.path.join(root, name)
+        # snapshot retention (Snowflake-style time travel, the reference
+        # platform's DATA_RETENTION knob): keep the newest `retain`
+        # published snapshots; older ones and crashed-orphan dirs are GC'd
+        # at publish.  retain=1 == the original keep-only-CURRENT behavior;
+        # read_version()/versions() expose the retained history.
+        if retain < 1:
+            raise ValueError("retain must be >= 1")
+        self.retain = retain
 
     # -- version pointer ----------------------------------------------------
     def _pointer(self) -> str:
@@ -140,11 +155,24 @@ class ParquetTable:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._pointer())  # atomic on POSIX
-        # GC superseded + orphaned (crashed-before-publish) version dirs
+        # GC: keep the newest `retain` published snapshots (numbered <= the
+        # just-published version); drop older snapshots and orphaned
+        # (crashed-before-publish) dirs numbered above it
         import shutil
 
+        cur_n = int(version[2:])
+        published = sorted(
+            (
+                d
+                for d in os.listdir(self.path)
+                if d.startswith("v-") and int(d[2:]) <= cur_n
+            ),
+            key=lambda d: int(d[2:]),
+            reverse=True,
+        )
+        keep = set(published[: self.retain])
         for d in os.listdir(self.path):
-            if d.startswith("v-") and d != version:
+            if d.startswith("v-") and d not in keep:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
     # -- CREATE TABLE IF NOT EXISTS (`app.py:38-81`) ------------------------
@@ -159,6 +187,25 @@ class ParquetTable:
     def read(self) -> DataFrame:
         self.ensure()
         return self.spark.read.schema(self.schema).parquet(self.data_dir())
+
+    # -- time travel (retained snapshots) -----------------------------------
+    def versions(self) -> list[str]:
+        """Retained snapshot names, oldest first (last == CURRENT)."""
+        return sorted(
+            (d for d in os.listdir(self.path) if d.startswith("v-")),
+            key=lambda d: int(d[2:]),
+        )
+
+    def read_version(self, version: str) -> DataFrame:
+        """AS-OF read of a retained snapshot (immutable once published).
+        Raises if the snapshot has aged out of the retention window."""
+        p = os.path.join(self.path, version)
+        if not os.path.isdir(p):
+            raise FileNotFoundError(
+                f"snapshot {version} of table {self.name} is not retained "
+                f"(retain={self.retain}; have {self.versions()})"
+            )
+        return self.spark.read.schema(self.schema).parquet(p)
 
     def _conform(self, df: DataFrame) -> DataFrame:
         """Project ``df`` onto the table schema, converting at the
@@ -278,8 +325,9 @@ class PartitionedParquetTable(ParquetTable):
         name: str,
         schema: T.StructType,
         partition_by: list[str],
+        retain: int = 1,
     ):
-        super().__init__(spark, root, name, schema)
+        super().__init__(spark, root, name, schema, retain=retain)
         if not partition_by:
             raise ValueError("partition_by must name at least one column")
         self.partition_by = list(partition_by)
@@ -335,6 +383,20 @@ class PartitionedParquetTable(ParquetTable):
             self.spark.read.schema(self.schema)
             .option("basePath", self.data_dir())
             .parquet(self.data_dir())
+            .select(*[f.name for f in self.schema.fields])
+        )
+
+    def read_version(self, version: str) -> DataFrame:
+        p = os.path.join(self.path, version)
+        if not os.path.isdir(p):
+            raise FileNotFoundError(
+                f"snapshot {version} of table {self.name} is not retained "
+                f"(retain={self.retain}; have {self.versions()})"
+            )
+        return (
+            self.spark.read.schema(self.schema)
+            .option("basePath", p)
+            .parquet(p)
             .select(*[f.name for f in self.schema.fields])
         )
 

@@ -2963,6 +2963,223 @@ FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def prompt_normalization_contract(spark, sf_dir):
+    """AI6 prompt-schema normalization as a driver-checked contract: the
+    eight canonical input shapes from the reference's normalizer
+    (`app.py:162-183` — plain dict, class-wrapped dict, ["q", ...] list,
+    bare string, JSON text, non-string values, empty, list-of-questions)
+    run through the REAL normalizer inside an Arrow-batched mapInPandas
+    (the same engine path the extraction pipeline uses), emitting
+    (case_id, kind, n_fields, normalized) rows.  The oracle states the
+    spec's expected outputs literally, so a normalizer regression on any
+    shape flips the hash.  Edge-case depth beyond these eight stays in the
+    hypothesis property suite (tests/test_units.py)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    cases = [
+        (1, '{"total": "T?", "date": "D?"}', "invoice"),
+        (2, '{"invoice": {"total": "T?"}}', "invoice"),
+        (3, '["q", "Summarize."]', "invoice"),
+        (4, "What is it?", "contract"),
+        (5, '{"a": "b"}', "contract"),
+        (6, '{"a": 3}', "contract"),
+        (7, "", "contract"),
+        (8, '["one", "two"]', "contract"),
+    ]
+    df = spark.createDataFrame(cases, "case_id int, raw string, cls string")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from unstructured_data_pipeline_spark.functions.prompts import (
+            normalize_prompt_schema,
+            prompt_fields,
+        )
+        from unstructured_data_pipeline_spark.functions.variant import (
+            canonical_json,
+        )
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                schema = normalize_prompt_schema(r["raw"], r["cls"])
+                rows.append(
+                    {
+                        "case_id": int(r["case_id"]),
+                        "kind": "dict" if isinstance(schema, dict) else "q",
+                        "n_fields": len(prompt_fields(schema)),
+                        "normalized": canonical_json(schema),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["case_id", "kind", "n_fields", "normalized"]
+            )
+
+    return df.mapInPandas(
+        run, "case_id int, kind string, n_fields int, normalized string"
+    ).orderBy("case_id")
+
+
+PROMPT_NORM_SQL = """
+SELECT * FROM (VALUES
+  (1, 'dict', 2, '{"date":"D?","total":"T?"}'),
+  (2, 'dict', 1, '{"total":"T?"}'),
+  (3, 'q',    1, '["q","Summarize."]'),
+  (4, 'q',    1, '["q","What is it?"]'),
+  (5, 'dict', 1, '{"a":"b"}'),
+  (6, 'q',    1, '["q","Extract key facts for class contract."]'),
+  (7, 'q',    1, '["q","Extract key facts for class contract."]'),
+  (8, 'q',    1, '["q","one; two"]')
+) AS t(case_id, kind, n_fields, normalized)
+ORDER BY case_id
+"""
+
+
+def warehouse_bootstrap_report(spark, sf_dir):
+    """S8 DDL bootstrap end-to-end: `catalog.bootstrap_warehouse` (CREATE
+    IF NOT EXISTS for the five pipeline tables, `app.py:38-81` /
+    `setup_database.sql:46-90`), `seed_invoice_prompts` (the static
+    invoice seed, `setup_database.sql:129-142`, via D2 anti-insert — run
+    TWICE to prove idempotence), then the reference's post-setup
+    verification block (`setup_database.sql:145-168`) read back as
+    (object_type, count) rows.  The expected counts are structural
+    constants of the DDL (5 tables, 1 seeded class, 1 prompt row), so the
+    oracle states them literally — a bootstrap that loses a table, double-
+    seeds, or fails to seed flips the hash."""
+    import shutil
+    import tempfile
+
+    from unstructured_data_pipeline_spark.catalog import (
+        bootstrap_warehouse,
+        seed_invoice_prompts,
+        setup_verification,
+    )
+
+    root = tempfile.mkdtemp(prefix="udp_boot_")
+    tables = bootstrap_warehouse(spark, root)
+    seed_invoice_prompts(spark, tables)
+    seed_invoice_prompts(spark, tables)  # idempotent: second run is a no-op
+    out = setup_verification(spark, tables).cache()
+    out.count()  # materialize before the scratch dir is removed
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+WAREHOUSE_BOOTSTRAP_SQL = """
+SELECT 'Tables' AS object_type, CAST(5 AS BIGINT) AS count
+UNION ALL SELECT 'Stages', 0
+UNION ALL SELECT 'Document Classes', 1
+UNION ALL SELECT 'Prompt Rows', 1
+ORDER BY object_type
+"""
+
+
+def catalog_counts_report(spark, sf_dir):
+    """S4 catalog/metadata scan through the REAL warehouse layer: region /
+    nation / customer land in scratch `ParquetTable`s and
+    `catalog.verify_table_counts` (the INFORMATION_SCHEMA-style post-setup
+    check, `setup_database.sql:148-161`) reports one (table_name,
+    row_count) row per table.  Upgrades S4 from unit-only to driver-
+    checked: the oracle recomputes each count straight from the fixture
+    parquet, so a bootstrap/append/catalog-count bug flips the hash."""
+    import shutil
+    import tempfile
+
+    from unstructured_data_pipeline_spark.catalog import verify_table_counts
+    from unstructured_data_pipeline_spark.operators.dml import ParquetTable
+
+    root = tempfile.mkdtemp(prefix="udp_cat_")
+    tables = {}
+    for name in ("region", "nation", "customer"):
+        df = _t(spark, sf_dir, name)
+        t = ParquetTable(spark, root, name, df.schema)
+        t.ensure()
+        t.append(df)
+        tables[name] = t
+    out = verify_table_counts(spark, tables).cache()
+    out.count()  # materialize before the scratch dir is removed
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+CATALOG_COUNTS_SQL = """
+SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS row_count FROM customer
+UNION ALL
+SELECT 'nation', CAST(COUNT(*) AS BIGINT) FROM nation
+UNION ALL
+SELECT 'region', CAST(COUNT(*) AS BIGINT) FROM region
+ORDER BY table_name
+"""
+
+
+def table_time_travel_report(spark, sf_dir):
+    """Snapshot retention + AS-OF reads through the REAL table layer
+    (`operators/dml.ParquetTable(retain=3)`): the customer table is seeded
+    (snapshot 1), a MERGE bumps every 100th customer's balance by 500
+    (snapshot 2), negative balances are deleted (snapshot 3), and the
+    report reads ALL THREE retained snapshots back — per-snapshot row
+    count and balance sum — so the driver row covers publish, retention
+    GC, and time-travel reads, not just the final state.  Reference-
+    platform parity: Snowflake time travel / DATA_RETENTION (the
+    reference's warehouse default); the versioned-snapshot layout gets it
+    for free by keeping the last N immutable version dirs."""
+    import shutil
+    import tempfile
+
+    from unstructured_data_pipeline_spark.operators.dml import ParquetTable
+
+    cust = _t(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="udp_tt_")
+    t = ParquetTable(spark, root, "customers_tt", cust.schema, retain=3)
+    t.ensure()
+    t.append(cust)  # snapshot 1 (seed lands in the live version)
+    t.upsert(
+        cust.filter(F.col("c_custkey") % 100 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 500.0
+        ),
+        keys=["c_custkey"],
+    )  # snapshot 2
+    t.delete_where(F.col("c_acctbal") < 0)  # snapshot 3
+    snaps = t.versions()
+    assert len(snaps) == 3, snaps
+    out = None
+    for i, v in enumerate(snaps, start=1):
+        s = (
+            t.read_version(v)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.sum(_cents(F.col("c_acctbal"))) / 100.0).alias("sum_acctbal"),
+            )
+            .select(F.lit(i).alias("snap_no"), "n_rows", "sum_acctbal")
+        )
+        out = s if out is None else out.unionByName(s)
+    out = out.orderBy("snap_no").cache()
+    out.count()  # materialize before the scratch dir is removed
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+TIME_TRAVEL_SQL = f"""
+WITH s1 AS (SELECT c_custkey, c_acctbal FROM customer),
+s2 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 100 = 0 THEN c_acctbal + 500.0 ELSE c_acctbal END
+           AS c_acctbal
+  FROM customer
+),
+s3 AS (SELECT * FROM s2 WHERE c_acctbal >= 0),
+r AS (
+  SELECT 1 AS snap_no, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         SUM({_c('c_acctbal')}) / 100.0 AS sum_acctbal FROM s1
+  UNION ALL
+  SELECT 2, CAST(COUNT(*) AS BIGINT), SUM({_c('c_acctbal')}) / 100.0 FROM s2
+  UNION ALL
+  SELECT 3, CAST(COUNT(*) AS BIGINT), SUM({_c('c_acctbal')}) / 100.0 FROM s3
+)
+SELECT snap_no, n_rows, sum_acctbal FROM r ORDER BY snap_no
+"""
+
+
 def export_roundtrip_report(spark, sf_dir):
     """S7 export evidence through the DISTRIBUTED sink: the customer table
     is written out as headered CSV (the scale export shape), read back with
@@ -4097,6 +4314,58 @@ SELECT doc_id,
                   * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS entropy_r
 FROM c JOIN n USING (doc_id)
 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def heavy_hitters_contract(spark, sf_dir):
+    """Misra-Gries heavy hitters over the token stream, hash-gated the
+    sketch_event_stats way (error-bound contract, not raw sketch output):
+    the row set is the EXACT top-10 tokens (count desc, token asc — both
+    engines agree), and per row the booleans assert the MG sketch (k=256)
+    (a) FOUND the token — guaranteed, since every top token's true count
+    far exceeds the n/(k+1) survival threshold — and (b) estimated it
+    within the mergeable-summaries bound [true - n/(k+1), true] (2x slack
+    on the lower edge).  Bounds hold for ANY batch/partitioning of the
+    input (operators/sketches.py), so the contract is environment-stable.
+    Exact counterpart: corpus_top_terms."""
+    from unstructured_data_pipeline_spark.operators.sketches import mg_heavy_hitters
+
+    k = 256
+    d = _heavy(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok")).filter(
+        F.length("tok") > 0
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    total = exact.agg(F.sum("exact_cnt").alias("n_total"))  # single row
+    top10 = exact.orderBy(F.desc("exact_cnt"), F.asc("tok")).limit(10)
+    hh = mg_heavy_hitters(toks, "tok", k=k).withColumnRenamed("item", "tok")
+    return (
+        top10.join(hh, "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            "exact_cnt",
+            F.col("est").isNotNull().alias("found_by_sketch"),
+            (
+                (F.col("est") <= F.col("exact_cnt"))
+                & (
+                    F.col("est")
+                    >= F.col("exact_cnt") - 2.0 * F.col("n_total") / (k + 1)
+                )
+            ).alias("est_in_bound"),
+        )
+        .orderBy(F.desc("exact_cnt"), "tok")
+    )
+
+
+HEAVY_HITTERS_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+t2 AS (SELECT tok FROM toks WHERE len(tok) > 0),
+exact AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM t2 GROUP BY 1)
+SELECT tok, exact_cnt, TRUE AS found_by_sketch, TRUE AS est_in_bound
+FROM exact ORDER BY exact_cnt DESC, tok LIMIT 10
 """
 
 
@@ -5680,6 +5949,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "incremental_dedup_report": (incremental_dedup_report, INCREMENTAL_DEDUP_SQL),
     "dml_delete_append_lifecycle": (dml_delete_append_lifecycle, DML_DELETE_APPEND_SQL),
     "merge_partitioned_lifecycle": (merge_partitioned_lifecycle, MERGE_PARTITIONED_SQL),
+    "table_time_travel_report": (table_time_travel_report, TIME_TRAVEL_SQL),
+    "heavy_hitters_contract": (heavy_hitters_contract, HEAVY_HITTERS_SQL),
+    "catalog_counts_report": (catalog_counts_report, CATALOG_COUNTS_SQL),
+    "warehouse_bootstrap_report": (warehouse_bootstrap_report, WAREHOUSE_BOOTSTRAP_SQL),
+    "prompt_normalization_contract": (prompt_normalization_contract, PROMPT_NORM_SQL),
     "export_roundtrip_report": (export_roundtrip_report, EXPORT_ROUNDTRIP_SQL),
     "zorder_layout_report": (zorder_layout_report, ZORDER_SQL),
     "continuous_rollup_events": (continuous_rollup_events, CONT_ROLLUP_SQL),
