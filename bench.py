@@ -137,6 +137,9 @@ def main() -> None:
         "boilerplate_removal_report",    # paragraph-df stripping + rebuild
         "table_time_travel_report",      # snapshot retention + AS-OF reads
         "heavy_hitters_contract",        # Misra-Gries top-k error contract
+        "catalog_counts_report",         # S4 catalog counts via table layer
+        "warehouse_bootstrap_report",    # S8 bootstrap + seed idempotence
+        "prompt_normalization_contract", # AI6 normalization spec contract
     ]
 
     def _emb_neardup_expression(spark, sf_dir):
