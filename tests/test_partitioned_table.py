@@ -191,3 +191,36 @@ def test_retention_snapshots_share_untouched_files(spark, tmp_path):
     v2 = t.current_version()
     v2_b = {os.stat(p).st_ino for p in _leaf_files(os.path.join(t.path, v2))["seg=B"]}
     assert v1_b == v2_b  # shared storage across snapshots
+
+
+@pytest.mark.parametrize(
+    "vals",
+    [
+        ["plain", "with space", "a:b"],
+        ["pct%20", "eq=s", "hash#1"],
+        ["slash/x", "back\\y", "q?m"],
+        ["unicode-日本", "quote\"z", "brace{j}"],
+    ],
+)
+def test_carry_over_survives_special_partition_values(spark, tmp_path, vals):
+    """The touched/untouched decision parses Spark's OWN hive dir names back
+    to values; any escaping divergence would either duplicate a touched
+    partition's rows (stale files carried alongside the rewrite) or lose an
+    untouched one.  Drive an upsert against partition values full of the
+    characters hive escaping handles and assert exact set equality with the
+    whole-rewrite reference."""
+    rows = [(i, vals[i % len(vals)], float(i)) for i in range(9)]
+    t = PartitionedParquetTable(
+        spark, str(tmp_path), "spec", SCHEMA, partition_by=["seg"]
+    )
+    t.ensure()
+    t.append(_mk(spark, rows))
+    ref = ParquetTable(spark, str(tmp_path), "spec_ref", SCHEMA)
+    ref.ensure()
+    ref.append(_mk(spark, rows))
+    src = _mk(spark, [(0, vals[0], 100.0), (55, vals[1], 5.5)])
+    t.upsert(src, keys=["k", "seg"])
+    ref.upsert(src, keys=["k", "seg"])
+    got = sorted(tuple(r) for r in t.read().collect())
+    want = sorted(tuple(r) for r in ref.read().collect())
+    assert got == want

@@ -206,8 +206,12 @@ def persist_pipeline_outputs_idempotent(
     whose checkpoint commit didn't): every write is an UPSERT keyed by the
     document, so re-processing a file rewrites its rows instead of
     duplicating them.  Cost is O(table) per batch under ``ParquetTable`` —
-    fine for intake-sized tables; Delta/Iceberg MERGE is the production
-    swap-in."""
+    fine for intake-sized tables.  For big targets pass
+    ``PartitionedParquetTable`` instances instead (same ``upsert``
+    contract): with a partition column that is part of the merge key —
+    e.g. an ingest-date or a stable hash bucket of the document key —
+    each batch rewrites only its touched partitions (O(touched+batch));
+    Delta/Iceberg MERGE remains the multi-writer production swap-in."""
     tables["documents_processed"].upsert(outputs.processed, ["file_ref"])
     tables["documents_extracted_fields"].upsert(
         outputs.extracted_fields, ["file_ref", "field_name"]
