@@ -140,6 +140,7 @@ def main() -> None:
         "catalog_counts_report",         # S4 catalog counts via table layer
         "warehouse_bootstrap_report",    # S8 bootstrap + seed idempotence
         "prompt_normalization_contract", # AI6 normalization spec contract
+        "session_defaults_contract",     # context fns + timestamp defaults
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

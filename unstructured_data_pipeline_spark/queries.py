@@ -2963,6 +2963,77 @@ FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def session_defaults_contract(spark, sf_dir):
+    """Driver-checked contract for the session/metadata surfaces the
+    reference leans on: CURRENT_ROLE/DATABASE-style context functions
+    (`app.py` queries them for display; here the Spark equivalents are
+    current_catalog()/current_database(), whose vanilla-session values are
+    fixed) and the DDL's DEFAULT CURRENT_TIMESTAMP() columns
+    (`setup_database.sql:49-50,59,71,80,89`): the pipeline's
+    processed_at/extracted_at must arrive non-null and current (within a
+    generous ±2h of the engines' wall clocks — both engines observe the
+    same host clock, so the boolean is environment-stable).  Upgrades the
+    last metadata rows of SURVEY §2.7 from unit-only to driver evidence."""
+    from unstructured_data_pipeline_spark.pipelines.batch import (
+        run_document_pipeline,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 5)
+        .select(
+            F.col("doc_id").cast("string").alias("file_ref"),
+            F.lit("").alias("file_url"),
+            "text",
+        )
+    )
+    out = run_document_pipeline(docs, with_ocr=False)
+    lo = F.current_timestamp().cast("timestamp_ntz") - F.expr("INTERVAL 2 HOURS")
+    hi = F.current_timestamp().cast("timestamp_ntz") + F.expr("INTERVAL 2 HOURS")
+    ts_ok = out.processed.agg(
+        (
+            (F.count(F.lit(1)) == F.count("processed_at"))
+            & (F.min("processed_at") > lo)
+            & (F.max("processed_at") < hi)
+        ).alias("ok")
+    )
+    eav_ok = out.extracted_fields.agg(
+        (F.count(F.lit(1)) == F.count("extracted_at")).alias("ok")
+    )
+    checks = spark.range(1).select(
+        (F.expr("current_catalog()") == "spark_catalog").alias("catalog_ok"),
+        (F.current_database() == "default").alias("database_ok"),
+    )
+    return (
+        checks.select(F.lit("catalog_is_spark_catalog").alias("check_name"),
+                      F.col("catalog_ok").alias("ok"))
+        .unionByName(
+            checks.select(F.lit("database_is_default").alias("check_name"),
+                          F.col("database_ok").alias("ok"))
+        )
+        .unionByName(
+            ts_ok.select(F.lit("default_timestamps_current").alias("check_name"),
+                         "ok")
+        )
+        .unionByName(
+            eav_ok.select(F.lit("eav_timestamps_nonnull").alias("check_name"),
+                          "ok")
+        )
+        .orderBy("check_name")
+    )
+
+
+SESSION_DEFAULTS_SQL = """
+SELECT * FROM (VALUES
+  ('catalog_is_spark_catalog', TRUE),
+  ('database_is_default', TRUE),
+  ('default_timestamps_current', TRUE),
+  ('eav_timestamps_nonnull', TRUE)
+) AS t(check_name, ok)
+ORDER BY check_name
+"""
+
+
 def prompt_normalization_contract(spark, sf_dir):
     """AI6 prompt-schema normalization as a driver-checked contract: the
     eight canonical input shapes from the reference's normalizer
@@ -5954,6 +6025,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "catalog_counts_report": (catalog_counts_report, CATALOG_COUNTS_SQL),
     "warehouse_bootstrap_report": (warehouse_bootstrap_report, WAREHOUSE_BOOTSTRAP_SQL),
     "prompt_normalization_contract": (prompt_normalization_contract, PROMPT_NORM_SQL),
+    "session_defaults_contract": (session_defaults_contract, SESSION_DEFAULTS_SQL),
     "export_roundtrip_report": (export_roundtrip_report, EXPORT_ROUNDTRIP_SQL),
     "zorder_layout_report": (zorder_layout_report, ZORDER_SQL),
     "continuous_rollup_events": (continuous_rollup_events, CONT_ROLLUP_SQL),
