@@ -141,6 +141,8 @@ def main() -> None:
         "warehouse_bootstrap_report",    # S8 bootstrap + seed idempotence
         "prompt_normalization_contract", # AI6 normalization spec contract
         "session_defaults_contract",     # context fns + timestamp defaults
+        "bloom_join_prune_report",       # Bloom scan-side join pruning
+        "lm_perplexity_filter",          # CCNet bigram-LM quality scoring
     ]
 
     def _emb_neardup_expression(spark, sf_dir):
