@@ -143,6 +143,7 @@ def main() -> None:
         "session_defaults_contract",     # context fns + timestamp defaults
         "bloom_join_prune_report",       # Bloom scan-side join pruning
         "lm_perplexity_filter",          # CCNet bigram-LM quality scoring
+        "exact_substring_dedup",         # duplicated-span coverage report
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

@@ -2851,6 +2851,106 @@ FROM scored ORDER BY doc_id
 """
 
 
+def exact_substring_dedup_report(spark, sf_dir):
+    """Exact duplicated-span detection (the Lee et al. 2022 'Deduplicating
+    Training Data Makes Language Models Better' substring-dedup step,
+    re-expressed relationally): find every 8-token span occurring in >= 2
+    documents and report, per affected doc, how many spans and what
+    fraction of its tokens sit inside duplicated text.  The suffix-array
+    the paper builds is a single-machine structure; the Spark-native
+    equivalent is rolling W-token shingles -> one groupBy for cross-doc
+    counts -> join back -> positional coverage union, all linear in corpus
+    size with W-bounded blowup, no suffix sort.  The fixture corpus has
+    little natural cross-doc overlap, so every doc_id % 11 == 0 doc gets a
+    canned 12-token sentence appended — a planted duplicated span the
+    report must cover (5 spans, 12 covered tail tokens per planted doc)."""
+    W = 8
+    canned = (
+        "the quick brown fox jumps over the lazy dog near the riverbank"
+    )
+    d = _heavy(spark, sf_dir, "documents").select("doc_id", "text")
+    text2 = F.when(
+        F.col("doc_id") % 11 == 0, F.concat_ws(" ", F.col("text"), F.lit(canned))
+    ).otherwise(F.col("text"))
+    toks = d.select("doc_id", TX.tokens_ws(text2).alias("w"))
+    spans = toks.select(
+        "doc_id",
+        F.posexplode(TX.word_shingles_from_tokens(F.col("w"), W)).alias(
+            "pos", "s"
+        ),
+    )
+    dup = (
+        spans.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("docs"))
+        .filter(F.col("docs") >= 2)
+        .select("s")
+    )
+    hit = spans.join(dup, "s")
+    n_spans = hit.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    covered = (
+        hit.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + W - 1)).alias(
+                "tp"
+            ),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    totals = toks.select("doc_id", F.size("w").alias("n_tokens"))
+    return (
+        totals.join(n_spans, "doc_id")
+        .join(covered, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_dup_spans",
+            "covered_tokens",
+            F.round(
+                F.col("covered_tokens") / F.col("n_tokens"), 6
+            ).alias("dup_coverage"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+EXACT_SUBSTRING_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text ||
+              ' the quick brown fox jumps over the lazy dog near the riverbank'
+              ELSE text END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+spans AS (
+  SELECT doc_id, u.pos AS pos, u.s AS s
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(w[8:],
+                  (x, i) -> struct_pack(pos := i - 1,
+                                        s := array_to_string(w[i:i+7], ' ')))) AS u
+    FROM toks
+  )
+),
+dup AS (SELECT s FROM spans GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+hit AS (SELECT p.doc_id, p.pos FROM spans p JOIN dup USING (s)),
+ns AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans FROM hit GROUP BY 1),
+cov AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS covered_tokens
+  FROM (SELECT DISTINCT doc_id, pos + g.i AS tp
+        FROM hit, generate_series(0, 7) AS g(i))
+  GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens FROM toks)
+SELECT tot.doc_id, n_tokens, n_dup_spans, covered_tokens,
+       round(CAST(covered_tokens AS DOUBLE) / n_tokens, 6) AS dup_coverage
+FROM tot JOIN ns ON ns.doc_id = tot.doc_id JOIN cov ON cov.doc_id = tot.doc_id
+ORDER BY tot.doc_id
+"""
+
+
 def fuzzy_name_dedup(spark, sf_dir):
     """Fuzzy entity dedup: blocked edit-distance join.  Every c_custkey %
     97 == 0 customer re-appears with a typo'd name; blocking on the name's
@@ -6221,6 +6321,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "boilerplate_removal_report": (boilerplate_removal_report, BOILERPLATE_SQL),
     "bloom_join_prune_report": (bloom_join_prune_report, BLOOM_PRUNE_SQL),
     "lm_perplexity_filter": (lm_perplexity_filter, LM_PERPLEXITY_SQL),
+    "exact_substring_dedup": (exact_substring_dedup_report, EXACT_SUBSTRING_SQL),
     "doc_fingerprint_rolling": (doc_fingerprint_rolling, FINGERPRINT_SQL),
     "fuzzy_name_dedup": (fuzzy_name_dedup, FUZZY_NAME_SQL),
     "dml_upsert_customers": (dml_upsert_customers, DML_UPSERT_SQL),
@@ -6265,6 +6366,7 @@ _R4_FIRST = [
     "boilerplate_removal_report",  # NEW: cross-doc paragraph-df stripping
     "bloom_join_prune_report",  # NEW: Bloom-filter scan-side join pruning
     "lm_perplexity_filter",  # NEW: CCNet bigram-LM quality scoring
+    "exact_substring_dedup",  # NEW: Lee-et-al duplicated-span coverage
     "q2_min_cost_supplier",  # crossJoin+filter -> mod-key equi-join
     "dedup_ngram_jaccard",  # verify tiering (hashed default + exact flag)
     "dedup_embedding_cosine",  # blocked-BLAS vs expression default re-benched
