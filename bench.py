@@ -144,6 +144,7 @@ def main() -> None:
         "bloom_join_prune_report",       # Bloom scan-side join pruning
         "lm_perplexity_filter",          # CCNet bigram-LM quality scoring
         "exact_substring_dedup",         # duplicated-span coverage report
+        "rrf_hybrid_fusion",             # lexical+semantic RRF top-5
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

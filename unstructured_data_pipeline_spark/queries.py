@@ -1935,6 +1935,135 @@ WHERE rnk <= 5 ORDER BY q_id, rnk
 """
 
 
+def rrf_hybrid_fusion(spark, sf_dir):
+    """Reciprocal-rank-fusion hybrid retrieval — the standard way RAG
+    stacks combine a lexical and a semantic ranker without score
+    calibration (Cormack et al.'s RRF: fused = sum 1/(60+rank)).  Lexical
+    list: shared-distinct-token scoring weighted by rarity, score =
+    sum(N - df(tok)) — INTEGER arithmetic end-to-end, so ranks are
+    cross-engine exact.  Semantic list: exact cosine top-20 over the
+    embedding column (the emb_cosine_topk machinery).  Fusion: full outer
+    join of the two top-20 lists, 1/(60+rank) contributions (single exact
+    division each), top-5 per query.  Scale shape: the 4-query token list
+    broadcasts against the corpus token index; df table is one groupBy;
+    semantic side broadcasts Q against the corpus — nothing all-pairs,
+    ranks via per-query windows (partitionBy q_id, never a global
+    window)."""
+    k_list, rrf_k = 20, 60
+    docs = _heavy(spark, sf_dir, "documents").select("doc_id", "text")
+    toksx = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("tok"),
+    )
+    df_tab = toksx.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    qtoks = toksx.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("q_id"), "tok"
+    )
+    lex = (
+        F.broadcast(qtoks)
+        .join(toksx, "tok")
+        .filter(F.col("q_id") != F.col("doc_id"))
+        .join(df_tab, "tok")
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum(F.lit(n_docs) - F.col("df")).alias("lex_score"))
+    )
+    wl = Window.partitionBy("q_id").orderBy(
+        F.desc("lex_score"), F.asc("doc_id")
+    )
+    lexr = (
+        lex.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= k_list)
+        .select("q_id", "doc_id", "lex_rank")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    semr = (
+        SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 4), k=k_list)
+        .select("q_id", F.col("neighbor_id").alias("doc_id"),
+                F.col("rank").alias("sem_rank"))
+    )
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.col(r) + rrf_k), F.lit(0.0)
+    )
+    fused = lexr.join(semr, ["q_id", "doc_id"], "full").withColumn(
+        "score", contrib("lex_rank") + contrib("sem_rank")
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= 5)
+        .select(
+            "q_id",
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            F.round("score", 6).alias("rrf_r"),
+            "fused_rank",
+        )
+        .orderBy("q_id", "fused_rank")
+    )
+
+
+RRF_FUSION_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   t -> t <> '')) AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+dftab AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM docs),
+qtok AS (SELECT doc_id AS q_id, tok FROM tok WHERE doc_id < 4),
+lexs AS (
+  SELECT q.q_id, t.doc_id, SUM(n - df) AS lex_score
+  FROM qtok q JOIN tok t USING (tok) JOIN dftab USING (tok) CROSS JOIN nn
+  WHERE t.doc_id <> q.q_id
+  GROUP BY 1, 2
+),
+lexr AS (
+  SELECT q_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY lex_score DESC, doc_id) AS INTEGER) AS lex_rank
+  FROM lexs QUALIFY lex_rank <= 20
+),
+qv AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 4),
+cv AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT q_id, neighbor_id,
+         {_DOT.format(a='cv', b='qv')}
+         / (sqrt({_DOT.format(a='cv', b='cv')}) * sqrt({_DOT.format(a='qv', b='qv')})) AS cos
+  FROM cv, qv WHERE neighbor_id <> q_id
+),
+semr AS (
+  SELECT q_id, neighbor_id AS doc_id,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, neighbor_id) AS INTEGER) AS sem_rank
+  FROM scored QUALIFY sem_rank <= 20
+),
+fused AS (
+  SELECT COALESCE(l.q_id, s.q_id) AS q_id,
+         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         l.lex_rank, s.sem_rank,
+         COALESCE(1.0::DOUBLE / (60 + l.lex_rank), 0.0)
+         + COALESCE(1.0::DOUBLE / (60 + s.sem_rank), 0.0) AS score
+  FROM lexr l FULL OUTER JOIN semr s
+    ON s.q_id = l.q_id AND s.doc_id = l.doc_id
+)
+SELECT q_id, doc_id, lex_rank, sem_rank, round(score, 6) AS rrf_r,
+       CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY score DESC, doc_id) AS INTEGER) AS fused_rank
+FROM fused QUALIFY fused_rank <= 5 ORDER BY q_id, fused_rank
+"""
+
+
 def events_hourly_counts(spark, sf_dir):
     """Streaming-shaped tumbling-window aggregation (batch equivalent of the
     Structured Streaming windowed agg in streaming/intake.py), on integer
@@ -6322,6 +6451,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "bloom_join_prune_report": (bloom_join_prune_report, BLOOM_PRUNE_SQL),
     "lm_perplexity_filter": (lm_perplexity_filter, LM_PERPLEXITY_SQL),
     "exact_substring_dedup": (exact_substring_dedup_report, EXACT_SUBSTRING_SQL),
+    "rrf_hybrid_fusion": (rrf_hybrid_fusion, RRF_FUSION_SQL),
     "doc_fingerprint_rolling": (doc_fingerprint_rolling, FINGERPRINT_SQL),
     "fuzzy_name_dedup": (fuzzy_name_dedup, FUZZY_NAME_SQL),
     "dml_upsert_customers": (dml_upsert_customers, DML_UPSERT_SQL),
@@ -6367,6 +6497,7 @@ _R4_FIRST = [
     "bloom_join_prune_report",  # NEW: Bloom-filter scan-side join pruning
     "lm_perplexity_filter",  # NEW: CCNet bigram-LM quality scoring
     "exact_substring_dedup",  # NEW: Lee-et-al duplicated-span coverage
+    "rrf_hybrid_fusion",  # NEW: reciprocal-rank-fusion hybrid retrieval
     "q2_min_cost_supplier",  # crossJoin+filter -> mod-key equi-join
     "dedup_ngram_jaccard",  # verify tiering (hashed default + exact flag)
     "dedup_embedding_cosine",  # blocked-BLAS vs expression default re-benched
