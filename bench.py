@@ -145,6 +145,7 @@ def main() -> None:
         "lm_perplexity_filter",          # CCNet bigram-LM quality scoring
         "exact_substring_dedup",         # duplicated-span coverage report
         "rrf_hybrid_fusion",             # lexical+semantic RRF top-5
+        "training_shard_manifest",       # deterministic shuffle+shard gate
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

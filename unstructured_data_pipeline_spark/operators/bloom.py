@@ -133,7 +133,9 @@ def bloom_semi_join(
     left_semi join removes the false positives.  Output rows exactly equal
     the plain semi join's."""
     small_key = small_key or big_key
-    keys = small.select(F.col(small_key).alias("_k")).distinct()
+    # the distinct key set feeds three consumers (sizing count, filter
+    # build, exact backstop join) — persist so it shuffles once
+    keys = small.select(F.col(small_key).alias("_k")).distinct().persist()
     n = keys.count()
     m_bits, k = optimal_params(n, fpr)
     filt = build_bloom(keys, "_k", m_bits, k)

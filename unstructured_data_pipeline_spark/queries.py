@@ -5944,6 +5944,66 @@ FROM s ORDER BY l_returnflag
 """
 
 
+def training_shard_manifest(spark, sf_dir):
+    """Deterministic corpus shuffle + sharding — the final pipeline step
+    before training: each doc gets a reproducible pseudo-random position
+    (md5 of its id — no RNG/seed coordination; identical order on any
+    engine, cluster size, or partitioning), shards are hash-assigned, and
+    the manifest gates the GLOBAL training order per shard with an md5
+    over the ordered doc_id list, so any ordering deviation flips the
+    row.  Scale shape: shard key + sort key are scan-local expressions;
+    the ordered rebuild is per-shard (the boilerplate-rebuild
+    collect_list/array_sort pattern — each shard is one group, shards are
+    the parallelism unit); producing the physical shard files is the same
+    plan ending in repartitionByRange(shard, h) .sortWithinPartitions
+    .write instead of the manifest aggregate."""
+    n_shards = 8
+    d = _heavy(spark, sf_dir, "documents").select("doc_id", "text")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (TX.hex_nibble_value(F.substring(h, 1, 1)) % n_shards).cast("int")
+    rows = d.select(
+        "doc_id",
+        h.alias("h"),
+        shard.alias("shard"),
+        F.size(TX.tokens_ws("text")).alias("n_toks"),
+    )
+    return (
+        rows.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("h", "doc_id"))),
+                        lambda s: s["doc_id"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("order_md5"),
+        )
+        .orderBy("shard")
+    )
+
+
+TRAINING_SHARD_SQL = """
+WITH rows_ AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST((strpos('0123456789abcdef',
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8
+              AS INTEGER) AS shard,
+         len(string_split(text, ' ')) AS n_toks
+  FROM documents
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h, doc_id))
+         AS order_md5
+FROM rows_ GROUP BY shard ORDER BY shard
+"""
+
+
 def deterministic_sample_orders(spark, sf_dir):
     """Reproducible 1/16 hash sample (md5 of the key, first hex digit
     '0') rolled up by priority — the scale-correct sampling technique: no
@@ -6452,6 +6512,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "lm_perplexity_filter": (lm_perplexity_filter, LM_PERPLEXITY_SQL),
     "exact_substring_dedup": (exact_substring_dedup_report, EXACT_SUBSTRING_SQL),
     "rrf_hybrid_fusion": (rrf_hybrid_fusion, RRF_FUSION_SQL),
+    "training_shard_manifest": (training_shard_manifest, TRAINING_SHARD_SQL),
     "doc_fingerprint_rolling": (doc_fingerprint_rolling, FINGERPRINT_SQL),
     "fuzzy_name_dedup": (fuzzy_name_dedup, FUZZY_NAME_SQL),
     "dml_upsert_customers": (dml_upsert_customers, DML_UPSERT_SQL),
@@ -6498,6 +6559,7 @@ _R4_FIRST = [
     "lm_perplexity_filter",  # NEW: CCNet bigram-LM quality scoring
     "exact_substring_dedup",  # NEW: Lee-et-al duplicated-span coverage
     "rrf_hybrid_fusion",  # NEW: reciprocal-rank-fusion hybrid retrieval
+    "training_shard_manifest",  # NEW: deterministic shuffle+shard manifest
     "q2_min_cost_supplier",  # crossJoin+filter -> mod-key equi-join
     "dedup_ngram_jaccard",  # verify tiering (hashed default + exact flag)
     "dedup_embedding_cosine",  # blocked-BLAS vs expression default re-benched
