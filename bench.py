@@ -146,6 +146,7 @@ def main() -> None:
         "exact_substring_dedup",         # duplicated-span coverage report
         "rrf_hybrid_fusion",             # lexical+semantic RRF top-5
         "training_shard_manifest",       # deterministic shuffle+shard gate
+        "quality_classifier_filter",     # linear-model quality inference
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

@@ -5944,6 +5944,70 @@ FROM s ORDER BY l_returnflag
 """
 
 
+_QC_CENTER = 8 * 16**11  # half of 16^12 — centers the nibble value on 0
+_QC_DENOM = 16**12
+
+
+def quality_classifier_filter(spark, sf_dir):
+    """Model-based quality filtering, fastText-linear-classifier shape
+    (the FineWeb-Edu / LLaMA 'wiki-like?' gate): per-token weights, a
+    length-normalized linear score, sigmoid probability, keep-threshold.
+    Weights here are md5-derived stand-ins (deterministic everywhere); a
+    real deployment swaps in trained weights as a broadcast table and the
+    plan is unchanged.  Numerics are scale- and engine-exact: the score
+    numerator stays INTEGER (sum of centered 48-bit token-hash values, one
+    exact double division at the end), and the keep decision is an integer
+    sign test — so the filter output is bit-identical on any cluster size
+    or partitioning, with only the rounded sigmoid touching libm.  Cost:
+    one explode + one groupBy(doc) — scan-speed, no joins, no model state
+    on the driver."""
+    d = _heavy(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""
+            )
+        ).alias("tok"),
+    )
+    val = _kmv_val_spark(F.md5(F.col("tok")))
+    scored = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(val - F.lit(_QC_CENTER)).alias("s_num"),
+    )
+    x = F.col("s_num").cast("double") / (
+        F.col("n_tokens").cast("double") * F.lit(float(_QC_DENOM))
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(x, 6).alias("score_r"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-x)), 6).alias("prob_r"),
+        (F.col("s_num") >= 0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z]+'), t -> t <> '')) AS tok
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM({_kmv_val_sql('md5(tok)')} - {_QC_CENTER}) AS BIGINT) AS s_num
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(CAST(s_num AS DOUBLE)
+             / (CAST(n_tokens AS DOUBLE) * {float(_QC_DENOM)}), 6) AS score_r,
+       round(1.0::DOUBLE / (1.0::DOUBLE + exp(-(CAST(s_num AS DOUBLE)
+             / (CAST(n_tokens AS DOUBLE) * {float(_QC_DENOM)})))), 6) AS prob_r,
+       s_num >= 0 AS keep
+FROM scored ORDER BY doc_id
+"""
+
+
 def training_shard_manifest(spark, sf_dir):
     """Deterministic corpus shuffle + sharding — the final pipeline step
     before training: each doc gets a reproducible pseudo-random position
@@ -6513,6 +6577,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "exact_substring_dedup": (exact_substring_dedup_report, EXACT_SUBSTRING_SQL),
     "rrf_hybrid_fusion": (rrf_hybrid_fusion, RRF_FUSION_SQL),
     "training_shard_manifest": (training_shard_manifest, TRAINING_SHARD_SQL),
+    "quality_classifier_filter": (quality_classifier_filter, QUALITY_CLASSIFIER_SQL),
     "doc_fingerprint_rolling": (doc_fingerprint_rolling, FINGERPRINT_SQL),
     "fuzzy_name_dedup": (fuzzy_name_dedup, FUZZY_NAME_SQL),
     "dml_upsert_customers": (dml_upsert_customers, DML_UPSERT_SQL),
@@ -6545,9 +6610,10 @@ DEMOS = {
 # oracle changed, then (b) every entry whose only green driver row is from
 # round 1 (their shared helpers — _events, text.py, dedup.py, the prefix
 # SSJoin — changed in r2/r3), so no green row goes two rounds stale.  The
-# list runs 2 past the ~50 budget; the two entries that may fall off
-# (q18_big_orders, full_outer_nation_balance) depend only on _t/_cents,
-# which no round has touched, so their r1 green remains trustworthy.
+# list runs a few past the ~50 budget; the entries that may fall off the
+# sweep (the tail: plain TPC-H queries q7/q9/q10/q14/q18 and
+# full_outer_nation_balance) depend only on _t/_cents, which no round has
+# touched, so their r1 green remains trustworthy.
 # Everything else (fresh green in r2/r3) keeps its previous relative order
 # behind them.
 _R4_FIRST = [
@@ -6560,6 +6626,7 @@ _R4_FIRST = [
     "exact_substring_dedup",  # NEW: Lee-et-al duplicated-span coverage
     "rrf_hybrid_fusion",  # NEW: reciprocal-rank-fusion hybrid retrieval
     "training_shard_manifest",  # NEW: deterministic shuffle+shard manifest
+    "quality_classifier_filter",  # NEW: fastText-shape model-based filter
     "q2_min_cost_supplier",  # crossJoin+filter -> mod-key equi-join
     "dedup_ngram_jaccard",  # verify tiering (hashed default + exact flag)
     "dedup_embedding_cosine",  # blocked-BLAS vs expression default re-benched
