@@ -209,6 +209,7 @@ def test_no_unbounded_join_plans(spark, sf_dir):
         "ann_lsh_recall",       # embeds the exact baseline (broadcast |Q|=8)
         "ann_ivf_topk",         # broadcast centroids (tiny)
         "hybrid_search_topk",   # broadcast query set
+        "rrf_hybrid_fusion",    # semantic list = broadcast |Q|=4 cosine_topk
         # q2_min_cost_supplier left this list in r4: its synthetic cost
         # relation is now a mod-key equi-join (VERDICT r3 #2), so the
         # invariant asserts it stays BNLJ-free

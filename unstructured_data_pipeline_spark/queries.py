@@ -2896,12 +2896,24 @@ def lm_perplexity_filter(spark, sf_dir):
             F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""
         ).alias("toks"),
     ).filter(F.size("toks") >= 2)
-    bigrams = toks.select(
-        "doc_id",
-        F.posexplode(F.slice("toks", 1, F.size("toks") - 1)).alias("pos", "w1"),
-        F.col("toks"),
-    ).select(
-        "doc_id", "w1", F.element_at("toks", F.col("pos") + 2).alias("w2")
+    # bigrams feeds FOUR consumers (unigram counts, bigram counts, vocab,
+    # score join) — persist so the tokenize+explode runs once, not four
+    # times; MEMORY_AND_DISK spills at corpus scale (or recompute by
+    # dropping the persist — a scan-cost-vs-memory knob, not a plan change)
+    from pyspark import StorageLevel
+
+    bigrams = (
+        toks.select(
+            "doc_id",
+            F.posexplode(F.slice("toks", 1, F.size("toks") - 1)).alias(
+                "pos", "w1"
+            ),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id", "w1", F.element_at("toks", F.col("pos") + 2).alias("w2")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     uni = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
