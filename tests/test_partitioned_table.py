@@ -224,3 +224,28 @@ def test_carry_over_survives_special_partition_values(spark, tmp_path, vals):
     got = sorted(tuple(r) for r in t.read().collect())
     want = sorted(tuple(r) for r in ref.read().collect())
     assert got == want
+
+
+def test_snapshot_diff_actions(spark):
+    """snapshot_diff labels INSERT/DELETE/UPDATE/NOOP per key, carries the
+    after-image (before-image on DELETE), and ignores NULL-vs-NULL."""
+    from unstructured_data_pipeline_spark.operators.dml import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "k INT, name STRING, bal DOUBLE",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 99.0), (5, "e", 50.0)],
+        "k INT, name STRING, bal DOUBLE",
+    )
+    rows = {r["k"]: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert rows[1]["action"] == "NOOP"
+    assert rows[2]["action"] == "NOOP"  # NULL <=> NULL is not a change
+    assert rows[3]["action"] == "UPDATE" and rows[3]["bal"] == 99.0
+    assert rows[4]["action"] == "DELETE" and rows[4]["bal"] == 40.0
+    assert rows[5]["action"] == "INSERT" and rows[5]["bal"] == 50.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        snapshot_diff(old, new.drop("bal"), ["k"])

@@ -76,6 +76,51 @@ def delete_where(target: DataFrame, predicate: Column) -> DataFrame:
     return target.filter(~F.coalesce(predicate, F.lit(False)))
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """Row-level change set between two snapshots of the same keyed table —
+    the engine-side form of Snowflake table STREAMS / the CHANGES clause
+    (the reference platform's CDC surface over its retained snapshots;
+    retention context: `database/setup_database.sql:16-23`).
+
+    FULL OUTER join on the key + null-safe column compare yields one row
+    per key with an ``action`` label: INSERT (key only in ``new``), DELETE
+    (only in ``old``), UPDATE (present in both, any non-key column
+    differs), NOOP (identical).  Value columns carry the after-image
+    (before-image for DELETE).  One shuffle on the key; column compares are
+    row-local — the shape scales to any snapshot size and feeds incremental
+    downstream consumers (only INSERT/UPDATE/DELETE rows need processing).
+    """
+    val_cols = [c for c in new.columns if c not in keys]
+    if old.columns != new.columns:
+        raise ValueError(f"schema drift: {old.columns} vs {new.columns}")
+    o = old.select(
+        *keys,
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_old_{c}") for c in val_cols],
+    )
+    n = new.select(*keys, F.lit(True).alias("_in_new"), *val_cols)
+    j = o.join(n, on=keys, how="full_outer")
+    changed = F.lit(False)
+    for c in val_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"_old_{c}"))
+    action = (
+        F.when(F.col("_in_old").isNull(), F.lit("INSERT"))
+        .when(F.col("_in_new").isNull(), F.lit("DELETE"))
+        .when(changed, F.lit("UPDATE"))
+        .otherwise(F.lit("NOOP"))
+    )
+    return j.select(
+        *keys,
+        action.alias("action"),
+        *[
+            F.when(F.col("_in_new").isNull(), F.col(f"_old_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in val_cols
+        ],
+    )
+
+
 class ParquetTable:
     """A durable table over a versioned parquet directory with CREATE IF NOT
     EXISTS, append, upsert, delete — the engine's stand-in for the reference's

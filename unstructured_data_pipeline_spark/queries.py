@@ -3635,6 +3635,100 @@ SELECT snap_no, n_rows, sum_acctbal FROM r ORDER BY snap_no
 """
 
 
+def table_changes_stream_report(spark, sf_dir):
+    """CDC / table-STREAMS parity (`operators/dml.snapshot_diff`): the
+    customer table goes through the same real `ParquetTable` lifecycle as
+    the time-travel report — seed (v1), a MERGE that UPDATES every 100th
+    balance (+500) and INSERTS a synthetic row per 250th customer (v2),
+    then a DELETE of negative balances (v3) — and the report is the
+    row-level change accounting between consecutive retained snapshots:
+    FULL OUTER key join + null-safe compare labels every key INSERT /
+    UPDATE / DELETE / NOOP, exactly what a Snowflake stream on the table
+    would emit per transition (reference platform's CDC surface; retention
+    DDL `database/setup_database.sql:16-23`).  Scale: one key-shuffle per
+    transition, row-local compares; downstream consumers read only the
+    non-NOOP rows."""
+    import shutil
+    import tempfile
+
+    from unstructured_data_pipeline_spark.operators.dml import (
+        ParquetTable,
+        snapshot_diff,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    root = tempfile.mkdtemp(prefix="udp_cdc_")
+    t = ParquetTable(spark, root, "customers_cdc", cust.schema, retain=3)
+    t.ensure()
+    t.append(cust)  # v1
+    bumped = cust.filter(F.col("c_custkey") % 100 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 500.0
+    )
+    inserted = cust.filter(F.col("c_custkey") % 250 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 1000000
+    )
+    t.upsert(bumped.unionByName(inserted), keys=["c_custkey"])  # v2
+    t.delete_where(F.col("c_acctbal") < 0)  # v3
+    v1, v2, v3 = t.versions()
+    out = None
+    for trans, (a, b) in enumerate(((v1, v2), (v2, v3)), start=1):
+        d = snapshot_diff(
+            t.read_version(a), t.read_version(b), keys=["c_custkey"]
+        )
+        s = d.groupBy("action").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("c_custkey").alias("min_key"),
+            (F.sum(_cents(F.col("c_acctbal"))) / 100.0).alias("sum_acctbal"),
+        ).select(F.lit(trans).alias("transition"), "action", "n_rows", "min_key", "sum_acctbal")
+        out = s if out is None else out.unionByName(s)
+    out = out.orderBy("transition", "action").cache()
+    out.count()  # materialize before the scratch dir is removed
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+TABLE_CHANGES_SQL = f"""
+WITH s1 AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+s2 AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 100 = 0 THEN c_acctbal + 500.0 ELSE c_acctbal END
+           AS c_acctbal
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_acctbal FROM customer
+  WHERE c_custkey % 250 = 0
+),
+s3 AS (SELECT * FROM s2 WHERE c_acctbal >= 0),
+d12 AS (
+  SELECT 1 AS transition,
+         CASE WHEN s1.c_custkey IS NULL THEN 'INSERT'
+              WHEN s2.c_custkey IS NULL THEN 'DELETE'
+              WHEN s1.c_name IS DISTINCT FROM s2.c_name
+                OR s1.c_acctbal IS DISTINCT FROM s2.c_acctbal THEN 'UPDATE'
+              ELSE 'NOOP' END AS action,
+         COALESCE(s2.c_custkey, s1.c_custkey) AS k,
+         COALESCE(s2.c_acctbal, s1.c_acctbal) AS bal
+  FROM s1 FULL OUTER JOIN s2 ON s1.c_custkey = s2.c_custkey
+),
+d23 AS (
+  SELECT 2 AS transition,
+         CASE WHEN s2.c_custkey IS NULL THEN 'INSERT'
+              WHEN s3.c_custkey IS NULL THEN 'DELETE'
+              WHEN s2.c_name IS DISTINCT FROM s3.c_name
+                OR s2.c_acctbal IS DISTINCT FROM s3.c_acctbal THEN 'UPDATE'
+              ELSE 'NOOP' END AS action,
+         COALESCE(s3.c_custkey, s2.c_custkey) AS k,
+         COALESCE(s3.c_acctbal, s2.c_acctbal) AS bal
+  FROM s2 FULL OUTER JOIN s3 ON s2.c_custkey = s3.c_custkey
+),
+u AS (SELECT * FROM d12 UNION ALL SELECT * FROM d23)
+SELECT transition, action, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(k) AS BIGINT) AS min_key,
+       SUM({_c('bal')}) / 100.0 AS sum_acctbal
+FROM u GROUP BY transition, action ORDER BY transition, action
+"""
+
+
 def export_roundtrip_report(spark, sf_dir):
     """S7 export evidence through the DISTRIBUTED sink: the customer table
     is written out as headered CSV (the scale export shape), read back with
@@ -6020,6 +6114,94 @@ FROM scored ORDER BY doc_id
 """
 
 
+def skew_salted_join_report(spark, sf_dir):
+    """Skew-mitigating salted join (`operators/skew.salted_join`): the
+    events fact is collapsed onto a deliberately skewed key (every user not
+    divisible by 5 becomes user 0 → one key carries ~80% of the fact — the
+    power-law / placeholder-id shape that makes one reducer the straggler
+    at 100 TB), then joined to the customer dim through an 8-salt salted
+    join: each fact row takes ONE deterministic row-hash salt, the dim is
+    replicated once per salt by a row-local explode, and the join key
+    becomes (key, salt) so the hot key's rows spread over 8 tasks.  The
+    per-segment rollup is hash-gated against the PLAIN join in DuckDB —
+    proving the salted pair set is exactly the unsalted one.  The companion
+    diagnosis row (`key_skew_metrics`) reports the max/mean key ratio that
+    justifies the salt count.  Scale: dim scanned `n_salts` times
+    (row-local), fact once; no broadcast-nested-loop anywhere; AQE skew
+    join is the adaptive fallback, this is the explicit planner-independent
+    form."""
+    from unstructured_data_pipeline_spark.operators.skew import salted_join
+
+    ev = _events(spark, sf_dir).select(
+        F.when(F.col("user_id") % 5 != 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("hot_user"),
+        "event_type",
+        "value",
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("hot_user"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, on="hot_user", n_salts=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_cents(F.col("value"))) / 100.0).alias("sum_value"),
+            F.countDistinct("hot_user").alias("n_users"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SKEW_SALTED_SQL = f"""
+WITH ev AS (
+  SELECT CASE WHEN user_id % 5 <> 0 THEN 0 ELSE user_id END AS hot_user, value
+  FROM events
+)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM({_c('value')}) / 100.0 AS sum_value,
+       CAST(COUNT(DISTINCT hot_user) AS BIGINT) AS n_users
+FROM ev JOIN customer ON ev.hot_user = customer.c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def key_skew_diagnosis(spark, sf_dir):
+    """The skew diagnosis that precedes a salted join: per-key histogram of
+    the same deliberately skewed key, reduced to (rows, keys, hottest-key
+    rows, max/mean ratio).  `skew_ratio` >> 1 is the signal to salt, and
+    ceil(max_key_rows / target-rows-per-task) sizes `n_salts`.  Two
+    map-side-combinable aggregations — a metadata-cost scan at any scale."""
+    from unstructured_data_pipeline_spark.operators.skew import key_skew_metrics
+
+    ev = _events(spark, sf_dir).select(
+        F.when(F.col("user_id") % 5 != 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("hot_user")
+    )
+    m = key_skew_metrics(ev, "hot_user")
+    return m.select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.round("skew_ratio", 6).alias("skew_ratio_r"),
+    )
+
+
+KEY_SKEW_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN user_id % 5 <> 0 THEN 0 ELSE user_id END AS hot_user
+  FROM events
+),
+per_key AS (SELECT hot_user, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY hot_user)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(n) AS BIGINT) AS max_key_rows,
+       round(MAX(n) / (SUM(n) / COUNT(*)), 6) AS skew_ratio_r
+FROM per_key
+"""
+
+
 def training_shard_manifest(spark, sf_dir):
     """Deterministic corpus shuffle + sharding — the final pipeline step
     before training: each doc gets a reproducible pseudo-random position
@@ -6590,6 +6772,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "rrf_hybrid_fusion": (rrf_hybrid_fusion, RRF_FUSION_SQL),
     "training_shard_manifest": (training_shard_manifest, TRAINING_SHARD_SQL),
     "quality_classifier_filter": (quality_classifier_filter, QUALITY_CLASSIFIER_SQL),
+    "skew_salted_join_report": (skew_salted_join_report, SKEW_SALTED_SQL),
+    "key_skew_diagnosis": (key_skew_diagnosis, KEY_SKEW_SQL),
+    "table_changes_stream_report": (table_changes_stream_report, TABLE_CHANGES_SQL),
     "doc_fingerprint_rolling": (doc_fingerprint_rolling, FINGERPRINT_SQL),
     "fuzzy_name_dedup": (fuzzy_name_dedup, FUZZY_NAME_SQL),
     "dml_upsert_customers": (dml_upsert_customers, DML_UPSERT_SQL),
@@ -6639,6 +6824,9 @@ _R4_FIRST = [
     "rrf_hybrid_fusion",  # NEW: reciprocal-rank-fusion hybrid retrieval
     "training_shard_manifest",  # NEW: deterministic shuffle+shard manifest
     "quality_classifier_filter",  # NEW: fastText-shape model-based filter
+    "skew_salted_join_report",  # NEW: salting under a deliberate hot key
+    "key_skew_diagnosis",  # NEW: max/mean key-skew diagnosis row
+    "table_changes_stream_report",  # NEW: STREAMS/CDC snapshot diff
     "q2_min_cost_supplier",  # crossJoin+filter -> mod-key equi-join
     "dedup_ngram_jaccard",  # verify tiering (hashed default + exact flag)
     "dedup_embedding_cosine",  # blocked-BLAS vs expression default re-benched
