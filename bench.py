@@ -147,6 +147,9 @@ def main() -> None:
         "rrf_hybrid_fusion",             # lexical+semantic RRF top-5
         "training_shard_manifest",       # deterministic shuffle+shard gate
         "quality_classifier_filter",     # linear-model quality inference
+        "skew_salted_join_report",       # hot-key salted join + rollup
+        "table_changes_stream_report",   # CDC snapshot-diff accounting
+        "ann_pq_topk_contract",          # PQ train->encode->ADC top-k
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

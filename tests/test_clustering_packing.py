@@ -152,3 +152,57 @@ def test_decontam_flags_planted_docs(spark):
         # the re-plant shares every one of its 8-grams with its source
         assert rows[i]["n_overlap"] == rows[i]["n_grams"]
         assert rows[i]["contamination_rate"] == 1.0
+
+
+def test_pq_encode_structure_and_determinism(spark, sf_dir):
+    """PQ codes: one row per vector, m codes each in [0, k); codebook counts
+    account for every (vector, subspace) slice; re-run is bit-identical."""
+    from pyspark.sql import functions as F
+
+    from unstructured_data_pipeline_spark.operators.pq import (
+        pq_adc_topk,
+        pq_fit_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    codes, cb, dsub = pq_fit_encode(
+        emb, "vec_id", "embedding", dim=64, m=4, k=16, iters=1, scale=1000
+    )
+    assert dsub == 16
+    assert codes.count() == n
+    bad = codes.filter(
+        sum(
+            ((F.col(f"c{s}") < 0) | (F.col(f"c{s}") >= 16)).cast("int")
+            for s in range(4)
+        )
+        > 0
+    ).count()
+    assert bad == 0
+    assert sum(cnt for _, cnt in cb.values()) == 4 * n
+    assert all(len(s) == 16 for s, _ in cb.values())
+    # determinism: same input -> same codes and codebook
+    codes2, cb2, _ = pq_fit_encode(
+        emb, "vec_id", "embedding", dim=64, m=4, k=16, iters=1, scale=1000
+    )
+    assert cb == cb2
+    a = sorted(map(tuple, codes.collect()))
+    b = sorted(map(tuple, codes2.collect()))
+    assert a == b
+    # ADC top-k: k rows per query, distances non-decreasing within a query
+    from unstructured_data_pipeline_spark.operators.clustering import quantize_vec
+
+    q = (
+        emb.filter(F.col("vec_id") < 2)
+        .select("vec_id", quantize_vec(F.col("embedding"), 1000).alias("qx"))
+        .collect()
+    )
+    top = pq_adc_topk(
+        codes, cb, [(r["vec_id"], list(r["qx"])) for r in q], m=4, dsub=16, topk=3
+    ).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["qid"], []).append(r["dist"])
+    assert set(by_q) == {0, 1}
+    for dists in by_q.values():
+        assert len(dists) == 3 and dists == sorted(dists)

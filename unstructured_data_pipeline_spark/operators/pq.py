@@ -1,0 +1,175 @@
+"""Product quantization (PQ) for embedding compression + ADC top-k search.
+
+Completes the ANN family (brute-force cosine -> hyperplane LSH -> IVF ->
+PQ): vectors are split into ``m`` contiguous subvectors, each subvector is
+vector-quantized against a small codebook, and a document is stored as just
+``m`` small integer codes — a 64-dim float vector becomes 4 bytes-ish of
+codes, the memory/IO shape that lets a 100 TB embedding corpus fit hot.
+Search uses the asymmetric distance computation (ADC) of Jégou et al. 2011
+("Product quantization for nearest neighbor search", IEEE TPAMI): the
+query stays un-quantized; per (subspace, code) squared distances are
+precomputed into a tiny table, so scoring a document is ``m`` table lookups
++ ``m-1`` additions — no float vector is ever read at query time.
+
+This implementation uses a SHARED codebook across subspaces (all subvector
+slices train ONE k-means; a documented simplification of classic per-
+subspace codebooks that keeps the entire train->encode->search pipeline a
+single deterministic Lloyd's chain, mirrored unrolled in the DuckDB
+oracle).  Exactness contract is inherited from `operators/clustering.py`:
+integer-quantized inputs, exact integer centroid state, sequential-fold
+double distances, low-index tie-breaks.
+
+Scale shape (100 TB): training = `clustering.kmeans_assignments` (one
+map-side-combinable aggregation per iteration over row-local slices);
+encode = row-local argmin against literal centroids; the codebook is
+``k*(d/m+1)`` integers on the driver (a bounded collect, like IVF's
+centroids); ADC scoring is row-local literal-array lookups feeding
+TakeOrderedAndProject — per-partition heaps, k-row driver merge, no global
+sort, no crossJoin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from unstructured_data_pipeline_spark.operators.clustering import (
+    kmeans_assignments,
+)
+
+__all__ = ["pq_fit_encode", "pq_adc_topk"]
+
+
+def pq_fit_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    scale: int = 1000,
+):
+    """Train the shared codebook and encode every vector.
+
+    Returns ``(codes, codebook, dsub)`` where ``codes`` is a DataFrame
+    ``(id, c0..c{m-1})`` (one small int per subspace), ``codebook`` is a
+    dict ``code -> (sum_vector, count)`` of EXACT integers (centroid ==
+    elementwise ``sum/count``, the same half-step-after-assignment state
+    the oracle derives), and ``dsub = dim // m``.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    # composite-keyed slice relation: pid = id*m + sub — all subspaces feed
+    # ONE Lloyd's run (shared codebook).  Row-local explode, not a union of
+    # m selects: ONE corpus scan and the input partitioning carries through
+    # (a union would scan the corpus m times and multiply the partition
+    # count by m — pure overhead at any scale)
+    vec = F.col(vec_col).cast("array<double>")
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(sub).alias("sub"),
+                F.slice(vec, sub * dsub + 1, dsub).alias("sv"),
+            )
+            for sub in range(m)
+        ]
+    )
+    sliced = df.select(
+        F.col(id_col).alias("bid"), F.explode(subs).alias("e")
+    ).select(
+        (F.col("bid") * m + F.col("e.sub")).alias("pid"),
+        F.col("e.sv").alias("sv"),
+    )
+    assigned = kmeans_assignments(
+        sliced, "pid", "sv", k=k, iters=iters, scale=scale
+    ).persist()
+    try:
+        # final-cluster integer state: the codebook ADC scores against
+        cb_rows = assigned.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("x", i + 1)).alias(f"s{i}")
+                for i in range(dsub)
+            ],
+        ).collect()  # bounded: k rows of dsub+1 integers
+        codebook = {
+            r["k"]: ([r[f"s{i}"] for i in range(dsub)], r["n"]) for r in cb_rows
+        }
+        codes = (
+            assigned.select(
+                F.floor(F.col("id") / m).cast("long").alias("vid"),
+                F.pmod(F.col("id"), m).cast("int").alias("sub"),
+                F.col("k").alias("code"),
+            )
+            .groupBy("vid")
+            .agg(
+                *[
+                    F.max(
+                        F.when(F.col("sub") == s, F.col("code"))
+                    ).alias(f"c{s}")
+                    for s in range(m)
+                ]
+            )
+            .withColumnRenamed("vid", "id")
+        )
+        codes = codes.persist()
+        codes.count()  # materialize while `assigned` is still cached
+    finally:
+        assigned.unpersist(blocking=False)
+    return codes, codebook, dsub
+
+
+def _sq_dist(qx: list[int], s: list[int], n: int) -> float:
+    """Sequential-fold squared distance — the exact IEEE op sequence of the
+    engine side (`clustering._assign`) and the DuckDB oracle's
+    ``list_reduce``: one divide, subtract, square, left-fold add."""
+    acc = 0.0
+    for i in range(len(qx)):
+        diff = qx[i] - s[i] / n
+        acc += diff * diff
+    return acc
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook: dict,
+    queries: list[tuple[int, list[int]]],
+    m: int,
+    dsub: int,
+    topk: int = 5,
+) -> DataFrame:
+    """ADC top-k: ``queries`` are (qid, quantized-int full vector).  The
+    per-(query, subspace, code) distance table is computed driver-side
+    (``len(queries)*m*k`` doubles — tiny) and enters the plan as literal
+    arrays indexed by the document's stored codes; each query's top-k is a
+    TakeOrderedAndProject over the codes relation.  Ties break on the
+    lower document id (deterministic)."""
+    out = None
+    max_code = max(codebook) if codebook else -1
+    for qid, qx in queries:
+        tables = []
+        for sub in range(m):
+            qslice = qx[sub * dsub : (sub + 1) * dsub]
+            row = [float("inf")] * (max_code + 1)
+            for code, (s, n) in codebook.items():
+                row[code] = _sq_dist(qslice, s, n)
+            tables.append(row)
+        # dist = ((t0 + t1) + t2) + ... left-assoc, mirroring the oracle's
+        # scalar + chain
+        dist = None
+        for sub in range(m):
+            term = F.element_at(F.lit(tables[sub]), F.col(f"c{sub}") + 1)
+            dist = term if dist is None else dist + term
+        ranked = (
+            codes.select(
+                F.lit(qid).cast("long").alias("qid"),
+                F.col("id"),
+                dist.alias("dist"),
+            )
+            .orderBy("dist", "id")
+            .limit(topk)
+        )
+        out = ranked if out is None else out.unionByName(ranked)
+    return out

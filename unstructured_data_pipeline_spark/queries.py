@@ -4035,6 +4035,108 @@ WHERE rnk <= 5 ORDER BY q_id, rnk
 """
 
 
+def ann_pq_topk_contract(spark, sf_dir):
+    """Product-quantization ADC top-k (`operators/pq.py` — Jégou et al.
+    2011), completing the ANN family (brute -> LSH -> IVF -> PQ): every
+    64-dim embedding is stored as 4 small codes against a shared 16-entry
+    codebook trained by the SAME deterministic Lloyd's chain the k-means
+    query uses (all subvector slices feed one run under a composite id);
+    search never touches a float vector — per-(query, subspace, code)
+    squared distances are precomputed into a tiny literal table and each
+    document scores as 4 lookups + 3 adds feeding TakeOrderedAndProject.
+    The ENTIRE train -> encode -> ADC-search pipeline is hash-gated against
+    an unrolled DuckDB mirror (codebook = exact integer (sum, count) state;
+    distances = the sequential-fold IEEE sequence of clustering.py; ties
+    break on document id).  Scale: codes are m ints/vector (the compression
+    that keeps a 100 TB corpus hot), training is one map-side-combinable
+    agg per iteration, the codebook is a bounded k-row collect, and top-k
+    is per-partition heaps — no crossJoin, no global sort."""
+    from unstructured_data_pipeline_spark.operators import pq as PQ
+    from unstructured_data_pipeline_spark.operators.clustering import quantize_vec
+
+    emb = _heavy(spark, sf_dir, "embeddings")
+    codes, codebook, dsub = PQ.pq_fit_encode(
+        emb, "vec_id", "embedding", dim=64, m=4, k=16, iters=2, scale=1000
+    )
+    qrows = (
+        emb.filter(F.col("vec_id") < 4)
+        .select("vec_id", quantize_vec(F.col("embedding"), 1000).alias("qx"))
+        .collect()
+    )  # bounded: 4 query vectors
+    queries = [
+        (r["vec_id"], list(r["qx"])) for r in sorted(qrows, key=lambda r: r["vec_id"])
+    ]
+    out = PQ.pq_adc_topk(codes, codebook, queries, m=4, dsub=dsub, topk=5)
+    w = Window.partitionBy("qid").orderBy("dist", "id")
+    return (
+        out.withColumn("rnk", F.row_number().over(w))
+        .select(
+            "qid",
+            "rnk",
+            F.col("id").alias("neighbor_id"),
+            F.round("dist", 6).alias("dist_r"),
+        )
+        .orderBy("qid", "rnk")
+    )
+
+
+_PQ_SOURCE_SQL = """
+SELECT vec_id * 4 + g.s AS vec_id,
+       list_slice(embedding, g.s * 16 + 1, g.s * 16 + 16) AS embedding
+FROM embeddings, generate_series(0, 3) AS g(s)
+"""
+
+_PQ_TAIL_SQL = """,
+s3 AS (
+  SELECT k, g.i AS pos, CAST(SUM(x[g.i]) AS BIGINT) AS sv,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM a3, generate_series(1, 16) AS g(i) GROUP BY k, g.i
+),
+cb AS (
+  SELECT k AS code, list(sv ORDER BY pos) AS s, CAST(MAX(cnt) AS BIGINT) AS n
+  FROM s3 GROUP BY k
+),
+codes AS (
+  SELECT CAST(id // 4 AS BIGINT) AS vid,
+         MAX(CASE WHEN id % 4 = 0 THEN k END) AS c0,
+         MAX(CASE WHEN id % 4 = 1 THEN k END) AS c1,
+         MAX(CASE WHEN id % 4 = 2 THEN k END) AS c2,
+         MAX(CASE WHEN id % 4 = 3 THEN k END) AS c3
+  FROM a3 GROUP BY id // 4
+),
+qsub AS (
+  SELECT CAST(id // 4 AS BIGINT) AS qid, CAST(id % 4 AS INTEGER) AS sub, x AS qx
+  FROM pts WHERE id // 4 < 4
+),
+dtab AS (
+  SELECT q.qid, q.sub, c.code,
+         list_reduce(list_transform(generate_series(1, 16),
+           i -> (q.qx[i] - c.s[i]/c.n) * (q.qx[i] - c.s[i]/c.n)),
+           (acc, v) -> acc + v) AS dd
+  FROM qsub q CROSS JOIN cb c
+),
+dists AS (
+  SELECT codes.vid, t0.qid, ((t0.dd + t1.dd) + t2.dd) + t3.dd AS dist
+  FROM codes
+  JOIN dtab t0 ON t0.sub = 0 AND t0.code = codes.c0
+  JOIN dtab t1 ON t1.sub = 1 AND t1.code = codes.c1 AND t1.qid = t0.qid
+  JOIN dtab t2 ON t2.sub = 2 AND t2.code = codes.c2 AND t2.qid = t0.qid
+  JOIN dtab t3 ON t3.sub = 3 AND t3.code = codes.c3 AND t3.qid = t0.qid
+)
+SELECT qid, CAST(rnk AS INTEGER) AS rnk, vid AS neighbor_id,
+       round(dist, 6) AS dist_r
+FROM (SELECT qid, vid, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, vid) AS rnk
+      FROM dists) t
+WHERE rnk <= 5 ORDER BY qid, rnk
+"""
+
+ANN_PQ_SQL = _kmeans_sql(
+    k=16, d=16, iters=2, scale=1000,
+    source_sql=_PQ_SOURCE_SQL, tail_sql=_PQ_TAIL_SQL,
+)
+
+
 def variant_props_extract(spark, sf_dir):
     """VARIANT path extraction (§2.7 `x:path::TYPE`): JSON props column ->
     typed value via get_json_object + cast, aggregated per event type."""
@@ -6649,6 +6751,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann_lsh_recall": (ann_lsh_recall, ANN_LSH_RECALL_SQL),
     "streaming_intake_eav": (streaming_intake_eav, STREAM_EAV_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+    "ann_pq_topk_contract": (ann_pq_topk_contract, ANN_PQ_SQL),
     "variant_props_extract": (variant_props_extract, VARIANT_PROPS_SQL),
     "variant_native_extract": (variant_native_extract, VARIANT_PROPS_SQL),
     "window_frames_running": (window_frames_running, WINDOW_FRAMES_SQL),
@@ -6827,6 +6930,7 @@ _R4_FIRST = [
     "skew_salted_join_report",  # NEW: salting under a deliberate hot key
     "key_skew_diagnosis",  # NEW: max/mean key-skew diagnosis row
     "table_changes_stream_report",  # NEW: STREAMS/CDC snapshot diff
+    "ann_pq_topk_contract",  # NEW: product-quantization ADC top-k
     "q2_min_cost_supplier",  # crossJoin+filter -> mod-key equi-join
     "dedup_ngram_jaccard",  # verify tiering (hashed default + exact flag)
     "dedup_embedding_cosine",  # blocked-BLAS vs expression default re-benched
