@@ -150,6 +150,7 @@ def main() -> None:
         "skew_salted_join_report",       # hot-key salted join + rollup
         "table_changes_stream_report",   # CDC snapshot-diff accounting
         "ann_pq_topk_contract",          # PQ train->encode->ADC top-k
+        "ivm_rollup_maintenance",        # delta-only view maintenance
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

@@ -249,3 +249,40 @@ def test_snapshot_diff_actions(spark):
 
     with _pytest.raises(ValueError):
         snapshot_diff(old, new.drop("bal"), ["k"])
+
+
+def test_ivm_maintains_under_group_moves_and_deletes(spark):
+    """maintain_grouped_agg == full recompute for a change set covering
+    insert, delete, in-place update, group move, and a group emptying out."""
+    from pyspark.sql import functions as F
+
+    from unstructured_data_pipeline_spark.operators.dml import snapshot_diff
+    from unstructured_data_pipeline_spark.operators.ivm import maintain_grouped_agg
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        "k INT, g STRING, m BIGINT",
+    )
+    # 1: in-place update; 2: group move a->b; 3: delete; 4: noop; 5: insert
+    new = spark.createDataFrame(
+        [(1, "a", 15), (2, "b", 20), (4, "c", 40), (5, "d", 50)],
+        "k INT, g STRING, m BIGINT",
+    )
+    base = old.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("m").alias("sum_measure")
+    )
+    diff = snapshot_diff(old, new, ["k"], before=True)
+    got = {
+        r["g"]: (r["n_rows"], r["sum_measure"])
+        for r in maintain_grouped_agg(base, diff, "g", "m").collect()
+    }
+    want = {
+        r["g"]: (r["n_rows"], r["sum_measure"])
+        for r in new.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("m").alias("sum_measure"))
+        .collect()
+    }
+    assert got == want
+    # b's original row was deleted AND the group-move landed there
+    assert got["b"] == (1, 20)
+    assert set(got) == {"a", "b", "c", "d"}

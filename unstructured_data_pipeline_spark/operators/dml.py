@@ -76,7 +76,12 @@ def delete_where(target: DataFrame, predicate: Column) -> DataFrame:
     return target.filter(~F.coalesce(predicate, F.lit(False)))
 
 
-def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    before: bool = False,
+) -> DataFrame:
     """Row-level change set between two snapshots of the same keyed table —
     the engine-side form of Snowflake table STREAMS / the CHANGES clause
     (the reference platform's CDC surface over its retained snapshots;
@@ -86,9 +91,12 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
     per key with an ``action`` label: INSERT (key only in ``new``), DELETE
     (only in ``old``), UPDATE (present in both, any non-key column
     differs), NOOP (identical).  Value columns carry the after-image
-    (before-image for DELETE).  One shuffle on the key; column compares are
-    row-local — the shape scales to any snapshot size and feeds incremental
-    downstream consumers (only INSERT/UPDATE/DELETE rows need processing).
+    (before-image for DELETE); ``before=True`` additionally emits every
+    value column's before-image as ``before_<col>`` (NULL for INSERT) —
+    the retraction stream incremental view maintenance needs.  One shuffle
+    on the key; column compares are row-local — the shape scales to any
+    snapshot size and feeds incremental downstream consumers (only
+    INSERT/UPDATE/DELETE rows need processing).
     """
     val_cols = [c for c in new.columns if c not in keys]
     if old.columns != new.columns:
@@ -118,6 +126,11 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
             .alias(c)
             for c in val_cols
         ],
+        *(
+            [F.col(f"_old_{c}").alias(f"before_{c}") for c in val_cols]
+            if before
+            else []
+        ),
     )
 
 

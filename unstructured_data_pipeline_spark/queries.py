@@ -3729,6 +3729,80 @@ FROM u GROUP BY transition, action ORDER BY transition, action
 """
 
 
+def ivm_rollup_maintenance(spark, sf_dir):
+    """Incremental view maintenance (`operators/ivm.py`): a per-segment
+    (count, balance-sum) view of the customer base is maintained through an
+    arbitrary CDC batch — in-place balance UPDATEs (every 100th customer
+    +500), group-move UPDATEs (every 97th customer reassigned to
+    MACHINERY), INSERTs (a clone per 250th customer), and DELETEs (negative
+    balances) — purely from the change set: `snapshot_diff(before=True)`
+    turns each change into signed retract/assert delta rows, and the view
+    is refreshed by one groupBy over |view| + |changes| rows.  The base
+    table is NEVER re-scanned — the whole point at 100 TB.  The oracle
+    recomputes the view from scratch over the post-change state, so a hash
+    match PROVES maintained == recomputed, including the group moves
+    (MIN/MAX are deliberately out of scope: not self-maintainable under
+    deletes)."""
+    from unstructured_data_pipeline_spark.operators.dml import snapshot_diff
+    from unstructured_data_pipeline_spark.operators.ivm import maintain_grouped_agg
+
+    v1 = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        _cents(F.col("c_acctbal")).alias("bal_cents"),
+    )
+    changed = v1.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 97 == 0, F.lit("MACHINERY"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.when(
+            F.col("c_custkey") % 100 == 0, F.col("bal_cents") + 50000
+        )
+        .otherwise(F.col("bal_cents"))
+        .alias("bal_cents"),
+    )
+    inserts = v1.filter(F.col("c_custkey") % 250 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 1000000
+    )
+    v2 = changed.unionByName(inserts).filter(F.col("bal_cents") >= 0)
+    diff = snapshot_diff(v1, v2, keys=["c_custkey"], before=True)
+    base = v1.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("bal_cents").alias("sum_measure"),
+    )
+    view = maintain_grouped_agg(
+        base, diff, group_col="c_mktsegment", measure_col="bal_cents"
+    )
+    return view.select(
+        "c_mktsegment",
+        "n_rows",
+        (F.col("sum_measure") / 100.0).alias("sum_acctbal"),
+    ).orderBy("c_mktsegment")
+
+
+IVM_ROLLUP_SQL = f"""
+WITH v1 AS (
+  SELECT c_custkey, c_mktsegment, {_c('c_acctbal')} AS bal FROM customer
+),
+v2 AS (
+  SELECT * FROM (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 97 = 0 THEN 'MACHINERY' ELSE c_mktsegment END
+             AS seg,
+           CASE WHEN c_custkey % 100 = 0 THEN bal + 50000 ELSE bal END AS bal2
+    FROM v1
+    UNION ALL
+    SELECT c_custkey + 1000000, c_mktsegment, bal FROM v1
+    WHERE c_custkey % 250 = 0
+  ) t WHERE bal2 >= 0
+)
+SELECT seg AS c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(bal2) AS BIGINT) / 100.0 AS sum_acctbal
+FROM v2 GROUP BY seg ORDER BY seg
+"""
+
+
 def export_roundtrip_report(spark, sf_dir):
     """S7 export evidence through the DISTRIBUTED sink: the customer table
     is written out as headered CSV (the scale export shape), read back with
@@ -6878,6 +6952,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "skew_salted_join_report": (skew_salted_join_report, SKEW_SALTED_SQL),
     "key_skew_diagnosis": (key_skew_diagnosis, KEY_SKEW_SQL),
     "table_changes_stream_report": (table_changes_stream_report, TABLE_CHANGES_SQL),
+    "ivm_rollup_maintenance": (ivm_rollup_maintenance, IVM_ROLLUP_SQL),
     "doc_fingerprint_rolling": (doc_fingerprint_rolling, FINGERPRINT_SQL),
     "fuzzy_name_dedup": (fuzzy_name_dedup, FUZZY_NAME_SQL),
     "dml_upsert_customers": (dml_upsert_customers, DML_UPSERT_SQL),
@@ -6931,6 +7006,7 @@ _R4_FIRST = [
     "key_skew_diagnosis",  # NEW: max/mean key-skew diagnosis row
     "table_changes_stream_report",  # NEW: STREAMS/CDC snapshot diff
     "ann_pq_topk_contract",  # NEW: product-quantization ADC top-k
+    "ivm_rollup_maintenance",  # NEW: delta-only view maintenance
     "q2_min_cost_supplier",  # crossJoin+filter -> mod-key equi-join
     "dedup_ngram_jaccard",  # verify tiering (hashed default + exact flag)
     "dedup_embedding_cosine",  # blocked-BLAS vs expression default re-benched
