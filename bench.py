@@ -151,6 +151,7 @@ def main() -> None:
         "table_changes_stream_report",   # CDC snapshot-diff accounting
         "ann_pq_topk_contract",          # PQ train->encode->ADC top-k
         "ivm_rollup_maintenance",        # delta-only view maintenance
+        "schema_evolution_report",       # metadata-only ADD COLUMN
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

@@ -286,3 +286,42 @@ def test_ivm_maintains_under_group_moves_and_deletes(spark):
     # b's original row was deleted AND the group-move landed there
     assert got["b"] == (1, 20)
     assert set(got) == {"a", "b", "c", "d"}
+
+
+def test_add_column_is_metadata_only(spark, tmp_path):
+    """ALTER ADD COLUMN must not touch existing data files; pre-ALTER rows
+    read back with the default, post-ALTER appends carry real values."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from unstructured_data_pipeline_spark.operators.dml import ParquetTable
+
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    t = ParquetTable(spark, str(tmp_path), "evolve", schema)
+    t.ensure()
+    t.append(spark.range(5).select(F.col("id").alias("k")))
+
+    def file_state(d):
+        out = {}
+        for root, _, files in os.walk(d):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = file_state(t.data_dir())
+    t.add_column("tag", T.StringType(), default="legacy")
+    assert file_state(t.data_dir()) == before  # no rewrite, no new files
+    t.append(
+        spark.range(5, 8)
+        .select(F.col("id").alias("k"), F.lit("fresh").alias("tag"))
+    )
+    rows = {r["k"]: r["tag"] for r in t.read().collect()}
+    assert all(rows[k] == "legacy" for k in range(5))
+    assert all(rows[k] == "fresh" for k in range(5, 8))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.add_column("tag", T.StringType())

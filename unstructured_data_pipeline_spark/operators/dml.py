@@ -244,7 +244,34 @@ class ParquetTable:
 
     def read(self) -> DataFrame:
         self.ensure()
-        return self.spark.read.schema(self.schema).parquet(self.data_dir())
+        df = self.spark.read.schema(self.schema).parquet(self.data_dir())
+        for name, default in getattr(self, "_defaults", {}).items():
+            df = df.withColumn(name, F.coalesce(F.col(name), F.lit(default)))
+        return df
+
+    def add_column(self, name: str, data_type, default=None) -> None:
+        """ALTER TABLE ADD COLUMN — METADATA-ONLY schema evolution
+        (Snowflake parity: the reference's DDL evolves exactly this way —
+        the SQL script's tables carry timestamp columns the app's own
+        CREATE IF NOT EXISTS omits, and queries degrade gracefully;
+        `database/setup_database.sql:49-50` vs `app.py:45-78`).
+
+        No data file is touched or rewritten: parquet files written before
+        the ALTER simply lack the column, and the explicit read schema
+        surfaces it as NULL, backfilled to ``default`` at read time.  At
+        100 TB this is the only viable ALTER — a rewrite of every file for
+        a new column is a full-table write.  Appends after the ALTER must
+        include the column (`_conform` projects onto the current schema).
+        """
+        if name in self.schema.fieldNames():
+            raise ValueError(f"column {name!r} already exists on {self.name}")
+        self.schema = T.StructType(
+            [*self.schema.fields, T.StructField(name, data_type, True)]
+        )
+        if default is not None:
+            if not hasattr(self, "_defaults"):
+                self._defaults = {}
+            self._defaults[name] = default
 
     # -- time travel (retained snapshots) -----------------------------------
     def versions(self) -> list[str]:

@@ -3803,6 +3803,72 @@ FROM v2 GROUP BY seg ORDER BY seg
 """
 
 
+def schema_evolution_report(spark, sf_dir):
+    """Metadata-only ALTER TABLE ADD COLUMN through the real table layer
+    (`ParquetTable.add_column`): half the customers land BEFORE the ALTER
+    (their parquet files never carry the column and are NEVER rewritten —
+    the only viable ALTER at 100 TB), the other half after, with a real
+    tier value; the read backfills the pre-ALTER cohort to the column
+    default.  Reference parity: the app/DDL schema drift the reference
+    handles at query time (`database/setup_database.sql:49-50` vs
+    `app.py:45-78`) — here as an explicit evolution surface.  The rollup
+    over the merged read is hash-gated against the union-with-default
+    mirror."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from unstructured_data_pipeline_spark.operators.dml import ParquetTable
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", _cents(F.col("c_acctbal")).alias("bal_cents")
+    )
+    root = tempfile.mkdtemp(prefix="udp_evolve_")
+    t = ParquetTable(spark, root, "cust_evolve", cust.schema)
+    t.ensure()
+    t.append(cust.filter(F.col("c_custkey") % 2 == 0))  # pre-ALTER cohort
+    t.add_column("loyalty_tier", T.StringType(), default="STANDARD")
+    t.append(
+        cust.filter(F.col("c_custkey") % 2 == 1).withColumn(
+            "loyalty_tier",
+            F.when(F.col("bal_cents") > 500000, F.lit("GOLD")).otherwise(
+                F.lit("BASIC")
+            ),
+        )
+    )
+    out = (
+        t.read()
+        .groupBy("loyalty_tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum("bal_cents") / 100.0).alias("sum_acctbal"),
+            F.min("c_custkey").alias("min_key"),
+        )
+        .orderBy("loyalty_tier")
+        .cache()
+    )
+    out.count()  # materialize before the scratch dir is removed
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+SCHEMA_EVOLUTION_SQL = f"""
+WITH base AS (SELECT c_custkey, {_c('c_acctbal')} AS bal FROM customer),
+v AS (
+  SELECT c_custkey, bal, 'STANDARD' AS tier FROM base WHERE c_custkey % 2 = 0
+  UNION ALL
+  SELECT c_custkey, bal,
+         CASE WHEN bal > 500000 THEN 'GOLD' ELSE 'BASIC' END
+  FROM base WHERE c_custkey % 2 = 1
+)
+SELECT tier AS loyalty_tier, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(bal) AS BIGINT) / 100.0 AS sum_acctbal,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key
+FROM v GROUP BY tier ORDER BY tier
+"""
+
+
 def export_roundtrip_report(spark, sf_dir):
     """S7 export evidence through the DISTRIBUTED sink: the customer table
     is written out as headered CSV (the scale export shape), read back with
@@ -6953,6 +7019,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "key_skew_diagnosis": (key_skew_diagnosis, KEY_SKEW_SQL),
     "table_changes_stream_report": (table_changes_stream_report, TABLE_CHANGES_SQL),
     "ivm_rollup_maintenance": (ivm_rollup_maintenance, IVM_ROLLUP_SQL),
+    "schema_evolution_report": (schema_evolution_report, SCHEMA_EVOLUTION_SQL),
     "doc_fingerprint_rolling": (doc_fingerprint_rolling, FINGERPRINT_SQL),
     "fuzzy_name_dedup": (fuzzy_name_dedup, FUZZY_NAME_SQL),
     "dml_upsert_customers": (dml_upsert_customers, DML_UPSERT_SQL),
@@ -7007,6 +7074,7 @@ _R4_FIRST = [
     "table_changes_stream_report",  # NEW: STREAMS/CDC snapshot diff
     "ann_pq_topk_contract",  # NEW: product-quantization ADC top-k
     "ivm_rollup_maintenance",  # NEW: delta-only view maintenance
+    "schema_evolution_report",  # NEW: metadata-only ADD COLUMN
     "q2_min_cost_supplier",  # crossJoin+filter -> mod-key equi-join
     "dedup_ngram_jaccard",  # verify tiering (hashed default + exact flag)
     "dedup_embedding_cosine",  # blocked-BLAS vs expression default re-benched
