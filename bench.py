@@ -152,6 +152,7 @@ def main() -> None:
         "ann_pq_topk_contract",          # PQ train->encode->ADC top-k
         "ivm_rollup_maintenance",        # delta-only view maintenance
         "schema_evolution_report",       # metadata-only ADD COLUMN
+        "bpe_tokenize_report",           # fixed-merge-table BPE apply
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

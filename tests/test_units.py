@@ -672,3 +672,34 @@ def test_mg_heavy_hitters_bounds_random(spark):
     for item, t in truth.items():
         if t > bound:
             assert item in est and est[item] > 0, (item, t, bound)
+
+
+def test_bpe_merge_chain_produces_whole_words(spark):
+    """The fixed merge table must fuse its target vocabulary into single
+    subwords and leave unmerged characters split."""
+    from pyspark.sql import functions as F
+
+    from unstructured_data_pipeline_spark.queries import _BPE_MERGES
+
+    df = spark.createDataFrame(
+        [("the scan batch window join key zq",)], "text STRING"
+    )
+    w = F.explode(
+        F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
+    ).alias("w")
+    enc = F.regexp_replace(F.col("w"), "(.)", "|$1|")
+    for a, b in _BPE_MERGES:
+        enc = F.replace(enc, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    toks = (
+        df.select(w)
+        .select(F.col("w"), enc.alias("e"))
+        .select(
+            "w",
+            F.split(F.expr("trim(BOTH '|' FROM e)"), r"\|\|").alias("toks"),
+        )
+        .collect()
+    )
+    got = {r["w"]: list(r["toks"]) for r in toks}
+    for whole in ("the", "scan", "batch", "window", "join", "key"):
+        assert got[whole] == [whole], got[whole]
+    assert got["zq"] == ["z", "q"]  # no merge rule touches it

@@ -1849,6 +1849,71 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+# Fixed BPE merge table (priority order) — the pretrained-tokenizer shape:
+# training happens once offline; APPLICATION is what runs at corpus scale.
+# Pairs chosen for the fixture vocabulary (scan/join/batch/window/...).
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("a", "n"), ("e", "r"), ("i", "n"),
+    ("o", "r"), ("s", "c"), ("sc", "an"), ("s", "t"), ("r", "e"),
+    ("a", "t"), ("c", "h"), ("at", "ch"), ("b", "atch"), ("j", "o"),
+    ("jo", "in"), ("w", "in"), ("win", "d"), ("wind", "o"),
+    ("windo", "w"), ("k", "e"), ("ke", "y"),
+]
+
+
+def bpe_tokenize_report(spark, sf_dir):
+    """BPE tokenization with a FIXED merge table — the production tokenizer
+    shape (merges are trained once offline; application is the part that
+    must run at 100 TB).  Each word is exploded to boundary-marked
+    characters (``|a||b||c|``) and the 22 merges apply in priority order,
+    each replaced EXHAUSTIVELY before the next (the deterministic
+    apply-in-rank-order BPE variant; plain non-regex `replace` in both
+    engines, so leftmost-non-overlapping semantics match exactly).  Output
+    is the corpus-level top-30 subword histogram.  Scale: everything up to
+    the final groupBy is row-local string work inside whole-stage codegen —
+    no UDFs, no shuffle except the one count aggregation; the merge chain
+    is a constant-depth expression tree independent of corpus size."""
+    d = _heavy(spark, sf_dir, "documents")
+    w = F.explode(
+        F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
+    ).alias("w")
+    enc = F.regexp_replace(F.col("w"), "(.)", "|$1|")
+    for a, b in _BPE_MERGES:
+        enc = F.replace(enc, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    toks = (
+        d.select(w)
+        .select(enc.alias("e"))
+        .select(F.expr("trim(BOTH '|' FROM e)").alias("e"))
+        .select(F.explode(F.split("e", r"\|\|")).alias("tok"))
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "tok")
+        .limit(30)
+    )
+
+
+def _bpe_oracle_sql() -> str:
+    enc = "regexp_replace(w, '(.)', '|\\1|', 'g')"
+    for a, b in _BPE_MERGES:
+        enc = f"replace({enc}, '|{a}||{b}|', '|{a}{b}|')"
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z]+'), t -> t <> '')) AS w
+  FROM documents
+),
+enc AS (SELECT {enc} AS e FROM toks),
+bpe AS (SELECT unnest(string_split(trim(e, '|'), '||')) AS tok FROM enc)
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM bpe GROUP BY tok ORDER BY n_occurrences DESC, tok LIMIT 30
+"""
+
+
+BPE_TOKENIZE_SQL = _bpe_oracle_sql()
+
+
 _LANGS = [("en", TX.STOPWORDS["en"]), ("de", TX.STOPWORDS["de"]),
           ("es", TX.STOPWORDS["es"]), ("fr", TX.STOPWORDS["fr"])]
 
@@ -7020,6 +7085,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "table_changes_stream_report": (table_changes_stream_report, TABLE_CHANGES_SQL),
     "ivm_rollup_maintenance": (ivm_rollup_maintenance, IVM_ROLLUP_SQL),
     "schema_evolution_report": (schema_evolution_report, SCHEMA_EVOLUTION_SQL),
+    "bpe_tokenize_report": (bpe_tokenize_report, BPE_TOKENIZE_SQL),
     "doc_fingerprint_rolling": (doc_fingerprint_rolling, FINGERPRINT_SQL),
     "fuzzy_name_dedup": (fuzzy_name_dedup, FUZZY_NAME_SQL),
     "dml_upsert_customers": (dml_upsert_customers, DML_UPSERT_SQL),
@@ -7075,6 +7141,7 @@ _R4_FIRST = [
     "ann_pq_topk_contract",  # NEW: product-quantization ADC top-k
     "ivm_rollup_maintenance",  # NEW: delta-only view maintenance
     "schema_evolution_report",  # NEW: metadata-only ADD COLUMN
+    "bpe_tokenize_report",  # NEW: fixed-merge-table BPE application
     "q2_min_cost_supplier",  # crossJoin+filter -> mod-key equi-join
     "dedup_ngram_jaccard",  # verify tiering (hashed default + exact flag)
     "dedup_embedding_cosine",  # blocked-BLAS vs expression default re-benched
