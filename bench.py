@@ -153,6 +153,7 @@ def main() -> None:
         "ivm_rollup_maintenance",        # delta-only view maintenance
         "schema_evolution_report",       # metadata-only ADD COLUMN
         "bpe_tokenize_report",           # fixed-merge-table BPE apply
+        "domain_quota_cap",              # bucket-pruned per-source top-N
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

@@ -352,3 +352,32 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     m = key_skew_metrics(ev, "hot_user").collect()[0]
     assert m["max_key_rows"] > 0.5 * m["n_rows"]
     assert m["skew_ratio"] > 2.0  # key count is SF-dependent; hot-share check above is the strong one
+
+
+def test_quota_cap_matches_naive_window(spark, sf_dir):
+    """Bucket-pruned quota keep set == the naive per-source row_number
+    window's top-N by (md5, doc_id) — at a quota that actually binds."""
+    from unstructured_data_pipeline_spark.queries import _t, domain_quota_cap
+
+    got = {
+        r["source"]: (r["n_docs"], r["n_kept"], r["min_kept_doc"])
+        for r in domain_quota_cap(spark, sf_dir, quota=10).collect()
+    }
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    naive = (
+        d.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 10)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("mk"))
+        .collect()
+    )
+    totals = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = {r["source"]: (totals[r["source"]], r["n_kept"], r["mk"]) for r in naive}
+    assert got == want
+    assert any(v[1] < v[0] for v in got.values())  # the cap actually bound

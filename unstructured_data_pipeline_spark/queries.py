@@ -1861,6 +1861,91 @@ _BPE_MERGES = [
 ]
 
 
+def domain_quota_cap(spark, sf_dir, quota: int = 40):
+    """Per-domain quota capping (the over-represented-source guard every
+    web-scale curation pipeline runs): keep at most ``quota`` docs per
+    source, selected by deterministic md5 order (RNG-free — identical
+    sample on any engine/cluster/partitioning).
+
+    Scale shape: the naive form is one row_number window per source — but a
+    hot domain's ENTIRE row set then sorts in one task.  This
+    implementation prunes with the md5 hex prefix: per-(source, 16-bucket)
+    counts (map-side combinable) + a 16-row-per-source cumulative window
+    decide each bucket wholly-kept / wholly-dropped / boundary; only the
+    single boundary bucket (~1/16th of a domain) pays the row_number sort.
+    The keep set is EXACTLY the naive top-``quota`` by (md5, doc_id) —
+    bucket = first hex char, so (bucket, md5) ordering == md5 ordering —
+    which is what the oracle computes naively."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    d = d.withColumn("b", F.substring("h", 1, 1))
+    counts = d.groupBy("source", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    status = counts.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(wc), F.lit(0))
+    ).select(
+        "source",
+        "b",
+        "cum_before",
+        F.when(F.col("cum_before") + F.col("cnt") <= quota, F.lit("full"))
+        .when(F.col("cum_before") >= quota, F.lit("drop"))
+        .otherwise(F.lit("boundary"))
+        .alias("st"),
+    )
+    tagged = d.join(F.broadcast(status), on=["source", "b"])
+    full = tagged.filter(F.col("st") == "full")
+    wb = Window.partitionBy("source", "b").orderBy("h", "doc_id")
+    boundary = (
+        tagged.filter(F.col("st") == "boundary")
+        .withColumn("_r", F.row_number().over(wb))
+        .filter(F.col("_r") <= quota - F.col("cum_before"))
+        .drop("_r")
+    )
+    kept = full.select("source", "doc_id").unionByName(
+        boundary.select("source", "doc_id")
+    )
+    return (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(
+            kept.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.min("doc_id").alias("min_kept_doc"),
+            ),
+            "source",
+        )
+        .orderBy("source")
+    )
+
+
+DOMAIN_QUOTA_SQL = """
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+  FROM documents
+),
+k AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(MIN(doc_id) AS BIGINT) AS min_kept_doc
+  FROM ranked WHERE r <= 40 GROUP BY source
+),
+n AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+)
+SELECT n.source, n.n_docs, k.n_kept, k.min_kept_doc
+FROM n JOIN k ON n.source = k.source ORDER BY n.source
+"""
+
+
 def bpe_tokenize_report(spark, sf_dir):
     """BPE tokenization with a FIXED merge table — the production tokenizer
     shape (merges are trained once offline; application is the part that
@@ -7086,6 +7171,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ivm_rollup_maintenance": (ivm_rollup_maintenance, IVM_ROLLUP_SQL),
     "schema_evolution_report": (schema_evolution_report, SCHEMA_EVOLUTION_SQL),
     "bpe_tokenize_report": (bpe_tokenize_report, BPE_TOKENIZE_SQL),
+    "domain_quota_cap": (domain_quota_cap, DOMAIN_QUOTA_SQL),
     "doc_fingerprint_rolling": (doc_fingerprint_rolling, FINGERPRINT_SQL),
     "fuzzy_name_dedup": (fuzzy_name_dedup, FUZZY_NAME_SQL),
     "dml_upsert_customers": (dml_upsert_customers, DML_UPSERT_SQL),
@@ -7142,6 +7228,7 @@ _R4_FIRST = [
     "ivm_rollup_maintenance",  # NEW: delta-only view maintenance
     "schema_evolution_report",  # NEW: metadata-only ADD COLUMN
     "bpe_tokenize_report",  # NEW: fixed-merge-table BPE application
+    "domain_quota_cap",  # NEW: bucket-pruned per-source top-N quota
     "q2_min_cost_supplier",  # crossJoin+filter -> mod-key equi-join
     "dedup_ngram_jaccard",  # verify tiering (hashed default + exact flag)
     "dedup_embedding_cosine",  # blocked-BLAS vs expression default re-benched
