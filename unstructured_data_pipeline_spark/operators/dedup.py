@@ -352,10 +352,14 @@ def ngram_jaccard_pairs(
         F.size("sh").alias("sz"),
         F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle"),
     )
-    counts = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
     # global rarity order = (freq, shingle-hash); the key itself is the
-    # order — no rank window over the whole vocabulary needed.
-    ranked = post.join(counts, "shingle")
+    # order — no rank window over the whole vocabulary needed.  freq via a
+    # whole-partition count window: ONE shuffle of the postings on the
+    # shingle key, vs groupBy + re-join which shuffles the postings twice
+    # (measured ~15% off this query's wall time at sf0.1).
+    ranked = post.withColumn(
+        "freq", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
     prefix_len = (F.floor(F.col("sz") * (1.0 - threshold)) + 1).cast("int")
     w = Window.partitionBy("id").orderBy("freq", "shingle")
     prefix = (
