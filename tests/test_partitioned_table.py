@@ -325,3 +325,47 @@ def test_add_column_is_metadata_only(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         t.add_column("tag", T.StringType())
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_state = st.dictionaries(
+    st.integers(min_value=0, max_value=9),
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(-50, 50)),
+    max_size=8,
+)
+
+
+@given(old=_state, new=_state)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ivm_equals_recompute_property(spark, old, new):
+    """For ANY pair of table states, maintaining the grouped view through
+    snapshot_diff deltas equals recomputing it from the new state."""
+    from pyspark.sql import functions as F
+
+    from unstructured_data_pipeline_spark.operators.dml import snapshot_diff
+    from unstructured_data_pipeline_spark.operators.ivm import maintain_grouped_agg
+
+    schema = "k INT, g STRING, m BIGINT"
+    o = spark.createDataFrame([(k, g, m) for k, (g, m) in old.items()], schema)
+    n = spark.createDataFrame([(k, g, m) for k, (g, m) in new.items()], schema)
+    base = o.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("m").alias("sum_measure")
+    )
+    diff = snapshot_diff(o, n, ["k"], before=True)
+    got = {
+        r["g"]: (r["n_rows"], r["sum_measure"])
+        for r in maintain_grouped_agg(base, diff, "g", "m").collect()
+    }
+    want = {
+        r["g"]: (r["n_rows"], r["sum_measure"])
+        for r in n.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("m").alias("sum_measure"))
+        .collect()
+    }
+    assert got == want
