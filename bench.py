@@ -154,6 +154,7 @@ def main() -> None:
         "schema_evolution_report",       # metadata-only ADD COLUMN
         "bpe_tokenize_report",           # fixed-merge-table BPE apply
         "domain_quota_cap",              # bucket-pruned per-source top-N
+        "ann_pq_recall",                 # PQ recall@5 vs exact L2
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

@@ -4376,7 +4376,10 @@ SELECT vec_id * 4 + g.s AS vec_id,
 FROM embeddings, generate_series(0, 3) AS g(s)
 """
 
-_PQ_TAIL_SQL = """,
+# shared PQ oracle plumbing: codebook state, per-doc codes, query slices,
+# distance table, ADC distances — consumed by both the top-k contract tail
+# and the recall tail
+_PQ_CORE_SQL = """,
 s3 AS (
   SELECT k, g.i AS pos, CAST(SUM(x[g.i]) AS BIGINT) AS sv,
          CAST(COUNT(*) AS BIGINT) AS cnt
@@ -4412,7 +4415,9 @@ dists AS (
   JOIN dtab t1 ON t1.sub = 1 AND t1.code = codes.c1 AND t1.qid = t0.qid
   JOIN dtab t2 ON t2.sub = 2 AND t2.code = codes.c2 AND t2.qid = t0.qid
   JOIN dtab t3 ON t3.sub = 3 AND t3.code = codes.c3 AND t3.qid = t0.qid
-)
+)"""
+
+_PQ_TOPK_TAIL_SQL = _PQ_CORE_SQL + """
 SELECT qid, CAST(rnk AS INTEGER) AS rnk, vid AS neighbor_id,
        round(dist, 6) AS dist_r
 FROM (SELECT qid, vid, dist,
@@ -4423,8 +4428,122 @@ WHERE rnk <= 5 ORDER BY qid, rnk
 
 ANN_PQ_SQL = _kmeans_sql(
     k=16, d=16, iters=2, scale=1000,
-    source_sql=_PQ_SOURCE_SQL, tail_sql=_PQ_TAIL_SQL,
+    source_sql=_PQ_SOURCE_SQL, tail_sql=_PQ_TOPK_TAIL_SQL,
 )
+
+# recall tail: exact L2 top-5 on the full quantized vectors (same metric the
+# quantizer approximates, so recall isolates quantization loss), intersected
+# with the ADC top-5 per query.  The exact fold is the same sequential
+# IEEE sequence as everywhere else (list_reduce terms >= +0.0).
+_PQ_RECALL_TAIL_SQL = _PQ_CORE_SQL + """,
+pq_top AS (
+  SELECT qid, vid FROM (
+    SELECT qid, vid,
+           row_number() OVER (PARTITION BY qid ORDER BY dist, vid) AS rnk
+    FROM dists) t
+  WHERE rnk <= 5
+),
+fullpts AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+           v -> CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS x
+  FROM embeddings
+),
+exact_top AS (
+  SELECT qid, vid FROM (
+    SELECT q.id AS qid, p.id AS vid,
+           row_number() OVER (PARTITION BY q.id ORDER BY
+             list_reduce(list_transform(generate_series(1, 64),
+               i -> CAST(p.x[i] - q.x[i] AS DOUBLE)
+                    * CAST(p.x[i] - q.x[i] AS DOUBLE)),
+               (acc, v) -> acc + v) ASC, p.id ASC) AS rnk
+    FROM fullpts p CROSS JOIN (SELECT * FROM fullpts WHERE id < 4) q) t
+  WHERE rnk <= 5
+)
+SELECT p.qid, CAST(COUNT(e.vid) AS BIGINT) AS n_hits,
+       round(CAST(COUNT(e.vid) AS DOUBLE) / 5.0, 6) AS recall_r
+FROM pq_top p LEFT JOIN exact_top e ON e.qid = p.qid AND e.vid = p.vid
+GROUP BY p.qid ORDER BY p.qid
+"""
+
+ANN_PQ_RECALL_SQL = _kmeans_sql(
+    k=16, d=16, iters=2, scale=1000,
+    source_sql=_PQ_SOURCE_SQL, tail_sql=_PQ_RECALL_TAIL_SQL,
+)
+
+
+def ann_pq_recall(spark, sf_dir):
+    """PQ quality evidence (the ADC contract's companion, mirroring
+    `ann_lsh_recall`): recall@5 of the ADC top-5 against the EXACT
+    L2 top-5 on the full quantized vectors — the same metric the quantizer
+    approximates, so the number isolates quantization loss.  Exact baseline
+    = broadcast-|Q| brute force (|Q|=4, the documented baseline shape);
+    intersection + recall are a bounded 20-row join.  Hash-gated end to end
+    (codebook, codes, ADC ranks, exact ranks, recall all recomputed in the
+    DuckDB mirror)."""
+    from unstructured_data_pipeline_spark.operators import pq as PQ
+    from unstructured_data_pipeline_spark.operators.clustering import quantize_vec
+
+    emb = _heavy(spark, sf_dir, "embeddings")
+    codes, codebook, dsub = PQ.pq_fit_encode(
+        emb, "vec_id", "embedding", dim=64, m=4, k=16, iters=2, scale=1000
+    )
+    qrows = (
+        emb.filter(F.col("vec_id") < 4)
+        .select("vec_id", quantize_vec(F.col("embedding"), 1000).alias("qx"))
+        .collect()
+    )  # bounded: 4 query vectors
+    queries = [
+        (r["vec_id"], list(r["qx"]))
+        for r in sorted(qrows, key=lambda r: r["vec_id"])
+    ]
+    adc_top = PQ.pq_adc_topk(
+        codes, codebook, queries, m=4, dsub=dsub, topk=5
+    ).select("qid", F.col("id").alias("vid"))
+
+    pts = emb.select(
+        "vec_id", quantize_vec(F.col("embedding"), 1000).alias("x")
+    )
+    def _mk_step(q_lit):
+        def step(acc, i):
+            diff = (
+                F.element_at("x", i) - F.element_at(q_lit, i)
+            ).cast("double")
+            return acc + diff * diff
+
+        return step
+
+    exact = None
+    for qid, qx in queries:
+        q_lit = F.lit([int(v) for v in qx])
+        dist = F.aggregate(
+            F.sequence(F.lit(1), F.lit(64)), F.lit(0.0), _mk_step(q_lit)
+        )
+        top = (
+            pts.select(
+                F.lit(qid).cast("long").alias("qid"),
+                F.col("vec_id").alias("vid"),
+                dist.alias("dist"),
+            )
+            .orderBy("dist", "vid")
+            .limit(5)
+        )
+        exact = top if exact is None else exact.unionByName(top)
+    hits = adc_top.join(
+        exact.select("qid", "vid", F.lit(1).alias("_hit")),
+        on=["qid", "vid"],
+        how="left",
+    )
+    return (
+        hits.groupBy("qid")
+        .agg(F.count("_hit").alias("n_hits"))
+        .select(
+            "qid",
+            "n_hits",
+            F.round(F.col("n_hits").cast("double") / 5.0, 6).alias("recall_r"),
+        )
+        .orderBy("qid")
+    )
 
 
 def variant_props_extract(spark, sf_dir):
@@ -7042,6 +7161,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "streaming_intake_eav": (streaming_intake_eav, STREAM_EAV_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "ann_pq_topk_contract": (ann_pq_topk_contract, ANN_PQ_SQL),
+    "ann_pq_recall": (ann_pq_recall, ANN_PQ_RECALL_SQL),
     "variant_props_extract": (variant_props_extract, VARIANT_PROPS_SQL),
     "variant_native_extract": (variant_native_extract, VARIANT_PROPS_SQL),
     "window_frames_running": (window_frames_running, WINDOW_FRAMES_SQL),
@@ -7230,6 +7350,7 @@ _R4_FIRST = [
     "schema_evolution_report",  # NEW: metadata-only ADD COLUMN
     "bpe_tokenize_report",  # NEW: fixed-merge-table BPE application
     "domain_quota_cap",  # NEW: bucket-pruned per-source top-N quota
+    "ann_pq_recall",  # NEW: PQ recall@5 vs exact L2 baseline
     "q2_min_cost_supplier",  # crossJoin+filter -> mod-key equi-join
     "dedup_ngram_jaccard",  # verify tiering (hashed default + exact flag)
     "dedup_embedding_cosine",  # blocked-BLAS vs expression default re-benched
