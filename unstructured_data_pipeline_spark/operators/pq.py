@@ -146,6 +146,10 @@ def pq_adc_topk(
     arrays indexed by the document's stored codes; each query's top-k is a
     TakeOrderedAndProject over the codes relation.  Ties break on the
     lower document id (deterministic)."""
+    if not queries:  # empty corpus / no query vectors — typed empty result
+        return codes.sparkSession.createDataFrame(
+            [], "qid long, id long, dist double"
+        )
     out = None
     max_code = max(codebook) if codebook else -1
     for qid, qx in queries:

@@ -4513,7 +4513,7 @@ def ann_pq_recall(spark, sf_dir):
 
         return step
 
-    exact = None
+    exact = spark.createDataFrame([], "qid long, vid long, dist double")
     for qid, qx in queries:
         q_lit = F.lit([int(v) for v in qx])
         dist = F.aggregate(
@@ -4528,7 +4528,7 @@ def ann_pq_recall(spark, sf_dir):
             .orderBy("dist", "vid")
             .limit(5)
         )
-        exact = top if exact is None else exact.unionByName(top)
+        exact = exact.unionByName(top)
     hits = adc_top.join(
         exact.select("qid", "vid", F.lit(1).alias("_hit")),
         on=["qid", "vid"],
