@@ -155,6 +155,7 @@ def main() -> None:
         "bpe_tokenize_report",           # fixed-merge-table BPE apply
         "domain_quota_cap",              # bucket-pruned per-source top-N
         "ann_pq_recall",                 # PQ recall@5 vs exact L2
+        "ann_pq_subspace_topk",          # classic per-subspace PQ
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

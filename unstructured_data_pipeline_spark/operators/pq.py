@@ -121,6 +121,62 @@ def pq_fit_encode(
     return codes, codebook, dsub
 
 
+def pq_fit_encode_subspace(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    scale: int = 1000,
+):
+    """Classic per-subspace PQ (Jégou et al. 2011 proper): ONE codebook per
+    subspace — m independent Lloyd's runs over the m slice relations, then
+    an id-equi-join of the m assignment frames into the codes table.
+
+    Returns ``(codes, codebooks, dsub)`` where ``codebooks`` is a LIST of
+    per-subspace ``code -> (sum_vector, count)`` dicts (pass straight to
+    :func:`pq_adc_topk`).  vs the shared-codebook variant: m× the codebook
+    memory (still tiny) and m joins at encode time, but each subspace's
+    codebook models its own slice distribution — the standard
+    quantization-error win.  At scale the joins co-locate after one
+    repartition on the id."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    vec = F.col(vec_col).cast("array<double>")
+    codes = None
+    codebooks: list[dict] = []
+    for sub in range(m):
+        sliced = df.select(
+            F.col(id_col).alias("pid"),
+            F.slice(vec, sub * dsub + 1, dsub).alias("sv"),
+        )
+        assigned = kmeans_assignments(
+            sliced, "pid", "sv", k=k, iters=iters, scale=scale
+        ).persist()
+        try:
+            cb_rows = assigned.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("x", i + 1)).alias(f"s{i}")
+                    for i in range(dsub)
+                ],
+            ).collect()  # bounded: k rows
+            codebooks.append(
+                {r["k"]: ([r[f"s{i}"] for i in range(dsub)], r["n"]) for r in cb_rows}
+            )
+            c = assigned.select("id", F.col("k").alias(f"c{sub}")).persist()
+            c.count()  # materialize while `assigned` is cached
+        finally:
+            assigned.unpersist(blocking=False)
+        codes = c if codes is None else codes.join(c, "id")
+    codes = codes.persist()
+    codes.count()
+    return codes, codebooks, dsub
+
+
 def _sq_dist(qx: list[int], s: list[int], n: int) -> float:
     """Sequential-fold squared distance — the exact IEEE op sequence of the
     engine side (`clustering._assign`) and the DuckDB oracle's
@@ -145,19 +201,26 @@ def pq_adc_topk(
     (``len(queries)*m*k`` doubles — tiny) and enters the plan as literal
     arrays indexed by the document's stored codes; each query's top-k is a
     TakeOrderedAndProject over the codes relation.  Ties break on the
-    lower document id (deterministic)."""
+    lower document id (deterministic).  ``codebook`` is either one shared
+    dict (`pq_fit_encode`) or a per-subspace list of dicts
+    (`pq_fit_encode_subspace`)."""
     if not queries:  # empty corpus / no query vectors — typed empty result
         return codes.sparkSession.createDataFrame(
             [], "qid long, id long, dist double"
         )
+    per_sub = codebook if isinstance(codebook, list) else [codebook] * m
+    if any(not cb for cb in per_sub):  # no codebook => codes is empty too
+        return codes.sparkSession.createDataFrame(
+            [], "qid long, id long, dist double"
+        )
     out = None
-    max_code = max(codebook) if codebook else -1
     for qid, qx in queries:
         tables = []
         for sub in range(m):
+            cb = per_sub[sub]
             qslice = qx[sub * dsub : (sub + 1) * dsub]
-            row = [float("inf")] * (max_code + 1)
-            for code, (s, n) in codebook.items():
+            row = [float("inf")] * ((max(cb) if cb else -1) + 1)
+            for code, (s, n) in cb.items():
                 row[code] = _sq_dist(qslice, s, n)
             tables.append(row)
         # dist = ((t0 + t1) + t2) + ... left-assoc, mirroring the oracle's

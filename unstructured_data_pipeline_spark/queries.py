@@ -1491,6 +1491,8 @@ def _kmeans_sql(
     scale: int = 1000,
     source_sql: str | None = None,
     tail_sql: str | None = None,
+    prefix: str = "",
+    with_clause: bool = True,
 ) -> str:
     """Unrolled DuckDB mirror of ``operators/clustering.kmeans_embeddings``:
     same quantization, same sequential-fold distance (list_reduce == the
@@ -1500,51 +1502,57 @@ def _kmeans_sql(
     ``source_sql`` overrides the point source (must yield
     ``(vec_id, embedding)``); ``tail_sql`` replaces the final SELECT and
     may reference ``a{{iters+1}}`` (the final ``(id, x, k)`` assignment)
-    and ``src`` — used by the SemDeDup oracle to consume assignments."""
+    and ``src`` — used by the SemDeDup oracle to consume assignments.
+    ``prefix`` renames every CTE (``{{prefix}}pts`` etc.) and
+    ``with_clause=False`` omits the leading WITH so several independent
+    chains can stack in one statement — used by the per-subspace PQ oracle
+    (one Lloyd's chain per subspace)."""
     dist = (
         f"list_reduce(list_transform(generate_series(1, {d}), "
         "i -> (p.x[i] - c.s[i]/c.n) * (p.x[i] - c.s[i]/c.n)), "
         "(acc, v) -> acc + v)"
     )
     source = source_sql or "SELECT vec_id, embedding FROM embeddings"
+    P = prefix
+    lead = "WITH " if with_clause else ",\n"
     parts = [
-        f"""WITH src AS ({source}),
-pts AS (
+        f"""{lead}{P}src AS ({source}),
+{P}pts AS (
   SELECT vec_id AS id,
          list_transform(embedding,
            v -> CAST(floor(CAST(v AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS x
-  FROM src
+  FROM {P}src
 ),
-c0 AS (
+{P}c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS k,
          x AS s, CAST(1 AS BIGINT) AS n
-  FROM pts ORDER BY id LIMIT {k}
+  FROM {P}pts ORDER BY id LIMIT {k}
 )"""
     ]
     for it in range(1, iters + 2):
-        prev = f"c{it - 1}"
+        prev = f"{P}c{it - 1}"
         parts.append(
             f""",
-a{it} AS (
+{P}a{it} AS (
   SELECT id, x, k FROM (
     SELECT p.id, p.x, c.k,
            row_number() OVER (PARTITION BY p.id ORDER BY {dist} ASC, c.k ASC) AS rn
-    FROM pts p CROSS JOIN {prev} c
+    FROM {P}pts p CROSS JOIN {prev} c
   ) WHERE rn = 1
 )"""
         )
         if it <= iters:
             parts.append(
                 f""",
-s{it} AS (
+{P}s{it} AS (
   SELECT k, g.i AS pos, CAST(SUM(x[g.i]) AS BIGINT) AS sv,
          CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM a{it}, generate_series(1, {d}) AS g(i) GROUP BY k, g.i
+  FROM {P}a{it}, generate_series(1, {d}) AS g(i) GROUP BY k, g.i
 ),
-c{it} AS (
+{P}c{it} AS (
   SELECT {prev}.k, COALESCE(agg.s, {prev}.s) AS s, COALESCE(agg.n, {prev}.n) AS n
   FROM {prev} LEFT JOIN (
-    SELECT k, list(sv ORDER BY pos) AS s, MAX(cnt) AS n FROM s{it} GROUP BY k
+    SELECT k, list(sv ORDER BY pos) AS s, MAX(cnt) AS n FROM {P}s{it} GROUP BY k
   ) agg ON agg.k = {prev}.k
 )"""
             )
@@ -1556,7 +1564,7 @@ SELECT k, CAST(COUNT(*) AS BIGINT) AS n_points,
        CAST(SUM(x[1]) AS BIGINT) AS dim1_sum,
        CAST(SUM(list_reduce(x, (a, b) -> a + b)) AS BIGINT) AS total_q_sum,
        ROUND(CAST(SUM(x[1]) AS BIGINT) / CAST(COUNT(*) AS BIGINT), 6) AS centroid_dim1
-FROM a{iters + 1} GROUP BY k ORDER BY k"""
+FROM {P}a{iters + 1} GROUP BY k ORDER BY k"""
     )
     return "".join(parts)
 
@@ -4472,6 +4480,117 @@ ANN_PQ_RECALL_SQL = _kmeans_sql(
 )
 
 
+def _pq_subspace_sql(m: int = 4, dsub: int = 16, k: int = 16) -> str:
+    """Per-subspace PQ oracle: m independent prefixed Lloyd's chains (one
+    per slice relation), codebook + distance table per subspace, ADC
+    distances joined across the m code columns."""
+    chains = []
+    for s in range(m):
+        src = (
+            f"SELECT vec_id, list_slice(embedding, {s * dsub + 1}, "
+            f"{(s + 1) * dsub}) AS embedding FROM embeddings"
+        )
+        chains.append(
+            _kmeans_sql(
+                k=k, d=dsub, iters=2, scale=1000,
+                source_sql=src, tail_sql="",
+                prefix=f"p{s}_", with_clause=(s == 0),
+            )
+        )
+    cb_parts = []
+    for s in range(m):
+        cb_parts.append(f""",
+p{s}_sf AS (
+  SELECT k, g.i AS pos, CAST(SUM(x[g.i]) AS BIGINT) AS sv,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM p{s}_a3, generate_series(1, {dsub}) AS g(i) GROUP BY k, g.i
+),
+p{s}_cb AS (
+  SELECT k AS code, list(sv ORDER BY pos) AS s, CAST(MAX(cnt) AS BIGINT) AS n
+  FROM p{s}_sf GROUP BY k
+),
+dtab{s} AS (
+  SELECT q.id AS qid, c.code,
+         list_reduce(list_transform(generate_series(1, {dsub}),
+           i -> (q.x[i] - c.s[i]/c.n) * (q.x[i] - c.s[i]/c.n)),
+           (acc, v) -> acc + v) AS dd
+  FROM (SELECT id, x FROM p{s}_pts WHERE id < 4) q CROSS JOIN p{s}_cb c
+)""")
+    code_cols = ", ".join(f"a{s}.k AS c{s}" for s in range(m))
+    code_joins = " ".join(
+        f"JOIN p{s}_a3 a{s} ON a{s}.id = a0.id" for s in range(1, m)
+    )
+    dist_expr = "t0.dd"
+    for s in range(1, m):
+        dist_expr = f"({dist_expr} + t{s}.dd)"
+    dtab_joins = ["JOIN dtab0 t0 ON t0.code = codes.c0"]
+    for s in range(1, m):
+        dtab_joins.append(
+            f"JOIN dtab{s} t{s} ON t{s}.code = codes.c{s} AND t{s}.qid = t0.qid"
+        )
+    tail = f""",
+codes AS (
+  SELECT a0.id AS vid, {code_cols}
+  FROM p0_a3 a0 {code_joins}
+){"".join(cb_parts)},
+dists AS (
+  SELECT codes.vid, t0.qid, {dist_expr} AS dist
+  FROM codes
+  {" ".join(dtab_joins)}
+)
+SELECT qid, CAST(rnk AS INTEGER) AS rnk, vid AS neighbor_id,
+       round(dist, 6) AS dist_r
+FROM (SELECT qid, vid, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, vid) AS rnk
+      FROM dists) t
+WHERE rnk <= 5 ORDER BY qid, rnk
+"""
+    return "".join(chains) + tail
+
+
+ANN_PQ_SUBSPACE_SQL = _pq_subspace_sql()
+
+
+def ann_pq_subspace_topk(spark, sf_dir):
+    """Classic per-subspace PQ (`pq.pq_fit_encode_subspace` — Jégou et al.
+    2011 proper, completing the PQ pair with the shared-codebook contract):
+    m=4 INDEPENDENT Lloyd's runs, one codebook per subspace, codes = the
+    id-join of the four assignment frames, ADC search identical in shape.
+    The oracle unrolls all four chains (CTE-prefixed) plus the cross-
+    subspace code join — the heaviest fully-hash-gated iterative mirror in
+    the registry.  Scale notes as the shared variant; the extra cost is m
+    codebooks (still driver-tiny) and the encode-time id-join (co-located
+    after one repartition)."""
+    from unstructured_data_pipeline_spark.operators import pq as PQ
+    from unstructured_data_pipeline_spark.operators.clustering import quantize_vec
+
+    emb = _heavy(spark, sf_dir, "embeddings")
+    codes, codebooks, dsub = PQ.pq_fit_encode_subspace(
+        emb, "vec_id", "embedding", dim=64, m=4, k=16, iters=2, scale=1000
+    )
+    qrows = (
+        emb.filter(F.col("vec_id") < 4)
+        .select("vec_id", quantize_vec(F.col("embedding"), 1000).alias("qx"))
+        .collect()
+    )  # bounded: 4 query vectors
+    queries = [
+        (r["vec_id"], list(r["qx"]))
+        for r in sorted(qrows, key=lambda r: r["vec_id"])
+    ]
+    out = PQ.pq_adc_topk(codes, codebooks, queries, m=4, dsub=dsub, topk=5)
+    w = Window.partitionBy("qid").orderBy("dist", "id")
+    return (
+        out.withColumn("rnk", F.row_number().over(w))
+        .select(
+            "qid",
+            "rnk",
+            F.col("id").alias("neighbor_id"),
+            F.round("dist", 6).alias("dist_r"),
+        )
+        .orderBy("qid", "rnk")
+    )
+
+
 def ann_pq_recall(spark, sf_dir):
     """PQ quality evidence (the ADC contract's companion, mirroring
     `ann_lsh_recall`): recall@5 of the ADC top-5 against the EXACT
@@ -7162,6 +7281,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "ann_pq_topk_contract": (ann_pq_topk_contract, ANN_PQ_SQL),
     "ann_pq_recall": (ann_pq_recall, ANN_PQ_RECALL_SQL),
+    "ann_pq_subspace_topk": (ann_pq_subspace_topk, ANN_PQ_SUBSPACE_SQL),
     "variant_props_extract": (variant_props_extract, VARIANT_PROPS_SQL),
     "variant_native_extract": (variant_native_extract, VARIANT_PROPS_SQL),
     "window_frames_running": (window_frames_running, WINDOW_FRAMES_SQL),
@@ -7351,6 +7471,7 @@ _R4_FIRST = [
     "bpe_tokenize_report",  # NEW: fixed-merge-table BPE application
     "domain_quota_cap",  # NEW: bucket-pruned per-source top-N quota
     "ann_pq_recall",  # NEW: PQ recall@5 vs exact L2 baseline
+    "ann_pq_subspace_topk",  # NEW: classic per-subspace-codebook PQ
     "q2_min_cost_supplier",  # crossJoin+filter -> mod-key equi-join
     "dedup_ngram_jaccard",  # verify tiering (hashed default + exact flag)
     "dedup_embedding_cosine",  # blocked-BLAS vs expression default re-benched
