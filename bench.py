@@ -156,6 +156,7 @@ def main() -> None:
         "domain_quota_cap",              # bucket-pruned per-source top-N
         "ann_pq_recall",                 # PQ recall@5 vs exact L2
         "ann_pq_subspace_topk",          # classic per-subspace PQ
+        "pq_subspace_recall",            # quality: per-subspace vs shared
     ]
 
     def _emb_neardup_expression(spark, sf_dir):
@@ -183,7 +184,59 @@ def main() -> None:
         )
         return out.select("a", "b", F.round("cos", 6).alias("cos_r"))
 
-    BENCH_ONLY = {"emb_neardup_expression": _emb_neardup_expression}
+    def _pq_subspace_recall(spark, sf_dir):
+        """Bench-only quality row: recall@5 (vs exact L2) of the classic
+        per-subspace codebooks next to the shared codebook — the number
+        that justifies per-subspace's extra encode joins.  Both averages
+        print to stderr; the timing covers the per-subspace fit+search+
+        recall join."""
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from unstructured_data_pipeline_spark.operators import pq as PQ
+        from unstructured_data_pipeline_spark.operators.clustering import (
+            quantize_vec,
+        )
+        from unstructured_data_pipeline_spark.queries import (
+            REGISTRY,
+            _exact_l2_top5,
+            _heavy,
+        )
+
+        emb = _heavy(spark, sf_dir, "embeddings")
+        codes, cbs, dsub = PQ.pq_fit_encode_subspace(
+            emb, "vec_id", "embedding", dim=64, m=4, k=16, iters=2, scale=1000
+        )
+        qrows = (
+            emb.filter(F.col("vec_id") < 4)
+            .select("vec_id", quantize_vec(F.col("embedding"), 1000).alias("qx"))
+            .collect()
+        )
+        queries = sorted((r["vec_id"], list(r["qx"])) for r in qrows)
+        adc = PQ.pq_adc_topk(codes, cbs, queries, m=4, dsub=dsub, topk=5)
+        exact = {
+            (r["qid"], r["vid"])
+            for r in _exact_l2_top5(spark, emb, queries).collect()
+        }
+        sub_hits = adc.select("qid", "id").collect()
+        sub_recall = sum(
+            1 for r in sub_hits if (r["qid"], r["id"]) in exact
+        ) / max(1, len(sub_hits))
+        shared_recall = (
+            REGISTRY["ann_pq_recall"][0](spark, sf_dir)
+            .agg(F.avg("recall_r").alias("r"))
+            .collect()[0]["r"]
+        )
+        print(
+            f"# pq recall@5: per-subspace {sub_recall:.3f} "
+            f"vs shared {shared_recall:.3f}",
+            file=sys.stderr,
+        )
+        return adc
+
+    BENCH_ONLY = {
+        "emb_neardup_expression": _emb_neardup_expression,
+        "pq_subspace_recall": _pq_subspace_recall,
+    }
     extra: dict[str, float] = {}
     for name in EXTRA:
         if name in BENCH_ONLY:

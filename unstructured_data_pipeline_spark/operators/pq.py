@@ -138,9 +138,14 @@ def pq_fit_encode_subspace(
     Returns ``(codes, codebooks, dsub)`` where ``codebooks`` is a LIST of
     per-subspace ``code -> (sum_vector, count)`` dicts (pass straight to
     :func:`pq_adc_topk`).  vs the shared-codebook variant: m× the codebook
-    memory (still tiny) and m joins at encode time, but each subspace's
+    memory (still tiny) and m joins at encode time; each subspace's
     codebook models its own slice distribution — the standard
-    quantization-error win.  At scale the joins co-locate after one
+    quantization-error win on real embedding distributions.  Measured
+    caveat (bench `pq_subspace_recall`): on the SMALL near-isotropic
+    fixture corpus the shared codebook actually wins recall@5 (it trains
+    on m× the slices for the same k) — the per-subspace advantage needs
+    per-subspace structure and enough training data, which is exactly the
+    100 TB regime.  At scale the encode joins co-locate after one
     repartition on the id."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")

@@ -4591,6 +4591,45 @@ def ann_pq_subspace_topk(spark, sf_dir):
     )
 
 
+def _exact_l2_top5(spark, emb, queries):
+    """Exact L2 top-5 per quantized query vector (the same sequential fold
+    as the kmeans/PQ distance contract): union of per-query
+    TakeOrderedAndProject over the quantized corpus.  Shared by the PQ
+    recall query and the bench-side shared-vs-subspace comparison."""
+    from unstructured_data_pipeline_spark.operators.clustering import quantize_vec
+
+    pts = emb.select(
+        "vec_id", quantize_vec(F.col("embedding"), 1000).alias("x")
+    )
+
+    def _mk_step(q_lit):
+        def step(acc, i):
+            diff = (
+                F.element_at("x", i) - F.element_at(q_lit, i)
+            ).cast("double")
+            return acc + diff * diff
+
+        return step
+
+    exact = spark.createDataFrame([], "qid long, vid long, dist double")
+    for qid, qx in queries:
+        q_lit = F.lit([int(v) for v in qx])
+        dist = F.aggregate(
+            F.sequence(F.lit(1), F.lit(64)), F.lit(0.0), _mk_step(q_lit)
+        )
+        top = (
+            pts.select(
+                F.lit(qid).cast("long").alias("qid"),
+                F.col("vec_id").alias("vid"),
+                dist.alias("dist"),
+            )
+            .orderBy("dist", "vid")
+            .limit(5)
+        )
+        exact = exact.unionByName(top)
+    return exact
+
+
 def ann_pq_recall(spark, sf_dir):
     """PQ quality evidence (the ADC contract's companion, mirroring
     `ann_lsh_recall`): recall@5 of the ADC top-5 against the EXACT
@@ -4619,35 +4658,7 @@ def ann_pq_recall(spark, sf_dir):
     adc_top = PQ.pq_adc_topk(
         codes, codebook, queries, m=4, dsub=dsub, topk=5
     ).select("qid", F.col("id").alias("vid"))
-
-    pts = emb.select(
-        "vec_id", quantize_vec(F.col("embedding"), 1000).alias("x")
-    )
-    def _mk_step(q_lit):
-        def step(acc, i):
-            diff = (
-                F.element_at("x", i) - F.element_at(q_lit, i)
-            ).cast("double")
-            return acc + diff * diff
-
-        return step
-
-    exact = spark.createDataFrame([], "qid long, vid long, dist double")
-    for qid, qx in queries:
-        q_lit = F.lit([int(v) for v in qx])
-        dist = F.aggregate(
-            F.sequence(F.lit(1), F.lit(64)), F.lit(0.0), _mk_step(q_lit)
-        )
-        top = (
-            pts.select(
-                F.lit(qid).cast("long").alias("qid"),
-                F.col("vec_id").alias("vid"),
-                dist.alias("dist"),
-            )
-            .orderBy("dist", "vid")
-            .limit(5)
-        )
-        exact = exact.unionByName(top)
+    exact = _exact_l2_top5(spark, emb, queries)
     hits = adc_top.join(
         exact.select("qid", "vid", F.lit(1).alias("_hit")),
         on=["qid", "vid"],
