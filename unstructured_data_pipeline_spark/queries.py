@@ -1907,7 +1907,11 @@ def domain_quota_cap(spark, sf_dir, quota: int = 40):
         .otherwise(F.lit("boundary"))
         .alias("st"),
     )
-    tagged = d.join(F.broadcast(status), on=["source", "b"])
+    # no forced broadcast: status is |sources| x 16 rows — tiny for the
+    # fixture's 20 sources, but a web-scale corpus has millions of domains
+    # and a forced broadcast would ship all of them to every executor.
+    # AQE broadcasts automatically when the build side is actually small.
+    tagged = d.join(status, on=["source", "b"])
     full = tagged.filter(F.col("st") == "full")
     wb = Window.partitionBy("source", "b").orderBy("h", "doc_id")
     boundary = (
