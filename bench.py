@@ -252,7 +252,11 @@ def main() -> None:
         print(f"# extra {name}: {extra[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     # document-pipeline throughput (BASELINE.md: docs/sec, stub AI backends,
-    # full classify->extract->EAV): documents count / wall time of the EAV run
+    # full classify->extract->EAV): documents count / wall time of the EAV run.
+    # Drop the EXTRA queries' persisted state first (several table-layer and
+    # PQ entries legitimately cache intermediates): the throughput number
+    # should measure the pipeline, not the GC pressure of 40 earlier queries.
+    spark.catalog.clearCache()
     n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
     t0 = time.perf_counter()
     REGISTRY["pipeline_extract_eav"][0](spark, sf_dir).count()
