@@ -97,6 +97,13 @@ def snapshot_diff(
     on the key; column compares are row-local — the shape scales to any
     snapshot size and feeds incremental downstream consumers (only
     INSERT/UPDATE/DELETE rows need processing).
+
+    Caveat: join keys are compared with standard (not null-safe) equality —
+    a NULL key never matches, so a NULL-keyed row present in both
+    snapshots reports as DELETE + INSERT rather than NOOP/UPDATE.  Keyed
+    tables have non-null primary keys by contract (every `ParquetTable`
+    merge key in this engine); pre-filter or surrogate-key the input if
+    yours doesn't.
     """
     val_cols = [c for c in new.columns if c not in keys]
     if old.columns != new.columns:
