@@ -157,6 +157,7 @@ def main() -> None:
         "ann_pq_recall",                 # PQ recall@5 vs exact L2
         "ann_pq_subspace_topk",          # classic per-subspace PQ
         "pq_subspace_recall",            # quality: per-subspace vs shared
+        "dedup_containment_pairs",       # asymmetric containment SSJoin
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

@@ -703,3 +703,23 @@ def test_bpe_merge_chain_produces_whole_words(spark):
     for whole in ("the", "scan", "batch", "window", "join", "key"):
         assert got[whole] == [whole], got[whole]
     assert got["zq"] == ["z", "q"]  # no merge rule touches it
+
+
+def test_containment_is_asymmetric(spark):
+    """A truncated copy is contained in its original (C=1.0) but not vice
+    versa; an unrelated doc matches neither."""
+    from unstructured_data_pipeline_spark.operators.dedup import containment_pairs
+
+    long_text = " ".join(f"w{i}" for i in range(30))
+    short_text = " ".join(f"w{i}" for i in range(10))  # prefix of long
+    other = " ".join(f"z{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, other)], "id INT, text STRING"
+    )
+    rows = {
+        (r["a"], r["b"]): r["containment"]
+        for r in containment_pairs(
+            df, "id", "text", n=3, threshold=0.8, min_shingles=5
+        ).collect()
+    }
+    assert rows == {(2, 1): 1.0}  # short ⊂ long only, directed

@@ -424,6 +424,76 @@ def ngram_jaccard_pairs(
     return jaccard_pairs_arr(verify_src, cand).filter(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    min_shingles: int = 5,
+) -> DataFrame:
+    """ASYMMETRIC containment near-dup pairs: directed (a, b) where
+    ``|A ∩ B| / |A| >= threshold`` — the short-doc-inside-long-doc case
+    (quoted articles, boilerplate-wrapped copies, truncated mirrors) that
+    symmetric Jaccard misses entirely: a 10-shingle doc fully contained in
+    a 200-shingle doc has Jaccard ~0.05 but containment 1.0.
+
+    Same prefix-filter scale shape as :func:`ngram_jaccard_pairs`, adapted
+    to the asymmetric predicate: the pigeonhole applies only to the
+    CONTAINED side — if C(a→b) >= t, then among a's
+    ``floor((1-t)*|A|) + 1`` globally-rarest shingles at least one is in
+    B — so only the A side indexes a prefix; the B side keeps full
+    postings.  Candidates = prefix(A) ⋈ postings(B); a length filter
+    (``|B| >= t*|A|``) prunes impossible pairs before the aggregation;
+    verification intersects hashed shingle arrays (same ~2^-64 collision
+    caveat as the Jaccard path).  Docs with fewer than ``min_shingles``
+    shingles are excluded as the contained side (trivially-contained tiny
+    fragments are noise, and the floor also bounds the prefix fraction).
+    """
+    sh = shingle_arrays(df, id_col, text_col, n).persist()
+    post = sh.select(
+        "id",
+        F.size("sh").alias("sz"),
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle"),
+    )
+    ranked = post.withColumn(
+        "freq", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
+    w = Window.partitionBy("id").orderBy("freq", "shingle")
+    prefix_len = (F.floor(F.col("sz") * (1.0 - threshold)) + 1).cast("int")
+    pa = (
+        ranked.withColumn("_r", F.row_number().over(w))
+        .filter((F.col("_r") <= prefix_len) & (F.col("sz") >= min_shingles))
+        .select(F.col("id").alias("a"), F.col("sz").alias("sa"), "shingle")
+    )
+    pb = post.select(F.col("id").alias("b"), F.col("sz").alias("sb"), "shingle")
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("sb") >= F.col("sa") * threshold)
+        .select("a", "b")
+        .distinct()
+    )
+    hashed = sh.select(
+        "id", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")
+    )
+    ha = hashed.select(F.col("id").alias("a"), F.col("sh").alias("sha"))
+    hb = hashed.select(F.col("id").alias("b"), F.col("sh").alias("shb"))
+    return (
+        cand.join(ha, "a")
+        .join(hb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.array_intersect("sha", "shb")).cast("double")
+                / F.size("sha").cast("double")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over the near-dup pair graph: every node gets
     its component's MINIMUM id as cluster id — the "which copy survives"

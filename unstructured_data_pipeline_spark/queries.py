@@ -2726,6 +2726,62 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def dedup_containment_pairs(spark, sf_dir):
+    """Asymmetric containment dedup (`dedup.containment_pairs`): directed
+    pairs where >= 80% of doc A's 3-gram shingles appear in doc B — the
+    truncated-mirror / quoted-article / boilerplate-wrapped case symmetric
+    Jaccard misses (a fully-contained short doc scores Jaccard ~|A|/|B|
+    but containment 1.0).  Planted: every 7th doc gets a 12-word truncated
+    copy whose shingle set is a subset of the original's.  Scale shape:
+    only the CONTAINED side indexes a rarest-shingles prefix (the
+    pigeonhole needs just floor((1-t)|A|)+1 of A's shingles), the other
+    side keeps full postings, and a |B| >= t*|A| length filter prunes
+    impossible pairs before the aggregation.  The oracle is the exhaustive
+    intersect-count form — candidates are only an optimization, so the
+    hash gate proves the prefix path loses nothing."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    trunc = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 12), " ").alias(
+            "text"
+        ),
+    )
+    corpus = d.unionByName(trunc)
+    out = DD.containment_pairs(
+        corpus, "doc_id", "text", n=3, threshold=0.8, min_shingles=5
+    )
+    return out.select(
+        "a", "b", F.round("containment", 6).alias("containment_r")
+    ).orderBy("a", "b")
+
+
+DEDUP_CONTAINMENT_SQL = """
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 5000000, array_to_string(string_split(text, ' ')[1:12], ' ')
+  FROM documents WHERE doc_id % 7 = 0
+),
+toks AS (SELECT id, string_split(text, ' ') AS w FROM corpus),
+sh AS (
+  SELECT DISTINCT id,
+         unnest(list_transform(generate_series(1, len(w) - 2),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM toks
+),
+cnt AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT x.id AS a, y.id AS b, COUNT(*) AS i
+  FROM sh x JOIN sh y ON y.s = x.s AND x.id <> y.id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(CAST(i AS DOUBLE) / na.n, 6) AS containment_r
+FROM inter JOIN cnt na ON na.id = a
+WHERE na.n >= 5 AND CAST(i AS DOUBLE) / na.n >= 0.8
+ORDER BY a, b
+"""
+
+
 def dedup_ngram_jaccard_prefix(spark, sf_dir):
     """EXACT word-3-gram Jaccard near-dup pairs via the PREFIX-FILTERED
     SSJoin (the operator default and the 100 TB shape): shingles ranked by
@@ -7411,6 +7467,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sessionize_summary": (sessionize_summary, SESSIONIZE_SQL),
     "asof_purchase_last_view": (asof_purchase_last_view, ASOF_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_containment_pairs": (dedup_containment_pairs, DEDUP_CONTAINMENT_SQL),
     "dedup_embedding_cosine": (dedup_embedding_cosine, EMB_NEARDUP_SQL),
     "semdedup_report": (semdedup_report, SEMDEDUP_SQL),
     "boilerplate_removal_report": (boilerplate_removal_report, BOILERPLATE_SQL),
@@ -7487,6 +7544,7 @@ _R4_FIRST = [
     "domain_quota_cap",  # NEW: bucket-pruned per-source top-N quota
     "ann_pq_recall",  # NEW: PQ recall@5 vs exact L2 baseline
     "ann_pq_subspace_topk",  # NEW: classic per-subspace-codebook PQ
+    "dedup_containment_pairs",  # NEW: asymmetric containment SSJoin
     "q2_min_cost_supplier",  # crossJoin+filter -> mod-key equi-join
     "dedup_ngram_jaccard",  # verify tiering (hashed default + exact flag)
     "dedup_embedding_cosine",  # blocked-BLAS vs expression default re-benched
