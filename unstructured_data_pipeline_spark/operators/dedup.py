@@ -460,7 +460,14 @@ def containment_pairs(
         "freq", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
     )
     w = Window.partitionBy("id").orderBy("freq", "shingle")
-    prefix_len = (F.floor(F.col("sz") * (1.0 - threshold)) + 1).cast("int")
+    # C >= t forces i >= ceil(t*|A|), i.e. at most |A| - ceil(t*|A|) of A's
+    # shingles miss B — the prefix must be ONE longer than that.  The 1e-9
+    # slack keeps the float product from rounding UP past the exact
+    # rational at boundary-exact containments (e.g. t=0.8, |A|=20: the
+    # naive floor((1-t)|A|)+1 under-sizes the prefix by one and drops
+    # C == 0.8 pairs — caught by the sf0.1 oracle sweep).
+    i_min = F.ceil(F.col("sz") * threshold - 1e-9)
+    prefix_len = (F.col("sz") - i_min + 1).cast("int")
     pa = (
         ranked.withColumn("_r", F.row_number().over(w))
         .filter((F.col("_r") <= prefix_len) & (F.col("sz") >= min_shingles))
@@ -470,7 +477,8 @@ def containment_pairs(
     cand = (
         pa.join(pb, "shingle")
         .filter(F.col("a") != F.col("b"))
-        .filter(F.col("sb") >= F.col("sa") * threshold)
+        # |B| >= i >= ceil(t*|A|); same 1e-9 slack on the float product
+        .filter(F.col("sb") >= F.ceil(F.col("sa") * threshold - 1e-9))
         .select("a", "b")
         .distinct()
     )
