@@ -360,7 +360,15 @@ def ngram_jaccard_pairs(
     ranked = post.withColumn(
         "freq", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
     )
-    prefix_len = (F.floor(F.col("sz") * (1.0 - threshold)) + 1).cast("int")
+    # +1e-9 inside the floor: when (1-t)*|s| is an exact integer the float
+    # product can land just BELOW it (e.g. t=0.8: 1-t = 0.19999...96) and
+    # floor would under-size the prefix by one, dropping boundary-exact
+    # pairs.  The slack only ever rounds UP to the exact rational — a
+    # one-longer prefix is always correct, never wrong.  (t=0.5, the
+    # registry default, is exact in binary and unaffected.)
+    prefix_len = (
+        F.floor(F.col("sz") * (1.0 - threshold) + 1e-9) + 1
+    ).cast("int")
     w = Window.partitionBy("id").orderBy("freq", "shingle")
     prefix = (
         ranked.withColumn("_r", F.row_number().over(w))
@@ -407,7 +415,9 @@ def ngram_jaccard_pairs(
         # (i <= min and J = i/(na+nb-i)), pruning size-mismatched pairs
         # BEFORE the aggregation — the other classic SSJoin filter
         .filter(
-            F.greatest("sa", "sb") * threshold <= F.least("sa", "sb")
+            # 1e-9 slack: keep a float product from rounding just above
+            # the exact rational and pruning a boundary-exact pair
+            F.greatest("sa", "sb") * threshold - 1e-9 <= F.least("sa", "sb")
         )
         .groupBy("a", "b", "sa", "sb")
         .agg(F.min(ub).alias("_ub"))
