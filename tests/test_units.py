@@ -723,3 +723,26 @@ def test_containment_is_asymmetric(spark):
         ).collect()
     }
     assert rows == {(2, 1): 1.0}  # short ⊂ long only, directed
+
+
+def test_containment_boundary_exact(spark):
+    """A pair at containment EXACTLY == threshold must be found — pins the
+    float-boundary prefix-sizing fix (t=0.8: 1-t is not exact in binary,
+    and the naive floor((1-t)|A|)+1 prefix under-sizes by one)."""
+    from unstructured_data_pipeline_spark.operators.dedup import containment_pairs
+
+    # A: words w0..w21 -> 20 distinct shingles; B: words w0..w17 -> 16
+    # shingles, all of them in A  =>  C(A->B) = 16/20 = 0.8 exactly
+    a_text = " ".join(f"w{i}" for i in range(22))
+    b_text = " ".join(f"w{i}" for i in range(18))
+    df = spark.createDataFrame(
+        [(1, a_text), (2, b_text)], "id INT, text STRING"
+    )
+    rows = {
+        (r["a"], r["b"]): round(r["containment"], 6)
+        for r in containment_pairs(
+            df, "id", "text", n=3, threshold=0.8, min_shingles=5
+        ).collect()
+    }
+    assert rows[(1, 2)] == 0.8  # the boundary-exact direction
+    assert rows[(2, 1)] == 1.0  # B fully contained in A
