@@ -151,9 +151,8 @@ def pq_fit_encode_subspace(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
     vec = F.col(vec_col).cast("array<double>")
-    codes = None
-    codebooks: list[dict] = []
-    for sub in range(m):
+
+    def _fit_sub(sub: int):
         sliced = df.select(
             F.col(id_col).alias("pid"),
             F.slice(vec, sub * dsub + 1, dsub).alias("sv"),
@@ -169,13 +168,28 @@ def pq_fit_encode_subspace(
                     for i in range(dsub)
                 ],
             ).collect()  # bounded: k rows
-            codebooks.append(
-                {r["k"]: ([r[f"s{i}"] for i in range(dsub)], r["n"]) for r in cb_rows}
-            )
+            cb = {
+                r["k"]: ([r[f"s{i}"] for i in range(dsub)], r["n"])
+                for r in cb_rows
+            }
             c = assigned.select("id", F.col("k").alias(f"c{sub}")).persist()
             c.count()  # materialize while `assigned` is cached
         finally:
             assigned.unpersist(blocking=False)
+        return cb, c
+
+    # the m fits are independent — submit them from m driver threads so
+    # their (short, mostly-barrier) Spark jobs interleave on the cluster
+    # instead of serializing driver-side (concurrent job submission is the
+    # supported Spark pattern for independent work; results are unaffected
+    # because each fit is deterministic in isolation)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=m) as ex:
+        fitted = list(ex.map(_fit_sub, range(m)))
+    codebooks = [cb for cb, _ in fitted]
+    codes = None
+    for _, c in fitted:
         codes = c if codes is None else codes.join(c, "id")
     codes = codes.persist()
     codes.count()
