@@ -158,6 +158,7 @@ def main() -> None:
         "ann_pq_subspace_topk",          # classic per-subspace PQ
         "pq_subspace_recall",            # quality: per-subspace vs shared
         "dedup_containment_pairs",       # asymmetric containment SSJoin
+        "quality_weighted_sample",       # score-proportional acceptance
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

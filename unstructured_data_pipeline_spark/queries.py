@@ -1958,6 +1958,71 @@ FROM n JOIN k ON n.source = k.source ORDER BY n.source
 """
 
 
+def quality_weighted_sample(spark, sf_dir):
+    """Quality-weighted deterministic sampling (the FineWeb-style
+    score-proportional acceptance gate): each doc is kept with probability
+    equal to its quality weight — here the unique-token ratio, a
+    repetition-penalizing row-local proxy — by comparing the weight
+    against an md5-derived uniform in [0,1).  NO RNG state: the same doc
+    gets the same verdict on any engine, cluster size, partitioning, or
+    re-run (reproducible training sets), and the whole gate evaluates at
+    the scan.  The per-source report shows the importance-sampling
+    property: achieved keep rate tracks the mean weight.  Scale: one
+    map-side-combinable aggregation over scan-local expressions."""
+    d = _heavy(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""
+    )
+    w = (
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    )
+    u = _kmv_val_spark(F.md5(F.col("doc_id").cast("string"))).cast(
+        "double"
+    ) / F.lit(float(_HEX16_12))
+    keep = (u < w).cast("long")
+    # integer micro-weights: a double AVG would be aggregation-order
+    # dependent; the micro-quantized SUM is exact on any partitioning
+    w_micro = F.floor(w * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        d.select("source", w_micro.alias("wm"), keep.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.round(
+                F.sum("wm") / (F.count(F.lit(1)) * F.lit(1e6)), 6
+            ).alias("avg_weight"),
+            F.round(F.sum("kept") / F.count(F.lit(1)), 6).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+QUALITY_WEIGHTED_SQL = f"""
+WITH scored AS (
+  SELECT source,
+         CAST(len(list_distinct(toks)) AS DOUBLE)
+           / CAST(GREATEST(len(toks), 1) AS DOUBLE) AS w,
+         CAST({_kmv_val_sql("md5(CAST(doc_id AS VARCHAR))")} AS DOUBLE)
+           / {float(_HEX16_12)} AS u
+  FROM (
+    SELECT doc_id, source,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                       t -> t <> '') AS toks
+    FROM documents
+  )
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN u < w THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(CAST(SUM(CAST(FLOOR(w * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 1e6), 6) AS avg_weight,
+       round(SUM(CASE WHEN u < w THEN 1 ELSE 0 END) / COUNT(*), 6)
+         AS keep_rate
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
 def bpe_tokenize_report(spark, sf_dir):
     """BPE tokenization with a FIXED merge table — the production tokenizer
     shape (merges are trained once offline; application is the part that
@@ -7484,6 +7549,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "schema_evolution_report": (schema_evolution_report, SCHEMA_EVOLUTION_SQL),
     "bpe_tokenize_report": (bpe_tokenize_report, BPE_TOKENIZE_SQL),
     "domain_quota_cap": (domain_quota_cap, DOMAIN_QUOTA_SQL),
+    "quality_weighted_sample": (quality_weighted_sample, QUALITY_WEIGHTED_SQL),
     "doc_fingerprint_rolling": (doc_fingerprint_rolling, FINGERPRINT_SQL),
     "fuzzy_name_dedup": (fuzzy_name_dedup, FUZZY_NAME_SQL),
     "dml_upsert_customers": (dml_upsert_customers, DML_UPSERT_SQL),
@@ -7545,6 +7611,7 @@ _R4_FIRST = [
     "ann_pq_recall",  # NEW: PQ recall@5 vs exact L2 baseline
     "ann_pq_subspace_topk",  # NEW: classic per-subspace-codebook PQ
     "dedup_containment_pairs",  # NEW: asymmetric containment SSJoin
+    "quality_weighted_sample",  # NEW: score-proportional acceptance gate
     "q2_min_cost_supplier",  # crossJoin+filter -> mod-key equi-join
     "dedup_ngram_jaccard",  # verify tiering (hashed default + exact flag)
     "dedup_embedding_cosine",  # blocked-BLAS vs expression default re-benched
