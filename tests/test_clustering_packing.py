@@ -206,3 +206,65 @@ def test_pq_encode_structure_and_determinism(spark, sf_dir):
     assert set(by_q) == {0, 1}
     for dists in by_q.values():
         assert len(dists) == 3 and dists == sorted(dists)
+
+
+def test_pq_adc_single_scan(spark, sf_dir):
+    """VERDICT r4 #2 invariant: ADC top-k scans the codes relation exactly
+    ONCE however many queries there are (the old shape planned one
+    orderBy().limit() scan per query), and the one-scan plan returns the
+    same rows as per-query brute force over the codes."""
+    from pyspark.sql import functions as F
+
+    from unstructured_data_pipeline_spark.operators.clustering import quantize_vec
+    from unstructured_data_pipeline_spark.operators.pq import (
+        pq_adc_topk,
+        pq_fit_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes, cb, dsub = pq_fit_encode(
+        emb, "vec_id", "embedding", dim=64, m=4, k=16, iters=1, scale=1000
+    )
+    qrows = (
+        emb.filter(F.col("vec_id") < 6)
+        .select("vec_id", quantize_vec(F.col("embedding"), 1000).alias("qx"))
+        .collect()
+    )
+    queries = [(r["vec_id"], list(r["qx"])) for r in qrows]
+    out = pq_adc_topk(codes, cb, queries, m=4, dsub=dsub, topk=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the old shape was |Q| orderBy().limit() branches glued by Union —
+    # one scan of codes per query.  The single-scan shape has NO Union,
+    # exactly ONE (broadcast, |Q|-bounded) join fanning the distance
+    # tables across the one codes scan, and the rank-limit pushdown
+    # (partial per-partition heaps before the exchange) engaged.
+    assert "Union" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+    # exactly one scan of the cached codes relation feeds the join (later
+    # InMemoryTableScan strings belong to the cached lineage dump below
+    # the first InMemoryRelation marker)
+    assert plan[: plan.index("InMemoryRelation")].count("InMemoryTableScan") == 1, plan
+    # same results as the naive per-query sort over the scored relation
+    got = {
+        (r["qid"], r["id"], round(r["dist"], 9)) for r in out.collect()
+    }
+    want = set()
+    per_q = {}
+    code_rows = codes.collect()
+    for qid, qx in queries:
+        scored = []
+        for row in code_rows:
+            d = 0.0
+            for sub in range(4):
+                s, n = cb[row[f"c{sub}"]]
+                qs = qx[sub * dsub : (sub + 1) * dsub]
+                acc = 0.0
+                for i in range(dsub):
+                    diff = qs[i] - s[i] / n
+                    acc += diff * diff
+                d = d + acc if sub else acc
+            scored.append((d, row["id"]))
+        for d, vid in sorted(scored)[:4]:
+            want.add((qid, vid, round(d, 9)))
+    assert got == want

@@ -303,24 +303,52 @@ def test_add_column_is_metadata_only(spark, tmp_path):
     t.ensure()
     t.append(spark.range(5).select(F.col("id").alias("k")))
 
-    def file_state(d):
-        out = {}
+    def inode_state(d):
+        """(inode, mtime, size) per data file — hardlink-invariant identity,
+        so the epoch republish counts as metadata-only iff this is stable."""
+        out = set()
         for root, _, files in os.walk(d):
             for f in files:
-                p = os.path.join(root, f)
-                out[p] = os.stat(p).st_mtime_ns
+                if f.startswith(("_", ".")):
+                    continue
+                st = os.stat(os.path.join(root, f))
+                out.add((st.st_ino, st.st_mtime_ns, st.st_size))
         return out
 
-    before = file_state(t.data_dir())
+    before = inode_state(t.data_dir())
     t.add_column("tag", T.StringType(), default="legacy")
-    assert file_state(t.data_dir()) == before  # no rewrite, no new files
+    # no parquet byte was rewritten: every pre-ALTER file survives as the
+    # SAME inode (hardlinked into the pre-alter epoch dir of the new
+    # version), and all of them sit under the epoch marker
+    assert inode_state(t.data_dir()) == before
+    carried = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(t.data_dir())
+        for f in files
+        if not f.startswith(("_", "."))
+    ]
+    assert carried and all("/pre-alter-tag/" in p for p in carried)
     t.append(
         spark.range(5, 8)
         .select(F.col("id").alias("k"), F.lit("fresh").alias("tag"))
     )
+    # a post-ALTER row that stores NULL explicitly must stay NULL — the
+    # default backfills only the pre-ALTER epoch (ADVICE r4)
+    t.append(
+        spark.range(8, 9).select(
+            F.col("id").alias("k"), F.lit(None).cast("string").alias("tag")
+        )
+    )
     rows = {r["k"]: r["tag"] for r in t.read().collect()}
     assert all(rows[k] == "legacy" for k in range(5))
     assert all(rows[k] == "fresh" for k in range(5, 8))
+    assert rows[8] is None
+    # the evolution is durable: a second instance opened with the ORIGINAL
+    # schema sees the persisted column + default (schema.json wins)
+    t2 = ParquetTable(spark, str(tmp_path), "evolve", schema)
+    assert "tag" in t2.schema.fieldNames()
+    rows2 = {r["k"]: r["tag"] for r in t2.read().collect()}
+    assert rows2 == rows
     import pytest as _pytest
 
     with _pytest.raises(ValueError):

@@ -217,6 +217,13 @@ def test_no_unbounded_join_plans(spark, sf_dir):
         "q11_important_parts",      # broadcast scalar total-revenue threshold
         "q20_promo_part_suppliers", # broadcast scalar avg-quantity threshold
         "q22_global_sales_opportunity",  # broadcast scalar avg-balance
+        # single-scan ADC (r5): every codes row joins the broadcast |Q|-row
+        # distance-table relation — the deliberate fan-out that replaced
+        # one orderBy().limit() scan of codes PER query (VERDICT r4 #2);
+        # test_pq_adc_single_scan pins the one-scan property itself
+        "ann_pq_topk_contract",
+        "ann_pq_subspace_topk",
+        "ann_pq_recall",
     }
     offenders = {}
     for name, (fn, _) in REGISTRY.items():

@@ -55,12 +55,9 @@ def _bit_mask(pos: Column) -> Column:
     the sign bit — same two's-complement pattern, expressed negative),
     because shiftleft()'s bit count must be a literal, not a Column.
     Built lazily: F.lit needs an active session."""
-    pow2 = F.array(
-        *[
-            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
-            for i in range(64)
-        ]
-    )
+    pow2 = F.lit(
+        [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    ).cast("array<long>")
     return F.element_at(pow2, (pos % 64).cast("int") + 1)
 
 
@@ -109,8 +106,12 @@ def might_contain(
 ) -> Column:
     """Membership-test Column: True for every inserted key, True with
     probability ~fpr for others.  Pure arithmetic over an inlined literal
-    array — no join, no shuffle, codegen-friendly."""
-    arr = F.array(*[F.lit(w).cast("long") for w in filt])
+    array — no join, no shuffle, codegen-friendly.  The filter enters the
+    plan as ONE ArrayType Literal (a constant reference in codegen), not a
+    CreateArray of m/64 element expressions — so the k probe tests carry k
+    constant references, not k * m/64 expression nodes (plan size stays
+    O(k) however big the filter is)."""
+    arr = F.lit([int(w) for w in filt]).cast("array<long>")
     tests = []
     for p in _positions(col, m_bits, k):
         word = F.element_at(arr, F.shiftright(p, 6).cast("int") + 1)
@@ -134,11 +135,18 @@ def bloom_semi_join(
     the plain semi join's."""
     small_key = small_key or big_key
     # the distinct key set feeds three consumers (sizing count, filter
-    # build, exact backstop join) — persist so it shuffles once
-    keys = small.select(F.col(small_key).alias("_k")).distinct().persist()
-    n = keys.count()
-    m_bits, k = optimal_params(n, fpr)
-    filt = build_bloom(keys, "_k", m_bits, k)
+    # build, exact backstop join); cache it for the two eager driver-side
+    # ones and release it before returning — the lazy backstop join then
+    # recomputes the (small) distinct once instead of pinning executor
+    # cache for the caller's lifetime (ADVICE r4: no caller-managed leaks)
+    keys = small.select(F.col(small_key).alias("_k")).distinct()
+    keys.persist()
+    try:
+        n = keys.count()
+        m_bits, k = optimal_params(n, fpr)
+        filt = build_bloom(keys, "_k", m_bits, k)
+    finally:
+        keys.unpersist(blocking=False)
     pruned = big.where(might_contain(filt, F.col(big_key), m_bits, k))
     return pruned.join(
         keys.withColumnRenamed("_k", big_key), on=big_key, how="left_semi"

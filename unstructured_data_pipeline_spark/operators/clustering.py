@@ -19,7 +19,14 @@ carry a DuckDB oracle (see ``queries.kmeans_embeddings_clusters``):
   accumulator is exact because every term is ``>= +0.0``).
 * Ties in the argmin break on the lower cluster index (struct ordering).
 
-Scale notes (100 TB): per iteration the only distributed work is one
+Scale notes (100 TB): with ``train_cap`` set (the recommended shape), the
+corpus is scanned exactly TWICE regardless of ``iters`` — once by the
+TakeOrdered md5-sample extraction (per-partition heaps, ``cap`` rows of
+state) and once by the final full-corpus assignment; every Lloyd iteration
+runs on the cached ≤``cap``-row sample.  A codebook/centroid set is a
+statistic a bounded sample estimates as well as the full corpus, so this
+is strictly better than the legacy ``train_cap=None`` path (``iters``
+full scans).  Per iteration the only distributed work is one
 map-side-combinable groupBy on ``k`` producing ``k`` rows of ``d+1``
 aggregates — no shuffle of point data, no cross join, nothing quadratic.
 The driver holds ``k*(d+1)`` integers.  Empty clusters carry the previous
@@ -78,26 +85,47 @@ def kmeans_assignments(
     k: int = 8,
     iters: int = 2,
     scale: int = 1000,
+    train_cap: int | None = None,
 ) -> DataFrame:
     """Run ``iters`` Lloyd updates seeded from the ``k`` lowest-id points
     and return the final assignment ``(id, x, k)`` — the building block
     :func:`kmeans_embeddings` aggregates into stats and SemDeDup blocks
     near-dup search on.  Same exactness contract as the module docstring
-    (quantized integers, sequential-fold distances, low-index tie-break)."""
+    (quantized integers, sequential-fold distances, low-index tie-break).
+
+    ``train_cap`` bounds the TRAINING set: the Lloyd iterations (and the
+    seeds) run on the ``train_cap`` points with the lowest
+    ``md5(CAST(id AS STRING))`` — a deterministic, engine-mirrorable
+    sample (DuckDB: ``ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT cap``).
+    The FINAL assignment always covers the full corpus.  A codebook is a
+    statistic a bounded sample estimates as well as the corpus does, so at
+    100 TB this turns ``iters`` full-corpus scans into ONE TakeOrdered
+    pass (per-partition heaps, ``cap`` rows of driver/executor state) plus
+    in-sample iterations, leaving a single full scan for the final encode.
+    ``None`` keeps the legacy full-corpus fit (exact same results when
+    ``train_cap >= |corpus|``, since the sample is then the whole set and
+    seeds re-sort by id)."""
     spark = df.sparkSession
     pts = df.select(
         F.col(id_col).alias("id"), quantize_vec(F.col(vec_col), scale).alias("x")
     )
-    seeds = pts.orderBy("id").limit(k).collect()
-    if len(seeds) < k:  # degenerate input (fewer points than clusters)
-        return spark.createDataFrame([], "id long, x array<bigint>, k int")
-    d = len(seeds[0]["x"])
-    centroids: list[tuple[list[int], int]] = [(list(r["x"]), 1) for r in seeds]
-
-    pts = pts.persist()
+    if train_cap is not None:
+        train = pts.orderBy(
+            F.md5(F.col("id").cast("string")), "id"
+        ).limit(train_cap)
+    else:
+        train = pts
+    train = train.persist()
     try:
+        seeds = train.orderBy("id").limit(k).collect()
+        if len(seeds) < k:  # degenerate input (fewer points than clusters)
+            return spark.createDataFrame([], "id long, x array<bigint>, k int")
+        d = len(seeds[0]["x"])
+        centroids: list[tuple[list[int], int]] = [
+            (list(r["x"]), 1) for r in seeds
+        ]
         for _ in range(iters):
-            assigned = _assign(pts, centroids, d)
+            assigned = _assign(train, centroids, d)
             rows = assigned.groupBy("k").agg(
                 F.count(F.lit(1)).alias("n"),
                 *[
@@ -110,7 +138,7 @@ def kmeans_assignments(
             }
             centroids = [updated.get(j, centroids[j]) for j in range(k)]
     finally:
-        pts.unpersist(blocking=False)
+        train.unpersist(blocking=False)
 
     return _assign(pts, centroids, d)
 
@@ -122,12 +150,15 @@ def kmeans_embeddings(
     k: int = 8,
     iters: int = 2,
     scale: int = 1000,
+    train_cap: int | None = None,
 ) -> DataFrame:
     """Run ``iters`` Lloyd updates seeded from the ``k`` lowest-id points,
     then return per-cluster stats of the final assignment:
     ``(k, n_points, dim1_sum, total_q_sum, centroid_dim1)`` — all exact
-    integers except the final rounded centroid coordinate."""
-    final = kmeans_assignments(df, id_col, vec_col, k, iters, scale)
+    integers except the final rounded centroid coordinate.  ``train_cap``
+    = deterministic md5-sample training bound (see
+    :func:`kmeans_assignments`)."""
+    final = kmeans_assignments(df, id_col, vec_col, k, iters, scale, train_cap)
     return (
         final.groupBy("k")
         .agg(

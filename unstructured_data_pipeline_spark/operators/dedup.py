@@ -459,6 +459,14 @@ def containment_pairs(
     caveat as the Jaccard path).  Docs with fewer than ``min_shingles``
     shingles are excluded as the contained side (trivially-contained tiny
     fragments are noise, and the floor also bounds the prefix fraction).
+
+    CACHE CONTRACT (caller-managed): the shingle relation is persisted
+    because the returned lazy plan reads it FOUR times (prefix, postings,
+    and both verify sides) — unpersisting here would quadruple the
+    shingling work at action time.  Callers running many jobs in one
+    session should ``spark.catalog.clearCache()`` (or unpersist) once the
+    result is materialized; Spark's LRU eviction bounds the cost if they
+    don't.
     """
     sh = shingle_arrays(df, id_col, text_col, n).persist()
     post = sh.select(

@@ -179,7 +179,13 @@ class ParquetTable:
         self.spark = spark
         self.name = name
         self.schema = schema
+        self._defaults: dict = {}
         self.path = os.path.join(root, name)
+        # ALTER-ed schema/defaults persist in schema.json next to CURRENT;
+        # a second instance opened on the same directory must see them
+        # (ADVICE r4: in-memory-only evolution silently lost the column).
+        # The persisted evolution wins over the constructor schema.
+        self._load_meta()
         # snapshot retention (Snowflake-style time travel, the reference
         # platform's DATA_RETENTION knob): keep the newest `retain`
         # published snapshots; older ones and crashed-orphan dirs are GC'd
@@ -188,6 +194,38 @@ class ParquetTable:
         if retain < 1:
             raise ValueError("retain must be >= 1")
         self.retain = retain
+
+    # -- persisted schema evolution -----------------------------------------
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "schema.json")
+
+    def _load_meta(self) -> None:
+        import json
+
+        try:
+            with open(self._meta_path()) as f:
+                meta = json.load(f)
+        except FileNotFoundError:
+            return
+        self.schema = T.StructType.fromJson(meta["schema"])
+        self._defaults = dict(meta.get("defaults", {}))
+
+    def _save_meta(self) -> None:
+        """Publish schema/defaults atomically (same temp+replace protocol
+        as the version pointer).  Defaults must be JSON scalars — exactly
+        what an ALTER ... DEFAULT literal is."""
+        import json
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"schema": self.schema.jsonValue(), "defaults": self._defaults},
+                f,
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._meta_path())
 
     # -- version pointer ----------------------------------------------------
     def _pointer(self) -> str:
@@ -251,10 +289,28 @@ class ParquetTable:
 
     def read(self) -> DataFrame:
         self.ensure()
-        df = self.spark.read.schema(self.schema).parquet(self.data_dir())
-        for name, default in getattr(self, "_defaults", {}).items():
-            df = df.withColumn(name, F.coalesce(F.col(name), F.lit(default)))
-        return df
+        df = (
+            self.spark.read.schema(self.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(self.data_dir())
+        )
+        if self._defaults:
+            # Backfill ONLY rows from pre-ALTER files — they live under the
+            # `pre-alter-<col>/` epoch dirs the ALTER hardlinked them into,
+            # identified by the file path metadata column.  Rows appended
+            # AFTER the ALTER keep an explicitly-stored NULL as NULL
+            # (Snowflake ALTER semantics; the round-4 blanket coalesce
+            # conflated the two — ADVICE r4).
+            path = F.col("_metadata.file_path")
+            for name, default in self._defaults.items():
+                pre = path.contains(f"/pre-alter-{name}/")
+                df = df.withColumn(
+                    name,
+                    F.when(
+                        pre, F.coalesce(F.col(name), F.lit(default))
+                    ).otherwise(F.col(name)),
+                )
+        return df.select(*[f.name for f in self.schema.fields])
 
     def add_column(self, name: str, data_type, default=None) -> None:
         """ALTER TABLE ADD COLUMN — METADATA-ONLY schema evolution
@@ -263,12 +319,29 @@ class ParquetTable:
         CREATE IF NOT EXISTS omits, and queries degrade gracefully;
         `database/setup_database.sql:49-50` vs `app.py:45-78`).
 
-        No data file is touched or rewritten: parquet files written before
-        the ALTER simply lack the column, and the explicit read schema
-        surfaces it as NULL, backfilled to ``default`` at read time.  At
-        100 TB this is the only viable ALTER — a rewrite of every file for
-        a new column is a full-table write.  Appends after the ALTER must
-        include the column (`_conform` projects onto the current schema).
+        No data BYTES are touched or rewritten: parquet files written
+        before the ALTER simply lack the column, and the explicit read
+        schema surfaces it as NULL, backfilled to ``default`` at read
+        time.  At 100 TB this is the only viable ALTER — a rewrite of
+        every file for a new column is a full-table write.  Appends after
+        the ALTER must include the column (`_conform` projects onto the
+        current schema).
+
+        Two pieces of metadata ARE written so the evolution is durable and
+        exact (ADVICE r4):
+
+        - schema.json records the evolved schema + defaults, so any other
+          instance opened on this directory sees the column;
+        - when a ``default`` is given, the current files are HARDLINKED
+          (zero copy) into a ``pre-alter-<col>/`` epoch dir inside a new
+          published version.  Reads backfill the default only under that
+          marker, so a post-ALTER row that stores NULL explicitly reads
+          back as NULL, not as the default.  Stacked ALTERs nest the
+          markers, giving each column its own exact epoch boundary.
+
+        Retained pre-ALTER snapshots read via :meth:`read_version` show
+        the column as NULL (the snapshot predates it) — documented,
+        matching time-travel-before-DDL expectations.
         """
         if name in self.schema.fieldNames():
             raise ValueError(f"column {name!r} already exists on {self.name}")
@@ -276,9 +349,28 @@ class ParquetTable:
             [*self.schema.fields, T.StructField(name, data_type, True)]
         )
         if default is not None:
-            if not hasattr(self, "_defaults"):
-                self._defaults = {}
             self._defaults[name] = default
+            self._link_alter_epoch(name)
+        self._save_meta()
+
+    def _link_alter_epoch(self, col: str) -> None:
+        """Hardlink every current data file into ``pre-alter-<col>/`` of a
+        new version and publish it — metadata-only (no parquet bytes move),
+        preserving inner epoch markers from earlier ALTERs."""
+        if self.current_version() is None:
+            return  # nothing published yet: no pre-ALTER rows exist
+        old_dir = self.data_dir()
+        v = self._next_version()
+        epoch_root = os.path.join(self.path, v, f"pre-alter-{col}")
+        for base, _dirs, files in os.walk(old_dir):
+            rel = os.path.relpath(base, old_dir)
+            dst = (
+                epoch_root if rel == "." else os.path.join(epoch_root, rel)
+            )
+            os.makedirs(dst, exist_ok=True)
+            for fn in files:
+                os.link(os.path.join(base, fn), os.path.join(dst, fn))
+        self._publish(v)
 
     # -- time travel (retained snapshots) -----------------------------------
     def versions(self) -> list[str]:
@@ -497,6 +589,20 @@ class PartitionedParquetTable(ParquetTable):
         self._conform(df).write.partitionBy(*self.partition_by).mode(
             "append"
         ).parquet(self.data_dir())
+
+    def add_column(self, name: str, data_type, default=None) -> None:
+        """Metadata-only ADD COLUMN for the partitioned layout (persisted
+        via schema.json like the base class).  Read-time DEFAULT backfill
+        is a flat-layout feature — its epoch-marker dirs would break hive
+        partition discovery — so a default is rejected here rather than
+        silently ignored; pre-ALTER rows read as NULL."""
+        if default is not None:
+            raise ValueError(
+                "PartitionedParquetTable.add_column does not support a "
+                "read-time default (epoch markers conflict with hive "
+                "partition dirs); add the column with default=None"
+            )
+        super().add_column(name, data_type, None)
 
     def _touched_values(self, src: DataFrame) -> list[tuple]:
         rows = src.select(*self.partition_by).distinct().collect()

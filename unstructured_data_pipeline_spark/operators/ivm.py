@@ -52,7 +52,22 @@ def maintain_grouped_agg(
     the after-image ``group_col``/``measure_col`` and before-images
     ``before_<group_col>``/``before_<measure_col>``.  NOOP rows are
     ignored.  Returns the maintained view with the same three columns.
+
+    CONTRACT: the measure column must be an INTEGRAL type (validated
+    below).  Retraction-based maintenance is only exact when addition is —
+    a float measure could not be retracted bit-exactly (FP addition is
+    non-associative, so ``x + (-x)`` inside a re-aggregated group need not
+    restore the recompute value), and silently casting would truncate.
+    Scale measures to integers first (the `_cents` fixed-point trick).
     """
+    mtype = changes.schema[measure_col].dataType.simpleString()
+    if mtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"maintain_grouped_agg requires an integral measure column; "
+            f"{measure_col!r} is {mtype}. Quantize floats/decimals to an "
+            "integer fixed-point column first (exact retraction needs "
+            "exact addition)."
+        )
     bg, bm = f"before_{group_col}", f"before_{measure_col}"
     ch = changes.filter(F.col("action") != "NOOP")
     retract = ch.filter(F.col("action").isin("DELETE", "UPDATE")).select(

@@ -19,13 +19,18 @@ oracle).  Exactness contract is inherited from `operators/clustering.py`:
 integer-quantized inputs, exact integer centroid state, sequential-fold
 double distances, low-index tie-breaks.
 
-Scale shape (100 TB): training = `clustering.kmeans_assignments` (one
-map-side-combinable aggregation per iteration over row-local slices);
-encode = row-local argmin against literal centroids; the codebook is
-``k*(d/m+1)`` integers on the driver (a bounded collect, like IVF's
-centroids); ADC scoring is row-local literal-array lookups feeding
-TakeOrderedAndProject — per-partition heaps, k-row driver merge, no global
-sort, no crossJoin.
+Scale shape (100 TB): training = `clustering.kmeans_assignments` over a
+deterministic md5-prefix sample (``train_cap`` slices — a 16-entry
+codebook is a statistic a bounded sample estimates as well as the corpus,
+so the corpus is scanned twice total: sample extraction + final encode,
+never ``iters`` times); encode = row-local argmin against literal
+centroids; the codebook is ``k*(d/m+1)`` integers on the driver (a
+bounded collect, like IVF's centroids); ADC scoring is ONE scan of the
+codes relation however many queries there are — the per-(query, subspace,
+code) distance tables ride along as one broadcast relation, each code row
+explodes per query, and per-qid top-k is one rank window that Spark's
+WindowGroupLimit pushdown splits into partial per-partition heaps before
+the exchange, so only ``|Q| * partitions * k`` rows shuffle.
 """
 
 from __future__ import annotations
@@ -49,6 +54,7 @@ def pq_fit_encode(
     k: int = 16,
     iters: int = 2,
     scale: int = 1000,
+    train_cap: int | None = "auto",
 ):
     """Train the shared codebook and encode every vector.
 
@@ -57,9 +63,18 @@ def pq_fit_encode(
     dict ``code -> (sum_vector, count)`` of EXACT integers (centroid ==
     elementwise ``sum/count``, the same half-step-after-assignment state
     the oracle derives), and ``dsub = dim // m``.
+
+    ``train_cap`` bounds the Lloyd's TRAINING set to the ``cap`` slice
+    rows with the lowest ``md5(CAST(pid AS STRING))`` (deterministic,
+    mirrored by the oracle's ``ORDER BY md5(...) LIMIT cap``); the encode
+    still covers every vector.  Default ``"auto"`` = ``100 * k`` — the
+    bounded-sample codebook fit that keeps a 100 TB corpus at two scans
+    total instead of ``iters`` full passes.  ``None`` = legacy full fit.
     """
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    if train_cap == "auto":
+        train_cap = 100 * k
     dsub = dim // m
     # composite-keyed slice relation: pid = id*m + sub — all subspaces feed
     # ONE Lloyd's run (shared codebook).  Row-local explode, not a union of
@@ -83,7 +98,8 @@ def pq_fit_encode(
         F.col("e.sv").alias("sv"),
     )
     assigned = kmeans_assignments(
-        sliced, "pid", "sv", k=k, iters=iters, scale=scale
+        sliced, "pid", "sv", k=k, iters=iters, scale=scale,
+        train_cap=train_cap,
     ).persist()
     try:
         # final-cluster integer state: the codebook ADC scores against
@@ -130,6 +146,7 @@ def pq_fit_encode_subspace(
     k: int = 16,
     iters: int = 2,
     scale: int = 1000,
+    train_cap: int | None = "auto",
 ):
     """Classic per-subspace PQ (Jégou et al. 2011 proper): ONE codebook per
     subspace — m independent Lloyd's runs over the m slice relations, then
@@ -146,9 +163,12 @@ def pq_fit_encode_subspace(
     on m× the slices for the same k) — the per-subspace advantage needs
     per-subspace structure and enough training data, which is exactly the
     100 TB regime.  At scale the encode joins co-locate after one
-    repartition on the id."""
+    repartition on the id.  ``train_cap`` as in :func:`pq_fit_encode`
+    (``"auto"`` = ``100 * k`` md5-sampled training rows per subspace)."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    if train_cap == "auto":
+        train_cap = 100 * k
     dsub = dim // m
     vec = F.col(vec_col).cast("array<double>")
 
@@ -158,7 +178,8 @@ def pq_fit_encode_subspace(
             F.slice(vec, sub * dsub + 1, dsub).alias("sv"),
         )
         assigned = kmeans_assignments(
-            sliced, "pid", "sv", k=k, iters=iters, scale=scale
+            sliced, "pid", "sv", k=k, iters=iters, scale=scale,
+            train_cap=train_cap,
         ).persist()
         try:
             cb_rows = assigned.groupBy("k").agg(
@@ -191,8 +212,13 @@ def pq_fit_encode_subspace(
     codes = None
     for _, c in fitted:
         codes = c if codes is None else codes.join(c, "id")
+    # `codes` stays cached for the caller (it is the PQ index — callers
+    # search it repeatedly); the m per-subspace frames are only inputs to
+    # the id-join above, so release them once `codes` is materialized
     codes = codes.persist()
     codes.count()
+    for _, c in fitted:
+        c.unpersist(blocking=False)
     return codes, codebooks, dsub
 
 
@@ -215,13 +241,23 @@ def pq_adc_topk(
     dsub: int,
     topk: int = 5,
 ) -> DataFrame:
-    """ADC top-k: ``queries`` are (qid, quantized-int full vector).  The
-    per-(query, subspace, code) distance table is computed driver-side
-    (``len(queries)*m*k`` doubles — tiny) and enters the plan as literal
-    arrays indexed by the document's stored codes; each query's top-k is a
-    TakeOrderedAndProject over the codes relation.  Ties break on the
-    lower document id (deterministic).  ``codebook`` is either one shared
-    dict (`pq_fit_encode`) or a per-subspace list of dicts
+    """ADC top-k over ONE scan of ``codes``, however many queries there
+    are.  ``queries`` are (qid, quantized-int full vector).  The
+    per-(query, subspace, code) distance tables are computed driver-side
+    (``len(queries)*m*k`` doubles — tiny) and ship as ONE broadcast
+    relation ``(qid, tabs)``; every code row joins it (broadcast nested
+    loop, bounded by |Q|), scores as ``m`` array lookups + ``m-1`` adds,
+    and per-qid top-k is one ``row_number() <= topk`` window: Spark's
+    rank-limit pushdown (WindowGroupLimit, SPARK-37099) plans it as a
+    PARTIAL per-input-partition top-k BEFORE the exchange plus a FINAL
+    one after, so only ``|Q| * partitions * topk`` candidate rows shuffle
+    — the distributed-heap shape, never a global sort of the scored
+    relation.  (The previous implementation planned one
+    ``orderBy().limit()`` scan of ``codes`` PER query — linear scan count
+    in |Q|; this form is one scan total with identical results.)  Ties
+    break on the lower document id, so the result is independent of the
+    input partitioning.  ``codebook`` is either one shared dict
+    (`pq_fit_encode`) or a per-subspace list of dicts
     (`pq_fit_encode_subspace`)."""
     if not queries:  # empty corpus / no query vectors — typed empty result
         return codes.sparkSession.createDataFrame(
@@ -232,7 +268,7 @@ def pq_adc_topk(
         return codes.sparkSession.createDataFrame(
             [], "qid long, id long, dist double"
         )
-    out = None
+    qrows = []
     for qid, qx in queries:
         tables = []
         for sub in range(m):
@@ -242,20 +278,26 @@ def pq_adc_topk(
             for code, (s, n) in cb.items():
                 row[code] = _sq_dist(qslice, s, n)
             tables.append(row)
-        # dist = ((t0 + t1) + t2) + ... left-assoc, mirroring the oracle's
-        # scalar + chain
-        dist = None
-        for sub in range(m):
-            term = F.element_at(F.lit(tables[sub]), F.col(f"c{sub}") + 1)
-            dist = term if dist is None else dist + term
-        ranked = (
-            codes.select(
-                F.lit(qid).cast("long").alias("qid"),
-                F.col("id"),
-                dist.alias("dist"),
-            )
-            .orderBy("dist", "id")
-            .limit(topk)
+        qrows.append((int(qid), tables))
+    qdf = codes.sparkSession.createDataFrame(
+        qrows, "qid long, tabs array<array<double>>"
+    )
+    # dist = ((t0 + t1) + t2) + ... left-assoc, mirroring the oracle's
+    # scalar + chain; identical doubles to the former per-query literals
+    dist = None
+    for sub in range(m):
+        term = F.element_at(
+            F.element_at("tabs", sub + 1), F.col(f"c{sub}") + 1
         )
-        out = ranked if out is None else out.unionByName(ranked)
-    return out
+        dist = term if dist is None else dist + term
+    from pyspark.sql import Window
+
+    scored = codes.join(F.broadcast(qdf)).select(
+        "qid", "id", dist.alias("dist")
+    )  # |Q|-bounded broadcast fan-out per code row
+    w = Window.partitionBy("qid").orderBy("dist", "id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= topk)
+        .select("qid", "id", "dist")
+    )
