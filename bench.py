@@ -159,6 +159,14 @@ def main() -> None:
         "pq_subspace_recall",            # quality: per-subspace vs shared
         "dedup_containment_pairs",       # asymmetric containment SSJoin
         "quality_weighted_sample",       # score-proportional acceptance
+        # round-5 additions
+        "dsir_importance_sample",        # DSIR unigram importance selection
+        "bm25_topk_contract",            # BM25 length-normalized top-10
+        "unimax_language_budgets",       # UniMax epoch-capped water-fill
+        "count_min_sketch_contract",     # CMS point-estimate contract
+        "c4_quality_filter_report",      # C4 rule cascade with reasons
+        "table_profile_report",          # one-scan column profiling
+        "table_clone_report",            # zero-copy clone + divergence
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

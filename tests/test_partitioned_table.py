@@ -355,6 +355,54 @@ def test_add_column_is_metadata_only(spark, tmp_path):
         t.add_column("tag", T.StringType())
 
 
+def test_clone_is_zero_copy_and_isolated(spark, tmp_path):
+    """CLONE: the clone's files are the SAME inodes (zero copy), evolved
+    schema/defaults carry over, and post-clone mutations on either table
+    never leak into the other."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from unstructured_data_pipeline_spark.operators.dml import ParquetTable
+
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    t = ParquetTable(spark, str(tmp_path), "src", schema)
+    t.ensure()
+    t.append(spark.range(10).select(F.col("id").alias("k")))
+    t.add_column("tag", T.StringType(), default="old")
+
+    def inodes(d):
+        return {
+            os.stat(os.path.join(root, f)).st_ino
+            for root, _, files in os.walk(d)
+            for f in files
+            if not f.startswith(("_", "."))
+        }
+
+    c = t.clone("dst")
+    assert inodes(c.data_dir()) == inodes(t.data_dir())  # zero-copy
+    assert "tag" in c.schema.fieldNames()
+    assert all(r["tag"] == "old" for r in c.read().collect())  # epoch carried
+    # divergence is isolated both ways
+    c.delete_where(F.col("k") < 5)
+    t.append(
+        spark.range(100, 101).select(
+            F.col("id").alias("k"), F.lit("fresh").alias("tag")
+        )
+    )
+    assert t.read().count() == 11
+    assert c.read().count() == 5
+    assert {r["k"] for r in c.read().collect()} == set(range(5, 10))
+    # a fresh handle on the clone dir sees the persisted evolved schema
+    c2 = ParquetTable(spark, str(tmp_path), "dst", schema)
+    assert "tag" in c2.schema.fieldNames()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.clone("dst")
+
+
 from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 

@@ -372,6 +372,48 @@ class ParquetTable:
                 os.link(os.path.join(base, fn), os.path.join(dst, fn))
         self._publish(v)
 
+    # -- zero-copy clone -----------------------------------------------------
+    def _sibling(self, name: str) -> "ParquetTable":
+        return ParquetTable(
+            self.spark,
+            os.path.dirname(self.path),
+            name,
+            self.schema,
+            retain=self.retain,
+        )
+
+    def clone(self, name: str) -> "ParquetTable":
+        """Zero-copy CLONE (Snowflake ``CREATE TABLE ... CLONE`` parity —
+        the reference platform's cheap-environment-copy feature): the new
+        table's first version is a HARDLINK forest of this table's current
+        snapshot — metadata-only, no parquet bytes copied — plus a copy of
+        the evolved schema/defaults (schema.json, so ALTER history and the
+        pre-alter backfill epochs carry over).  The tables are fully
+        independent afterwards: every mutation copy-on-writes into that
+        table's own next version dir (shared inodes just drop link counts
+        at GC), appends land in each table's own current dir.  On an
+        object store the hardlink walk becomes a manifest copy, same as
+        the partitioned carry-over (SCALE.md)."""
+        src_dir = self.ensure().data_dir()
+        dst = self._sibling(name)
+        if dst.current_version() is not None:
+            raise ValueError(f"table {name!r} already exists")
+        v = dst._next_version()
+        for base, _dirs, files in os.walk(src_dir):
+            rel = os.path.relpath(base, src_dir)
+            d = (
+                os.path.join(dst.path, v)
+                if rel == "."
+                else os.path.join(dst.path, v, rel)
+            )
+            os.makedirs(d, exist_ok=True)
+            for fn in files:
+                os.link(os.path.join(base, fn), os.path.join(d, fn))
+        dst._defaults = dict(self._defaults)
+        dst._publish(v)
+        dst._save_meta()
+        return dst
+
     # -- time travel (retained snapshots) -----------------------------------
     def versions(self) -> list[str]:
         """Retained snapshot names, oldest first (last == CURRENT)."""
@@ -589,6 +631,16 @@ class PartitionedParquetTable(ParquetTable):
         self._conform(df).write.partitionBy(*self.partition_by).mode(
             "append"
         ).parquet(self.data_dir())
+
+    def _sibling(self, name: str) -> "PartitionedParquetTable":
+        return PartitionedParquetTable(
+            self.spark,
+            os.path.dirname(self.path),
+            name,
+            self.schema,
+            self.partition_by,
+            retain=self.retain,
+        )
 
     def add_column(self, name: str, data_type, default=None) -> None:
         """Metadata-only ADD COLUMN for the partitioned layout (persisted

@@ -4738,41 +4738,40 @@ def ann_pq_subspace_topk(spark, sf_dir):
 
 def _exact_l2_top5(spark, emb, queries):
     """Exact L2 top-5 per quantized query vector (the same sequential fold
-    as the kmeans/PQ distance contract): union of per-query
-    TakeOrderedAndProject over the quantized corpus.  Shared by the PQ
+    as the kmeans/PQ distance contract), as ONE scan of the corpus for any
+    number of queries: the query vectors ride along as a broadcast
+    relation, every corpus row scores against each (|Q|-bounded fan-out),
+    and per-qid top-5 is one rank window whose WindowGroupLimit pushdown
+    keeps the shuffle at |Q|*partitions*5 rows — the same single-scan
+    shape as `pq.pq_adc_topk`, replacing the former per-query
+    orderBy/limit union whose scan count grew with |Q|.  Shared by the PQ
     recall query and the bench-side shared-vs-subspace comparison."""
+    if not queries:
+        return spark.createDataFrame([], "qid long, vid long, dist double")
     from unstructured_data_pipeline_spark.operators.clustering import quantize_vec
 
     pts = emb.select(
         "vec_id", quantize_vec(F.col("embedding"), 1000).alias("x")
     )
+    qdf = spark.createDataFrame(
+        [(int(qid), [int(v) for v in qx]) for qid, qx in queries],
+        "qid long, qx array<bigint>",
+    )
 
-    def _mk_step(q_lit):
-        def step(acc, i):
-            diff = (
-                F.element_at("x", i) - F.element_at(q_lit, i)
-            ).cast("double")
-            return acc + diff * diff
+    def step(acc, i):
+        diff = (F.element_at("x", i) - F.element_at("qx", i)).cast("double")
+        return acc + diff * diff
 
-        return step
-
-    exact = spark.createDataFrame([], "qid long, vid long, dist double")
-    for qid, qx in queries:
-        q_lit = F.lit([int(v) for v in qx])
-        dist = F.aggregate(
-            F.sequence(F.lit(1), F.lit(64)), F.lit(0.0), _mk_step(q_lit)
-        )
-        top = (
-            pts.select(
-                F.lit(qid).cast("long").alias("qid"),
-                F.col("vec_id").alias("vid"),
-                dist.alias("dist"),
-            )
-            .orderBy("dist", "vid")
-            .limit(5)
-        )
-        exact = exact.unionByName(top)
-    return exact
+    dist = F.aggregate(F.sequence(F.lit(1), F.lit(64)), F.lit(0.0), step)
+    scored = pts.join(F.broadcast(qdf)).select(
+        "qid", F.col("vec_id").alias("vid"), dist.alias("dist")
+    )
+    w = Window.partitionBy("qid").orderBy("dist", "vid")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .select("qid", "vid", "dist")
+    )
 
 
 def ann_pq_recall(spark, sf_dir):
@@ -7426,6 +7425,610 @@ FROM x ORDER BY c_custkey
 
 
 # ---------------------------------------------------------------------------
+# round-5 curation additions: DSIR selection, BM25 retrieval, UniMax
+# mixing, count-min sketch, C4-style rule filter, table profiling
+
+
+def dsir_importance_sample(spark, sf_dir):
+    """DSIR-shaped data selection (Xie et al. 2023, arXiv:2302.03169 —
+    importance resampling for LM data): score every document by the
+    AVERAGE log importance ratio of its tokens under two add-one-smoothed
+    bag-of-unigrams models — the TARGET model (the English sub-corpus,
+    standing in for 'the domain to match') vs the SOURCE model (the whole
+    raw pool) — and select the documents whose ratio is positive (more
+    target-like than the pool).  The keep rule is a row-local threshold
+    on the rounded score, NOT a global top-k sort (the CCNet-style
+    deployment shape shared with `lm_perplexity_filter`): at 100 TB,
+    scoring is two count-table shuffle joins and selection never sorts
+    the corpus.  Counts stay integer-exact; the one ln per token and the
+    per-doc average follow the established round(6) determinism pattern.
+    Output per language: pool size, selected count, mean score — English
+    dominating the selection is the built-in sanity check."""
+    d = _heavy(spark, sf_dir, "documents")
+    # token relation feeds four consumers (source counts, target counts,
+    # two scalar totals) plus the score join — persist, caller-managed
+    # like the LM filter's bigram cache
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""
+            )
+        ).alias("w"),
+    ).persist()
+    src = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cs"))
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = src.agg(
+        F.sum("cs").alias("ts"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]  # bounded: two scalars
+    t_src, vocab = int(tot["ts"] or 0), int(tot["v"])  # empty-corpus safe
+    t_tgt = tok.filter(F.col("lang") == "en").count()
+    lr = F.log(
+        (
+            (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+            / F.lit(float(t_tgt + vocab))
+        )
+        / ((F.col("cs") + 1).cast("double") / F.lit(float(t_src + vocab)))
+    )
+    # per-doc score quantized to integer MICROS (the cents trick at 1e-6):
+    # the per-language mean is then an exact integer sum + one
+    # deterministic division — an avg of rounded doubles flaked at a
+    # .5e-6 boundary under partitioning-dependent summation order
+    scored = (
+        tok.join(src, "w")
+        .join(tgt, "w", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.floor(F.avg(lr) * 1000000.0 + F.lit(0.5))
+            .cast("long")
+            .alias("score_mi")
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("score_mi") > 0).cast("long")).alias("n_selected"),
+            F.round(
+                F.sum("score_mi").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 1000000.0,
+                6,
+            ).alias("mean_score_r"),
+        )
+        .orderBy("lang")
+    )
+
+
+DSIR_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                            t -> t <> '')) AS w
+  FROM documents
+),
+src AS (SELECT w, COUNT(*) AS cs FROM tok GROUP BY 1),
+tgt AS (SELECT w, COUNT(*) AS ct FROM tok WHERE lang = 'en' GROUP BY 1),
+tot AS (SELECT (SELECT COUNT(*) FROM tok) AS t_src,
+               (SELECT COUNT(*) FROM tok WHERE lang = 'en') AS t_tgt,
+               (SELECT COUNT(*) FROM src) AS v),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(floor(AVG(ln((CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / CAST(t_tgt + v AS DOUBLE))
+                           / (CAST(cs + 1 AS DOUBLE) / CAST(t_src + v AS DOUBLE))))
+                    * 1000000.0 + 0.5) AS BIGINT) AS score_mi
+  FROM tok JOIN src USING (w) LEFT JOIN tgt USING (w) CROSS JOIN tot
+  GROUP BY doc_id, lang
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN score_mi > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       round(CAST(SUM(score_mi) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / 1000000.0, 6) AS mean_score_r
+FROM scored GROUP BY lang ORDER BY lang
+"""
+
+
+_BM25_TERMS = ("hash", "join", "scan")
+
+
+def bm25_topk_contract(spark, sf_dir):
+    """BM25 lexical retrieval (Robertson-Spärck Jones; k1=1.2, b=0.75) for
+    a fixed 3-term query, completing the retrieval family next to TF-IDF
+    and the RRF fusion entry: per-term idf from document frequency,
+    per-doc tf with the document-length normalization TF-IDF lacks, total
+    score as a FIXED left-associated sum over the query's term columns
+    (conditional aggregation, so cross-engine float order is pinned), and
+    the global top-10 as TakeOrderedAndProject — per-partition heaps, no
+    global sort.  Corpus stats (N, total doc length) are two bounded
+    scalars; everything else is one tokenize + one groupBy per side.
+    Scores round(6) before ranking so rank ties break on doc_id
+    identically in both engines."""
+    d = _heavy(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""
+        ).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]  # bounded: two scalars
+    n_docs = int(stats["n"])
+    avgdl = (float(stats["s"]) / n_docs) if n_docs else 1.0  # empty-safe
+    hits = (
+        toks.select("doc_id", F.explode("toks").alias("w"))
+        .filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = hits.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    num = F.col("tf").cast("double") * 2.2
+    den = F.col("tf").cast("double") + 1.2 * (
+        0.25 + (0.75 * F.col("dl").cast("double")) / F.lit(avgdl)
+    )
+    sc = idf * (num / den)
+    per_term = (
+        hits.join(dfreq, "w")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            *[
+                F.sum(F.when(F.col("w") == t, sc)).alias(f"s{i}")
+                for i, t in enumerate(_BM25_TERMS)
+            ],
+        )
+    )
+    total = F.lit(0.0)
+    for i in range(len(_BM25_TERMS)):  # fixed-order sum: ((0+s0)+s1)+s2
+        total = total + F.coalesce(F.col(f"s{i}"), F.lit(0.0))
+    ranked = (
+        per_term.select(
+            "doc_id", "n_terms", F.round(total, 6).alias("score_r")
+        )
+        .orderBy(F.desc("score_r"), "doc_id")
+        .limit(10)
+    )
+    w = Window.orderBy(F.desc("score_r"), "doc_id")  # 10 rows: bounded
+    return ranked.withColumn(
+        "rnk", F.row_number().over(w)
+    ).select("rnk", "doc_id", "n_terms", "score_r").orderBy("rnk")
+
+
+BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), toks2 AS (SELECT * FROM toks WHERE len(toks) > 0),
+dl AS (SELECT doc_id, len(toks) AS dl FROM toks2),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+          FROM dl),
+hits AS (
+  SELECT doc_id, w, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS w FROM toks2)
+  WHERE w IN ('hash', 'join', 'scan')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT w, COUNT(*) AS df FROM hits GROUP BY 1),
+sc AS (
+  SELECT h.doc_id, h.w,
+         ln(1.0 + (s.n - df + 0.5) / (df + 0.5))
+           * ((CAST(tf AS DOUBLE) * 2.2)
+              / (CAST(tf AS DOUBLE)
+                 + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / s.avgdl))) AS sc
+  FROM hits h JOIN dfreq USING (w) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         SUM(CASE WHEN w = 'hash' THEN sc END) AS s0,
+         SUM(CASE WHEN w = 'join' THEN sc END) AS s1,
+         SUM(CASE WHEN w = 'scan' THEN sc END) AS s2
+  FROM sc GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, n_terms,
+         round(((0.0 + COALESCE(s0, 0.0)) + COALESCE(s1, 0.0))
+               + COALESCE(s2, 0.0), 6) AS score_r
+  FROM per_doc
+)
+SELECT CAST(row_number() OVER (ORDER BY score_r DESC, doc_id) AS INTEGER) AS rnk,
+       doc_id, n_terms, score_r
+FROM ranked ORDER BY score_r DESC, doc_id LIMIT 10
+"""
+
+
+def unimax_language_budgets(spark, sf_dir):
+    """UniMax training-mixture allocation (Chung et al. 2023,
+    arXiv:2304.09151 — `operators/mixing.py`): spread one corpus-epoch
+    token budget as uniformly as possible across languages, with no
+    language repeated past epoch_cap=2 passes.  The closed-form
+    water-fill's saturation predicate is INTEGER arithmetic end to end
+    (sorted prefix sums of caps), so which languages saturate is
+    bit-identical across engines; the single water-level division is the
+    only float.  Corpus-sized work is one groupBy(lang) token count; the
+    allocation windows run over the per-language relation (5 rows here,
+    hundreds at most in production) — a deliberately bounded
+    driver-window, not a corpus sort."""
+    from unstructured_data_pipeline_spark.operators.mixing import (
+        unimax_allocations,
+    )
+
+    d = _heavy(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            "lang",
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda t: t != "",
+                )
+            ).alias("n"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("n").alias("n_tokens"))
+    )
+    return unimax_allocations(
+        counts, "lang", "n_tokens", budget=None, epoch_cap=2
+    ).withColumnRenamed("key", "lang")
+
+
+UNIMAX_SQL = """
+WITH counts AS (
+  SELECT lang,
+         CAST(SUM(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                  t -> t <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+caps AS (
+  SELECT lang, n_tokens, 2 * n_tokens AS cap,
+         SUM(n_tokens) OVER () AS b,
+         COUNT(*) OVER () AS n,
+         row_number() OVER (ORDER BY 2 * n_tokens, lang) AS i,
+         SUM(2 * n_tokens) OVER (ORDER BY 2 * n_tokens, lang
+                                 ROWS UNBOUNDED PRECEDING) AS prefix
+  FROM counts
+),
+sat AS (
+  SELECT *, (prefix - cap + cap * (n - i + 1)) <= b AS saturated FROM caps
+),
+lvl AS (
+  SELECT *,
+         SUM(CASE WHEN saturated THEN cap ELSE 0 END) OVER () AS sat_total,
+         SUM(CASE WHEN saturated THEN 1 ELSE 0 END) OVER () AS n_sat
+  FROM sat
+)
+SELECT lang, n_tokens, cap, saturated,
+       round(CASE WHEN saturated THEN CAST(cap AS DOUBLE)
+                  ELSE CAST(b - sat_total AS DOUBLE) / CAST(n - n_sat AS DOUBLE)
+             END, 6) AS alloc_r,
+       round(CASE WHEN saturated THEN CAST(cap AS DOUBLE)
+                  ELSE CAST(b - sat_total AS DOUBLE) / CAST(n - n_sat AS DOUBLE)
+             END / CAST(n_tokens AS DOUBLE), 6) AS epochs_r
+FROM lvl ORDER BY lang
+"""
+
+
+_CMS_D, _CMS_W = 3, 64
+
+
+def count_min_sketch_contract(spark, sf_dir):
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over event user
+    ids: d=3 hash rows x w=64 counters, built as ONE integer-exact
+    groupBy((row, bucket)) count — the mergeable one-pass frequency
+    summary that answers point queries in O(d) lookups when the item
+    domain is too large for an exact groupBy to stay hot.  Companion to
+    the Misra-Gries entry (`heavy_hitters_contract`): MG answers "which
+    items are heavy", CMS answers "how often is THIS item", and both
+    merge under any repartitioning (counter matrices add elementwise).
+    Buckets come from the md5 12-nibble integer both engines compute
+    identically (the KMV helper), so the whole sketch and the one-sided
+    overestimate guarantee (est >= true, always) are hash-gated exactly.
+    Probes: the 8 lowest user ids."""
+    ev = _events(spark, sf_dir)
+    items = ev.select(F.col("user_id").alias("uid"))
+
+    def bucket(uid_col, row_i):
+        h = F.md5(
+            F.concat(F.lit(f"{row_i}:"), uid_col.cast("string"))
+        )
+        return F.pmod(_kmv_val_spark(h), F.lit(_CMS_W))
+
+    rows = items.select(
+        "uid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        bucket(F.col("uid"), i).alias("b"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("e"),
+    ).select("uid", F.col("e.r").alias("r"), F.col("e.b").alias("b"))
+    counters = rows.groupBy("r", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    probes = items.select("uid").distinct().filter(F.col("uid") < 8)
+    probe_rows = probes.select(
+        "uid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        bucket(F.col("uid"), i).alias("b"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("e"),
+    ).select("uid", F.col("e.r").alias("r"), F.col("e.b").alias("b"))
+    est = (
+        probe_rows.join(counters, ["r", "b"])
+        .groupBy("uid")
+        .agg(F.min("cnt").alias("est_n"))
+    )
+    true_n = items.filter(F.col("uid") < 8).groupBy("uid").agg(
+        F.count(F.lit(1)).alias("true_n")
+    )
+    return (
+        est.join(true_n, "uid")
+        .select(
+            F.col("uid").alias("user_id"),
+            "true_n",
+            "est_n",
+            (F.col("est_n") - F.col("true_n")).alias("over_n"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _cms_bucket_sql(prefix: str, col: str) -> str:
+    h = f"md5(concat('{prefix}:', CAST({col} AS VARCHAR)))"
+    return f"({_kmv_val_sql(h)}) % {_CMS_W}"
+
+
+COUNT_MIN_SQL = f"""
+WITH items AS (SELECT user_id AS uid FROM events),
+rows_ AS (
+  {" UNION ALL ".join(
+      f"SELECT uid, {i} AS r, {_cms_bucket_sql(str(i), 'uid')} AS b FROM items"
+      for i in range(_CMS_D)
+  )}
+),
+counters AS (SELECT r, b, COUNT(*) AS cnt FROM rows_ GROUP BY 1, 2),
+probes AS (SELECT DISTINCT uid FROM items WHERE uid < 8),
+probe_rows AS (
+  {" UNION ALL ".join(
+      f"SELECT uid, {i} AS r, {_cms_bucket_sql(str(i), 'uid')} AS b FROM probes"
+      for i in range(_CMS_D)
+  )}
+),
+est AS (
+  SELECT uid, MIN(cnt) AS est_n
+  FROM probe_rows JOIN counters USING (r, b) GROUP BY uid
+),
+tru AS (SELECT uid, COUNT(*) AS true_n FROM items WHERE uid < 8 GROUP BY uid)
+SELECT uid AS user_id, CAST(true_n AS BIGINT) AS true_n,
+       CAST(est_n AS BIGINT) AS est_n,
+       CAST(est_n - true_n AS BIGINT) AS over_n
+FROM est JOIN tru USING (uid) ORDER BY user_id
+"""
+
+
+_C4_BLOCKED_SOURCES = ("src0", "src7", "src13")
+
+
+def c4_quality_filter_report(spark, sf_dir):
+    """C4-style rule cascade (Raffel et al. 2020, arXiv:1910.10683 §2.2
+    re-expressed for this corpus): a source/URL blocklist (the 'bad
+    domains' list), a minimum-length rule, and a required-stopword rule
+    ('the' must appear — the C4 English heuristic), applied in FIXED
+    priority order so every document gets exactly one drop reason or
+    'kept'.  Everything is row-local string/integer work evaluated at the
+    scan — the filter family's cheapest tier, run before any LM or
+    classifier scoring; the blocklist broadcast-joins (here an isin
+    literal) however many entries it has.  Output: reason, doc count,
+    corpus share."""
+    d = _heavy(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""
+    )
+    reason = (
+        F.when(
+            F.col("source").isin(*_C4_BLOCKED_SOURCES), F.lit("blocked_source")
+        )
+        .when(F.size(toks) < 25, F.lit("too_short"))
+        .when(~F.array_contains(toks, "the"), F.lit("missing_stopword"))
+        .otherwise(F.lit("kept"))
+    )
+    counted = d.select(reason.alias("reason")).groupBy("reason").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())  # <=4 rows
+    return counted.select(
+        "reason",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / total.cast("double"), 6).alias(
+            "share_r"
+        ),
+    ).orderBy("reason")
+
+
+C4_FILTER_SQL = f"""
+WITH r AS (
+  SELECT CASE
+           WHEN source IN {str(tuple(_C4_BLOCKED_SOURCES))} THEN 'blocked_source'
+           WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                t -> t <> '')) < 25 THEN 'too_short'
+           WHEN NOT list_contains(
+                  list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                              t -> t <> ''), 'the') THEN 'missing_stopword'
+           ELSE 'kept'
+         END AS reason
+  FROM documents
+),
+counted AS (SELECT reason, COUNT(*) AS n_docs FROM r GROUP BY reason)
+SELECT reason, CAST(n_docs AS BIGINT) AS n_docs,
+       round(CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE), 6)
+         AS share_r
+FROM counted ORDER BY reason
+"""
+
+
+def table_profile_report(spark, sf_dir):
+    """Column-level table profiling in the LONG information_schema-
+    statistics shape: one row PER COLUMN with (rows, nulls, exact
+    distinct, min, max) — the `DESCRIBE`-style catalog view, complementing
+    `profile_customer_columns` (the round-2 wide single-row health check
+    over a hand-picked stat subset) with uniform metrics over EVERY
+    column.  Computed in ONE scan: all per-column aggregates ride the
+    same projection, then unpivot via an explode of k structs.  Numerics
+    profile through the cents integer so min/max stringify identically
+    across engines.  At 100 TB this is the profile-pass shape: one
+    map-side-combinable aggregation, k*5 scalars to the driver."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        _cents(F.col("c_acctbal")).alias("bal_cents"),
+        "c_mktsegment",
+    )
+    cols = ["c_custkey", "c_name", "c_nationkey", "bal_cents", "c_mktsegment"]
+    agg = c.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.count(col).alias(f"nn_{col}") for col in cols],
+        *[F.countDistinct(col).alias(f"nd_{col}") for col in cols],
+        *[F.min(col).cast("string").alias(f"mn_{col}") for col in cols],
+        *[F.max(col).cast("string").alias(f"mx_{col}") for col in cols],
+    )
+    profile = F.array(
+        *[
+            F.struct(
+                F.lit(col).alias("column_name"),
+                F.col("_n").alias("n_rows"),
+                (F.col("_n") - F.col(f"nn_{col}")).alias("n_nulls"),
+                F.col(f"nd_{col}").alias("n_distinct"),
+                F.col(f"mn_{col}").alias("min_val"),
+                F.col(f"mx_{col}").alias("max_val"),
+            )
+            for col in cols
+        ]
+    )
+    return (
+        agg.select(F.explode(profile).alias("p"))
+        .select("p.*")
+        .orderBy("column_name")
+    )
+
+
+TABLE_PROFILE_SQL = f"""
+WITH c AS (
+  SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+         CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         {_c('c_acctbal')} AS bal_cents, c_mktsegment
+  FROM customer
+)
+{" UNION ALL ".join(
+    f"SELECT '{col}' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    f"CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls, "
+    f"CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct, "
+    f"CAST(MIN({col}) AS VARCHAR) AS min_val, "
+    f"CAST(MAX({col}) AS VARCHAR) AS max_val FROM c"
+    for col in ["c_custkey", "c_name", "c_nationkey", "bal_cents", "c_mktsegment"]
+)}
+ORDER BY column_name
+"""
+
+
+def table_clone_report(spark, sf_dir):
+    """Zero-copy CLONE lifecycle through the real table layer
+    (`ParquetTable.clone` — Snowflake CREATE TABLE ... CLONE parity, the
+    cheap environment-copy the reference platform offers): load the
+    customer table, clone it (hardlink forest, no bytes copied —
+    inode-asserted in unit tests), then DIVERGE the two tables — the
+    original deletes the BUILDING segment, the clone upserts every
+    custkey % 10 == 0 into a 'VIP' segment with a zeroed balance — and
+    report both tables' per-segment rollups side by side.  Hash-gating
+    both post-divergence states proves clone isolation: neither table's
+    mutation leaked into the other."""
+    import shutil
+    import tempfile
+
+    from unstructured_data_pipeline_spark.operators.dml import ParquetTable
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        _cents(F.col("c_acctbal")).alias("bal_cents"),
+        "c_mktsegment",
+    )
+    root = tempfile.mkdtemp(prefix="udp_clone_")
+    t = ParquetTable(spark, root, "accounts", cust.schema)
+    t.ensure()
+    t.append(cust)
+    c = t.clone("accounts_clone")
+    t.delete_where(F.col("c_mktsegment") == "BUILDING")
+    vip = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit(0).cast("long").alias("bal_cents"),
+        F.lit("VIP").alias("c_mktsegment"),
+    )
+    c.upsert(vip, ["c_custkey"])
+
+    def rollup(tbl, label):
+        return tbl.read().groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("bal_cents").alias("sum_bal_cents"),
+        ).select(F.lit(label).alias("tbl"), "*")
+
+    out = rollup(t, "original").unionByName(
+        rollup(c, "clone")
+    ).orderBy("tbl", "c_mktsegment").cache()
+    out.count()  # materialize before the scratch dir is removed
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+TABLE_CLONE_SQL = f"""
+WITH base AS (
+  SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+         {_c('c_acctbal')} AS bal_cents, c_mktsegment
+  FROM customer
+),
+orig AS (SELECT * FROM base WHERE c_mktsegment <> 'BUILDING'),
+clone AS (
+  SELECT * FROM base WHERE c_custkey % 10 <> 0
+  UNION ALL
+  SELECT c_custkey, 0, 'VIP' FROM base WHERE c_custkey % 10 = 0
+),
+labeled AS (
+  SELECT 'original' AS tbl, c_mktsegment, COUNT(*) AS n_rows,
+         SUM(bal_cents) AS sum_bal_cents
+  FROM orig GROUP BY 2
+  UNION ALL
+  SELECT 'clone', c_mktsegment, COUNT(*), SUM(bal_cents)
+  FROM clone GROUP BY 2
+)
+SELECT tbl, c_mktsegment, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(sum_bal_cents AS BIGINT) AS sum_bal_cents
+FROM labeled ORDER BY tbl, c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -7583,6 +8186,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
     "q18_big_orders": (q18_big_orders, Q18_SQL),
+    # round-5 additions (never driver-checked -> the computed freshness
+    # rotation surfaces them right behind _R5_CHANGED automatically)
+    "dsir_importance_sample": (dsir_importance_sample, DSIR_SQL),
+    "bm25_topk_contract": (bm25_topk_contract, BM25_SQL),
+    "unimax_language_budgets": (unimax_language_budgets, UNIMAX_SQL),
+    "count_min_sketch_contract": (count_min_sketch_contract, COUNT_MIN_SQL),
+    "c4_quality_filter_report": (c4_quality_filter_report, C4_FILTER_SQL),
+    "table_profile_report": (table_profile_report, TABLE_PROFILE_SQL),
+    "table_clone_report": (table_clone_report, TABLE_CLONE_SQL),
 }
 
 # Rows-only demos retired from REGISTRY per VERDICT r3 #1: their hash-checked
