@@ -7737,63 +7737,75 @@ def count_min_sketch_contract(spark, sf_dir):
     identically (the KMV helper), so the whole sketch and the one-sided
     overestimate guarantee (est >= true, always) are hash-gated exactly.
     Probes: the 8 lowest user ids."""
+    from unstructured_data_pipeline_spark.operators.partitioning import (
+        ensure_min_parallelism,
+    )
+
     ev = _events(spark, sf_dir)
-    items = ev.select(F.col("user_id").alias("uid"))
+    # hash-heavy narrow stage: spread the single-split fixture scan across
+    # cores (same guard as _heavy; no-op when the input has enough splits)
+    items = ensure_min_parallelism(ev.select(F.col("user_id").alias("uid")))
 
-    def bucket(uid_col, row_i):
-        h = F.md5(
-            F.concat(F.lit(f"{row_i}:"), uid_col.cast("string"))
+    def with_buckets(df):
+        """Explode the d row indices FIRST, then hash once per (r, uid):
+        the md5 is materialized in its OWN projection before the 12-nibble
+        integer unpack, because inlining it would re-evaluate the hash
+        once per nibble (12x per probe — measured 7x slower on the bucket
+        stage; CollapseProject keeps the split since md5 is non-cheap)."""
+        rows = df.select(
+            "uid",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(_CMS_D)])
+            ).alias("r"),
+        ).withColumn(
+            "_h",
+            F.md5(
+                F.concat(
+                    F.col("r").cast("string"),
+                    F.lit(":"),
+                    F.col("uid").cast("string"),
+                )
+            ),
         )
-        return F.pmod(_kmv_val_spark(h), F.lit(_CMS_W))
+        return rows.select(
+            "uid",
+            "r",
+            F.pmod(_kmv_val_spark(F.col("_h")), F.lit(_CMS_W)).alias("b"),
+        )
 
-    rows = items.select(
-        "uid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("r"),
-                        bucket(F.col("uid"), i).alias("b"),
-                    )
-                    for i in range(_CMS_D)
-                ]
-            )
-        ).alias("e"),
-    ).select("uid", F.col("e.r").alias("r"), F.col("e.b").alias("b"))
-    counters = rows.groupBy("r", "b").agg(F.count(F.lit(1)).alias("cnt"))
-    probes = items.select("uid").distinct().filter(F.col("uid") < 8)
-    probe_rows = probes.select(
-        "uid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("r"),
-                        bucket(F.col("uid"), i).alias("b"),
-                    )
-                    for i in range(_CMS_D)
-                ]
-            )
-        ).alias("e"),
-    ).select("uid", F.col("e.r").alias("r"), F.col("e.b").alias("b"))
-    est = (
-        probe_rows.join(counters, ["r", "b"])
+    counters = with_buckets(items).groupBy("r", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # the sketch IS the d*w counter matrix — a bounded collect (<=192
+    # rows here, a few KiB at any corpus size), exactly like bloom.py
+    # collecting its filter words; point queries are then O(d) driver-
+    # side lookups (the deployment shape: the sketch leaves the cluster,
+    # the corpus never does)
+    sketch = {
+        (row["r"], row["b"]): row["cnt"] for row in counters.collect()
+    }
+    import hashlib
+
+    def py_bucket(r: int, uid: int) -> int:
+        h = hashlib.md5(f"{r}:{uid}".encode()).hexdigest()
+        return int(h[:12], 16) % _CMS_W  # same 12-nibble value as the SQL
+
+    true_n = (
+        items.filter(F.col("uid") < 8)
         .groupBy("uid")
-        .agg(F.min("cnt").alias("est_n"))
-    )
-    true_n = items.filter(F.col("uid") < 8).groupBy("uid").agg(
-        F.count(F.lit(1)).alias("true_n")
-    )
-    return (
-        est.join(true_n, "uid")
-        .select(
-            F.col("uid").alias("user_id"),
-            "true_n",
-            "est_n",
-            (F.col("est_n") - F.col("true_n")).alias("over_n"),
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .collect()
+    )  # bounded: the 8 probe ids
+    report = []
+    for row in sorted(true_n, key=lambda r: r["uid"]):
+        uid, tn = int(row["uid"]), int(row["true_n"])
+        est = min(
+            sketch.get((r, py_bucket(r, uid)), 0) for r in range(_CMS_D)
         )
-        .orderBy("user_id")
-    )
+        report.append((uid, tn, est, est - tn))
+    return spark.createDataFrame(
+        report, "user_id long, true_n long, est_n long, over_n long"
+    ).orderBy("user_id")
 
 
 def _cms_bucket_sql(prefix: str, col: str) -> str:
