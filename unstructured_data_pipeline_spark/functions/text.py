@@ -121,17 +121,6 @@ def hex_nibble_value(digit: Column) -> Column:
     return F.instr(F.lit(_HEX), digit) - 1
 
 
-def simhash_bits(token: Column, n_bits: int = 32) -> list[Column]:
-    """The ``n_bits`` bit columns (0/1) of a token's hash, derived from the
-    md5 hex digits — bit j lives in nibble j//4, position j%4."""
-    h = F.md5(token)
-    bits = []
-    for j in range(n_bits):
-        nib = hex_nibble_value(F.substring(h, j // 4 + 1, 1))
-        bits.append(F.shiftright(nib, j % 4).bitwiseAND(F.lit(1)))
-    return bits
-
-
 def rolling_kgrams(text: Column | str, k: int = 8) -> Column:
     """All RAW character k-grams of a document as array<string> — substr
     only, no hashing, so callers can ``array_distinct`` first and hash the

@@ -6861,7 +6861,11 @@ def quality_classifier_filter(spark, sf_dir):
             )
         ).alias("tok"),
     )
-    val = _kmv_val_spark(F.md5(F.col("tok")))
+    # hash in its own projection: inlining would re-evaluate the md5 once
+    # per nibble (12x per token — the CMS entry measured the same pattern
+    # 7x slower; CollapseProject keeps the split for non-cheap exprs)
+    toks = toks.withColumn("_h", F.md5(F.col("tok")))
+    val = _kmv_val_spark(F.col("_h"))
     scored = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(val - F.lit(_QC_CENTER)).alias("s_num"),
