@@ -167,6 +167,7 @@ def main() -> None:
         "c4_quality_filter_report",      # C4 rule cascade with reasons
         "table_profile_report",          # one-scan column profiling
         "table_clone_report",            # zero-copy clone + divergence
+        "bucketed_join_report",          # write-bucketed exchange-free join
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

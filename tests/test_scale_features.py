@@ -194,6 +194,43 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower()
 
 
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
+    """The bucketed-join claim itself: with both sides persisted bucketed
+    on the join key and broadcast disabled, the sort-merge join plans with
+    ZERO Exchange — bucketing metadata proves co-partitioning, so at
+    100 TB the fact table never re-shuffles for this key again."""
+    from pyspark.sql import functions as F
+
+    from unstructured_data_pipeline_spark.queries import _t
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    for name in ("tbkt_orders", "tbkt_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    o.write.bucketBy(4, "o_custkey").sortBy("o_custkey").option(
+        "path", str(tmp_path / "orders")
+    ).mode("overwrite").format("parquet").saveAsTable("tbkt_orders")
+    c.write.bucketBy(4, "c_custkey").sortBy("c_custkey").option(
+        "path", str(tmp_path / "customer")
+    ).mode("overwrite").format("parquet").saveAsTable("tbkt_customer")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo, bc = spark.table("tbkt_orders"), spark.table("tbkt_customer")
+        j = bo.join(bc, bo["o_custkey"] == bc["c_custkey"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # and the co-located join returns exactly the plain join's rows
+        n_bucketed = j.count()
+        n_plain = o.join(c, o["o_custkey"] == c["c_custkey"]).count()
+        assert n_bucketed == n_plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("tbkt_orders", "tbkt_customer"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_no_unbounded_join_plans(spark, sf_dir):
     """Global plan invariant over EVERY registry query: no CartesianProduct
     anywhere, and BroadcastNestedLoopJoin only where the build side is a

@@ -8044,6 +8044,72 @@ FROM labeled ORDER BY tbl, c_mktsegment
 """
 
 
+def bucketed_join_report(spark, sf_dir):
+    """Bucketed co-located join — the 'shuffle once at write time, join
+    shuffle-free forever after' warehouse pattern the 100 TB playbook
+    leads with: orders and customer are persisted as BUCKETED tables on
+    the join key (8 buckets, sorted within buckets), after which every
+    key-join between them needs NO Exchange on either side — Spark's
+    bucketing metadata proves co-partitioning, so the sort-merge join
+    reads both sides in place (`tests/test_scale_features.py::
+    test_bucketed_join_is_exchange_free` pins the exchange-free plan with
+    broadcast disabled).  This report hash-gates the RESULT through the
+    bucketed tables: per-segment order counts and totals equal the plain
+    join's.  The bucketed write is the one-time amortized shuffle; at
+    scale it replaces a full shuffle of the fact table on EVERY
+    downstream join against the same dimension key."""
+    import os
+    import shutil
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", _cents(F.col("o_totalprice")).alias("cents")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # EXTERNAL tables at an explicit scratch path: the session catalog is
+    # per-process but a managed table's warehouse dir outlives it, so a
+    # managed saveAsTable would collide with a previous process's leftover
+    # location that this session's DROP IF EXISTS cannot see
+    root = tempfile.mkdtemp(prefix="udp_bkt_")
+    for name in ("udp_bkt_orders", "udp_bkt_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").option(
+        "path", os.path.join(root, "orders")
+    ).mode("overwrite").format("parquet").saveAsTable("udp_bkt_orders")
+    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").option(
+        "path", os.path.join(root, "customer")
+    ).mode("overwrite").format("parquet").saveAsTable("udp_bkt_customer")
+    bo = spark.table("udp_bkt_orders")
+    bc = spark.table("udp_bkt_customer")
+    j = bo.join(bc, bo["o_custkey"] == bc["c_custkey"])
+    out = (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+    # One row per market segment (≤5): collect the report THROUGH the
+    # bucketed tables, then rebuild it as literals — DROP TABLE invalidates
+    # any cached plan that references the dropped tables, so a cache()d
+    # frame would silently recompute against deleted files on the caller's
+    # next action.  The collect is the report itself, not the data.
+    rows = out.collect()
+    for name in ("udp_bkt_orders", "udp_bkt_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+BUCKETED_JOIN_SQL = f"""
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM({_c('o_totalprice')}) AS BIGINT) AS sum_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -8211,6 +8277,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "c4_quality_filter_report": (c4_quality_filter_report, C4_FILTER_SQL),
     "table_profile_report": (table_profile_report, TABLE_PROFILE_SQL),
     "table_clone_report": (table_clone_report, TABLE_CLONE_SQL),
+    "bucketed_join_report": (bucketed_join_report, BUCKETED_JOIN_SQL),
 }
 
 # Rows-only demos retired from REGISTRY per VERDICT r3 #1: their hash-checked
