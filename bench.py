@@ -168,6 +168,10 @@ def main() -> None:
         "table_profile_report",          # one-scan column profiling
         "table_clone_report",            # zero-copy clone + divergence
         "bucketed_join_report",          # write-bucketed exchange-free join
+        "jl_projection_topk",            # JL sketch + projected-space top-k
+        "pagerank_part_copurchase",      # bounded-iteration integer PageRank
+        "vocab_coverage_report",         # vocabulary OOV coverage audit
+        "train_val_test_split_report",   # hash split + stratum audit
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

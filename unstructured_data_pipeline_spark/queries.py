@@ -8110,6 +8110,308 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+# --- Johnson-Lindenstrauss random projection -------------------------------
+# Deterministic ±1 projection matrix (16 output dims × 64 input dims),
+# derived from md5 at module import so BOTH engines receive the SAME
+# literal matrix — no RNG state, reproducible on any cluster.
+
+_JL_K, _JL_D = 16, 64
+
+
+def _jl_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1
+            for i in range(_JL_D)
+        ]
+        for j in range(_JL_K)
+    ]
+
+
+_JL_SIGNS = _jl_signs()
+
+
+def jl_projection_topk(spark, sf_dir):
+    """Johnson-Lindenstrauss sketching for embedding search — compress
+    64-dim vectors to 16 dims with a fixed ±1 projection (Achlioptas 2003:
+    random signs preserve pairwise distances in expectation), then do
+    exact top-5 L2 search in the PROJECTED space.  The 4× compression is
+    the point at scale: the projected corpus is 4× cheaper to scan, cache,
+    and shuffle than the raw embeddings, and the projection itself is
+    row-local (one zip_with+aggregate per output dim — no shuffle, no
+    training, no state).  Integer-exact cross-engine: coordinates are
+    fixed-point quantized (×10⁴, the cents trick), projections are ±1
+    integer sums, distances are BIGINT sums of squares.  Single corpus
+    scan: the 4 projected query vectors broadcast-join against the
+    projected corpus; ranks come from per-query windows."""
+    emb = _heavy(spark, sf_dir, "embeddings")
+    vq = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * 10000 + F.lit(0.5)).cast("long"),
+    )
+    proj = emb.select("vec_id", vq.alias("vq")).select(
+        "vec_id",
+        F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        "vq",
+                        F.array(*[F.lit(s) for s in _JL_SIGNS[j]]),
+                        lambda a, b: a * b.cast("long"),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                for j in range(_JL_K)
+            ]
+        ).alias("p"),
+    )
+    q = proj.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("p").alias("pq")
+    )
+    scored = (
+        proj.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with("pq", "p", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist2"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("dist2", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "rnk", "neighbor_id", "dist2")
+        .orderBy("q_id", "rnk")
+    )
+
+
+def _jl_sign_values_sql() -> str:
+    rows = []
+    for j in range(_JL_K):
+        for i in range(_JL_D):
+            rows.append(f"({j},{i + 1},{_JL_SIGNS[j][i]})")
+    return ",".join(rows)
+
+
+JL_PROJECTION_SQL = f"""
+WITH sgn(j, i, s) AS (VALUES {_jl_sign_values_sql()}),
+qz AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS q
+  FROM embeddings
+),
+proj AS (
+  SELECT vec_id, j, SUM(s * q) AS p
+  FROM qz JOIN sgn USING (i) GROUP BY vec_id, j
+),
+qp AS (SELECT vec_id AS q_id, j, p AS pq FROM proj WHERE vec_id < 4),
+d AS (
+  SELECT q_id, v.vec_id AS neighbor_id, SUM((pq - v.p) * (pq - v.p)) AS dist2
+  FROM qp JOIN proj v USING (j)
+  WHERE v.vec_id <> q_id GROUP BY q_id, v.vec_id
+)
+SELECT q_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, dist2
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist2, neighbor_id) AS rnk
+      FROM d) t
+WHERE rnk <= 5 ORDER BY q_id, rnk
+"""
+
+
+def pagerank_part_copurchase(spark, sf_dir):
+    """Bounded-iteration PageRank over the part co-purchase graph — the
+    graph-centrality shape (who's central in a similarity/link graph) done
+    entirely with joins + aggregations.  Graph build: lineitem self-joined
+    on l_orderkey emits directed co-purchase edges between distinct parts
+    of the same order (per-order fan-out is bounded by order size, ~7
+    lines, so the pair blowup is a small constant — for unbounded baskets
+    you'd cap lines per key first); edge weights are pair multiplicities.
+    Rank: 3 unrolled iterations of r(v) = 0.15 + 0.85·Σ r(u)·w/outw(u) in
+    FIXED-POINT integer arithmetic (micro-rank units, integer div) so both
+    engines agree bit-for-bit — float PageRank can't be hash-gated.  Each
+    iteration is one shuffle join (ranks against edges on src, a key the
+    persisted edge table is already hash-partitioned on from its groupBy)
+    plus one groupBy dst; iterations are bounded, state is one row per
+    node, and nothing touches the driver.  Output: top-20 parts by final
+    rank."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(b, "l_orderkey").filter(
+        F.col("a.l_partkey") != F.col("b.l_partkey")
+    )
+    edges = (
+        pairs.groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("outw", F.sum("w").over(Window.partitionBy("src")))
+        .persist()
+    )
+    ranks = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1_000_000).cast("long").alias("r")
+    )
+    for _ in range(3):
+        ranks = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(150_000).cast("long")
+                    + F.sum(F.expr("(850 * r * w) div (1000 * outw)"))
+                ).alias("r")
+            )
+            .select(F.col("dst").alias("node"), "r")
+        )
+    out = (
+        ranks.orderBy(F.desc("r"), "node")
+        .limit(20)
+        .select(F.col("node").alias("part"), F.col("r").alias("pagerank_micro"))
+    )
+    rows = out.collect()  # 20 rows; lets the persisted edges release below
+    edges.unpersist(blocking=False)
+    return spark.createDataFrame(rows, out.schema)
+
+
+PAGERANK_SQL = """
+WITH pairs AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+edges AS (SELECT src, dst, COUNT(*) AS w FROM pairs GROUP BY src, dst),
+e AS (
+  SELECT src, dst, w, SUM(w) OVER (PARTITION BY src) AS outw FROM edges
+),
+r0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS r FROM edges),
+r1 AS (SELECT dst AS node, 150000 + SUM((850 * r * w) // (1000 * outw)) AS r
+       FROM e JOIN r0 ON e.src = r0.node GROUP BY dst),
+r2 AS (SELECT dst AS node, 150000 + SUM((850 * r * w) // (1000 * outw)) AS r
+       FROM e JOIN r1 ON e.src = r1.node GROUP BY dst),
+r3 AS (SELECT dst AS node, 150000 + SUM((850 * r * w) // (1000 * outw)) AS r
+       FROM e JOIN r2 ON e.src = r2.node GROUP BY dst)
+SELECT node AS part, CAST(r AS BIGINT) AS pagerank_micro
+FROM r3 ORDER BY r DESC, node LIMIT 20
+"""
+
+
+def vocab_coverage_report(spark, sf_dir):
+    """Tokenizer-vocabulary coverage audit — before training you check
+    what share of the corpus a candidate vocabulary actually covers, per
+    language (high OOV share in a language means the tokenizer will
+    shatter it into bytes).  Vocabulary = top-32 terms by corpus term
+    frequency (ties break on the term).  Scale shape: ONE explode+groupBy
+    produces the (term, lang) count table; both the vocabulary (a further
+    32-row aggregate of it) and the per-language coverage (a broadcast
+    join against it) derive from that small aggregate — the raw corpus is
+    scanned exactly once, and nothing after the first groupBy is
+    proportional to corpus size."""
+    d = _heavy(spark, sf_dir, "documents")
+    tl = (
+        d.select(
+            "lang", F.explode(TX.tokens_ws(F.lower(F.col("text")))).alias("term")
+        )
+        .groupBy("term", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    vocab = (
+        tl.groupBy("term")
+        .agg(F.sum("cnt").alias("tf"))
+        .orderBy(F.desc("tf"), "term")
+        .limit(32)
+        .select("term")
+    )
+    out = (
+        tl.join(F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "term", "left")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("total_toks"),
+            F.sum(F.when(F.col("in_vocab").isNull(), F.col("cnt")).otherwise(0)).alias(
+                "oov_toks"
+            ),
+        )
+        .select(
+            "lang",
+            "total_toks",
+            "oov_toks",
+            F.round(F.col("oov_toks") / F.col("total_toks"), 6).alias("oov_share"),
+        )
+        .orderBy("lang")
+    )
+    rows = out.collect()  # one row per language; releases the persisted agg
+    tl.unpersist(blocking=False)
+    return spark.createDataFrame(rows, out.schema)
+
+
+VOCAB_COVERAGE_SQL = """
+WITH tl AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+cnts AS (SELECT term, lang, COUNT(*) AS cnt FROM tl GROUP BY term, lang),
+vocab AS (
+  SELECT term FROM (SELECT term, SUM(cnt) AS tf FROM cnts GROUP BY term) t
+  ORDER BY tf DESC, term LIMIT 32
+)
+SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total_toks,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS oov_toks,
+       round(SUM(CASE WHEN v.term IS NULL THEN cnt ELSE 0 END)
+             / SUM(cnt), 6) AS oov_share
+FROM cnts c LEFT JOIN vocab v ON c.term = v.term
+GROUP BY lang ORDER BY lang
+"""
+
+
+def train_val_test_split_report(spark, sf_dir):
+    """Deterministic stratum-audited train/val/test split — the last step
+    before shards ship: assign every document to a split by hash (no RNG,
+    no seed coordination, identical on any engine/cluster/partitioning,
+    and stable under corpus growth: a document's split never changes when
+    other documents arrive).  Split rule: first hex digit of
+    md5(doc_id) — 14/16 train (87.5%), 'e' val, 'f' test; the comparison
+    is plain string ordering over hex digits, identical in both engines.
+    The assignment evaluates at the scan (no shuffle to split); the audit
+    is one groupBy.  Output: per (split, lang) document count and exact
+    token total — the table you eyeball to confirm no language fell out
+    of a split."""
+    d = _heavy(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(digit < "e", "train").when(digit == "e", "val").otherwise("test")
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            "lang",
+            TX.token_count_ws("text").cast("long").alias("toks"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+TRAIN_SPLIT_SQL = """
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'e' THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+FROM documents GROUP BY split, lang ORDER BY split, lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -8278,6 +8580,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "table_profile_report": (table_profile_report, TABLE_PROFILE_SQL),
     "table_clone_report": (table_clone_report, TABLE_CLONE_SQL),
     "bucketed_join_report": (bucketed_join_report, BUCKETED_JOIN_SQL),
+    "jl_projection_topk": (jl_projection_topk, JL_PROJECTION_SQL),
+    "pagerank_part_copurchase": (pagerank_part_copurchase, PAGERANK_SQL),
+    "vocab_coverage_report": (vocab_coverage_report, VOCAB_COVERAGE_SQL),
+    "train_val_test_split_report": (train_val_test_split_report, TRAIN_SPLIT_SQL),
 }
 
 # Rows-only demos retired from REGISTRY per VERDICT r3 #1: their hash-checked
