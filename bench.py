@@ -172,6 +172,7 @@ def main() -> None:
         "pagerank_part_copurchase",      # bounded-iteration integer PageRank
         "vocab_coverage_report",         # vocabulary OOV coverage audit
         "train_val_test_split_report",   # hash split + stratum audit
+        "mor_delete_lifecycle_report",   # merge-on-read deletes + fold
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

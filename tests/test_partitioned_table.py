@@ -445,3 +445,79 @@ def test_ivm_equals_recompute_property(spark, old, new):
         .collect()
     }
     assert got == want
+
+
+# -- merge-on-read deletes (deletion-vector cost shape) ----------------------
+
+
+def _flat(spark, tmp_path, name="mor_flat"):
+    t = ParquetTable(spark, str(tmp_path), name, SCHEMA)
+    t.ensure()
+    t.append(_mk(spark, _base_rows()))
+    return t
+
+
+def test_mor_delete_is_o_of_keys(spark, tmp_path):
+    """delete_keys_mor hides the keys WITHOUT touching any data file —
+    the deletion-vector cost shape: O(delete keys) written, zero rewritten."""
+    t = _flat(spark, tmp_path)
+    before = {
+        p: os.stat(os.path.join(t.data_dir(), p)).st_mtime_ns
+        for p in os.listdir(t.data_dir())
+    }
+    v_before = t.current_version()
+    t.delete_keys_mor(_mk(spark, [(i, "A", 0.0) for i in range(10)]).select("k"), ["k"])
+    assert t.current_version() == v_before  # no rewrite, no new snapshot
+    after = {
+        p: os.stat(os.path.join(t.data_dir(), p)).st_mtime_ns
+        for p in os.listdir(t.data_dir())
+    }
+    assert after == before  # data files untouched
+    assert sorted(r.k for r in t.read().collect()) == list(range(10, 30))
+
+
+def test_mor_folds_on_any_rewrite(spark, tmp_path):
+    """compact() (any rewrite) folds tombstones into the next snapshot and
+    the stale tombstone dir is GC'd with its snapshot."""
+    t = _flat(spark, tmp_path)
+    t.delete_keys_mor(_mk(spark, [(i, "A", 0.0) for i in range(10)]).select("k"), ["k"])
+    old_tomb = t._tombstone_dir(t.current_version())
+    assert os.path.isdir(old_tomb)
+    t.compact(target_files=1)
+    assert sorted(r.k for r in t.read().collect()) == list(range(10, 30))
+    assert not os.path.isdir(old_tomb)
+    assert not os.path.isdir(t._tombstone_dir(t.current_version()))
+
+
+def test_mor_key_semantics_until_fold(spark, tmp_path):
+    """Key-based tombstones suppress a re-appended key until folded —
+    the documented divergence from positional deletion vectors."""
+    t = _flat(spark, tmp_path)
+    t.delete_keys_mor(_mk(spark, [(5, "A", 0.0)]).select("k"), ["k"])
+    t.append(_mk(spark, [(5, "C", 555.0)]))
+    assert 5 not in {r.k for r in t.read().collect()}  # still hidden
+    t.compact(target_files=1)  # fold: tombstone applied, then cleared
+    t.append(_mk(spark, [(5, "C", 555.0)]))
+    assert {r.val for r in t.read().filter(F.col("k") == 5).collect()} == {555.0}
+
+
+def test_mor_partitioned_table(spark, tmp_path):
+    t = PartitionedParquetTable(
+        spark, str(tmp_path), "mor_part", SCHEMA, partition_by=["seg"]
+    )
+    t.ensure()
+    t.append(_mk(spark, _base_rows()))
+    t.delete_keys_mor(_mk(spark, [(i, "A", 0.0) for i in range(6)]).select("k"), ["k"])
+    assert sorted(r.k for r in t.read().collect()) == list(range(6, 30))
+
+
+def test_mor_clone_carries_tombstones(spark, tmp_path):
+    """A zero-copy clone must not resurrect MOR-deleted keys."""
+    t = _flat(spark, tmp_path)
+    t.delete_keys_mor(_mk(spark, [(i, "A", 0.0) for i in range(10)]).select("k"), ["k"])
+    c = t.clone("mor_clone")
+    assert sorted(r.k for r in c.read().collect()) == list(range(10, 30))
+    # and the clone's tombstones are independent: folding the clone does
+    # not unhide keys on the source
+    c.compact(target_files=1)
+    assert sorted(r.k for r in t.read().collect()) == list(range(10, 30))

@@ -277,6 +277,11 @@ class ParquetTable:
         for d in os.listdir(self.path):
             if d.startswith("v-") and d not in keep:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+            # merge-on-read tombstones ride their snapshot's lifetime: a
+            # dropped snapshot's tombstones go with it (rewrites fold them
+            # into the successor via read(), so nothing is lost)
+            if d.startswith("tombstones-") and d[len("tombstones-"):] not in keep:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
     # -- CREATE TABLE IF NOT EXISTS (`app.py:38-81`) ------------------------
     def ensure(self) -> "ParquetTable":
@@ -310,7 +315,10 @@ class ParquetTable:
                         pre, F.coalesce(F.col(name), F.lit(default))
                     ).otherwise(F.col(name)),
                 )
-        return df.select(*[f.name for f in self.schema.fields])
+        return self._apply_tombstones(
+            df.select(*[f.name for f in self.schema.fields]),
+            self.current_version(),
+        )
 
     def add_column(self, name: str, data_type, default=None) -> None:
         """ALTER TABLE ADD COLUMN — METADATA-ONLY schema evolution
@@ -409,6 +417,16 @@ class ParquetTable:
             os.makedirs(d, exist_ok=True)
             for fn in files:
                 os.link(os.path.join(base, fn), os.path.join(d, fn))
+        # pending merge-on-read tombstones are part of the logical table
+        # state — hardlink-carry them too, renamed to the clone's version,
+        # or the clone would resurrect deleted keys
+        src_tomb = self._tombstone_dir(self.current_version())
+        if os.path.isdir(src_tomb):
+            dtomb = dst._tombstone_dir(v)
+            os.makedirs(dtomb, exist_ok=True)
+            for fn in os.listdir(src_tomb):
+                if os.path.isfile(os.path.join(src_tomb, fn)):
+                    os.link(os.path.join(src_tomb, fn), os.path.join(dtomb, fn))
         dst._defaults = dict(self._defaults)
         dst._publish(v)
         dst._save_meta()
@@ -431,7 +449,9 @@ class ParquetTable:
                 f"snapshot {version} of table {self.name} is not retained "
                 f"(retain={self.retain}; have {self.versions()})"
             )
-        return self.spark.read.schema(self.schema).parquet(p)
+        return self._apply_tombstones(
+            self.spark.read.schema(self.schema).parquet(p), version
+        )
 
     def _conform(self, df: DataFrame) -> DataFrame:
         """Project ``df`` onto the table schema, converting at the
@@ -486,6 +506,42 @@ class ParquetTable:
 
     def delete_where(self, predicate: Column) -> None:
         self._replace(delete_where(self.read(), predicate))
+
+    # -- merge-on-read deletes (deletion-vector cost shape) -----------------
+    def _tombstone_dir(self, version: str) -> str:
+        return os.path.join(self.path, f"tombstones-{version}")
+
+    def delete_keys_mor(self, source: DataFrame, keys: list[str]) -> None:
+        """Merge-on-read DELETE: write the matched KEYS as a tombstone
+        parquet next to the live snapshot — O(delete keys), while
+        ``delete_where`` is O(table) per call.  This is the cost shape of
+        Delta/Iceberg v2 deletion vectors / Hudi merge-on-read, keyed by
+        record key rather than (file, position): ``read()`` anti-joins the
+        tombstones (they're broadcast-sized until folded), and ANY rewrite
+        (upsert / delete_where / compact) folds them into the next
+        snapshot because rewrites read through ``read()``.
+
+        Key-based semantics: a tombstoned key stays hidden even if
+        re-appended later; to resurrect a key, fold first (``compact()``)
+        or go through ``upsert`` (a rewrite).  Repeated MOR deletes append
+        more tombstone files — fold with ``compact()`` before they grow
+        past broadcast size.  NULL keys never match under SQL join
+        semantics (same rule as ``snapshot_diff``), so a NULL-keyed
+        tombstone row deletes nothing."""
+        self.ensure()
+        v = self.current_version()
+        source.select(*keys).distinct().write.mode("append").parquet(
+            self._tombstone_dir(v)
+        )
+
+    def _apply_tombstones(self, df: DataFrame, version: str | None) -> DataFrame:
+        if version is None:
+            return df
+        td = self._tombstone_dir(version)
+        if not os.path.isdir(td):
+            return df
+        tomb = self.spark.read.parquet(td)
+        return df.join(tomb, on=list(tomb.columns), how="left_anti")
 
     def compact(self, target_files: int | None = None) -> int:
         """Rewrite the table into ``target_files`` files (default: sized by
@@ -605,11 +661,12 @@ class PartitionedParquetTable(ParquetTable):
 
     def read(self) -> DataFrame:
         self.ensure()
-        return (
+        return self._apply_tombstones(
             self.spark.read.schema(self.schema)
             .option("basePath", self.data_dir())
             .parquet(self.data_dir())
-            .select(*[f.name for f in self.schema.fields])
+            .select(*[f.name for f in self.schema.fields]),
+            self.current_version(),
         )
 
     def read_version(self, version: str) -> DataFrame:
@@ -619,11 +676,12 @@ class PartitionedParquetTable(ParquetTable):
                 f"snapshot {version} of table {self.name} is not retained "
                 f"(retain={self.retain}; have {self.versions()})"
             )
-        return (
+        return self._apply_tombstones(
             self.spark.read.schema(self.schema)
             .option("basePath", p)
             .parquet(p)
-            .select(*[f.name for f in self.schema.fields])
+            .select(*[f.name for f in self.schema.fields]),
+            version,
         )
 
     def append(self, df: DataFrame) -> None:

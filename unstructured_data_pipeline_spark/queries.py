@@ -8402,6 +8402,81 @@ def train_val_test_split_report(spark, sf_dir):
     )
 
 
+def mor_delete_lifecycle_report(spark, sf_dir):
+    """Merge-on-read DELETE lifecycle through the REAL table layer
+    (`ParquetTable.delete_keys_mor`): deletes write only the matched KEYS
+    as tombstones next to the live snapshot — O(keys) per DELETE instead
+    of `delete_where`'s O(table) rewrite (the Delta/Iceberg v2
+    deletion-vector cost shape; unit tests in
+    tests/test_partitioned_table.py assert zero data files are touched).
+    Lifecycle hash-gated here: (1) MOR-delete a 1/16 md5 key sample →
+    reads anti-join the tombstones; (2) compact() folds the tombstones
+    into the next snapshot (stage values must be IDENTICAL before and
+    after the fold); (3) a second MOR delete stacks on the folded
+    snapshot.  Per-segment counts and balance totals at each stage."""
+    import shutil
+    import tempfile
+
+    from unstructured_data_pipeline_spark.operators.dml import ParquetTable
+
+    cust = _t(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="udp_mor_")
+    t = ParquetTable(spark, root, "customers_mor", cust.schema)
+    t.append(cust)
+    digit = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1)
+
+    def stage(label: str):
+        return (
+            t.read()
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.sum(_cents(F.col("c_acctbal"))).alias("sum_cents"),
+            )
+            .select(F.lit(label).alias("stage"), "c_mktsegment", "n_customers", "sum_cents")
+        )
+
+    # Each stage must MATERIALIZE before the next mutation: a lazy stage
+    # plan still references the tombstone/snapshot files that compact()'s
+    # GC removes.  The collects are the per-segment report (≤5 rows each),
+    # never the data.
+    t.delete_keys_mor(cust.filter(digit == "0").select("c_custkey"), ["c_custkey"])
+    s1 = stage("post_mor")
+    rows = s1.collect()
+    t.compact(target_files=2)
+    rows += stage("post_fold").collect()
+    t.delete_keys_mor(cust.filter(digit == "1").select("c_custkey"), ["c_custkey"])
+    rows += stage("post_mor2").collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, s1.schema).orderBy("stage", "c_mktsegment")
+
+
+MOR_DELETE_SQL = f"""
+WITH d0 AS (
+  SELECT * FROM customer
+  WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) <> '0'
+),
+d01 AS (
+  SELECT * FROM d0
+  WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) <> '1'
+),
+s AS (
+  SELECT 'post_mor' AS stage, c_mktsegment, COUNT(*) AS n_customers,
+         CAST(SUM({_c('c_acctbal')}) AS BIGINT) AS sum_cents
+  FROM d0 GROUP BY c_mktsegment
+  UNION ALL
+  SELECT 'post_fold', c_mktsegment, COUNT(*),
+         CAST(SUM({_c('c_acctbal')}) AS BIGINT)
+  FROM d0 GROUP BY c_mktsegment
+  UNION ALL
+  SELECT 'post_mor2', c_mktsegment, COUNT(*),
+         CAST(SUM({_c('c_acctbal')}) AS BIGINT)
+  FROM d01 GROUP BY c_mktsegment
+)
+SELECT * FROM s ORDER BY stage, c_mktsegment
+"""
+
+
 TRAIN_SPLIT_SQL = """
 SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'train'
             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'e' THEN 'val'
@@ -8584,6 +8659,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pagerank_part_copurchase": (pagerank_part_copurchase, PAGERANK_SQL),
     "vocab_coverage_report": (vocab_coverage_report, VOCAB_COVERAGE_SQL),
     "train_val_test_split_report": (train_val_test_split_report, TRAIN_SPLIT_SQL),
+    "mor_delete_lifecycle_report": (mor_delete_lifecycle_report, MOR_DELETE_SQL),
 }
 
 # Rows-only demos retired from REGISTRY per VERDICT r3 #1: their hash-checked
