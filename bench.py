@@ -173,6 +173,8 @@ def main() -> None:
         "vocab_coverage_report",         # vocabulary OOV coverage audit
         "train_val_test_split_report",   # hash split + stratum audit
         "mor_delete_lifecycle_report",   # merge-on-read deletes + fold
+        "event_pattern_match_report",    # MATCH_RECOGNIZE-style row patterns
+        "outlier_mad_report",            # robust MAD outliers, one Exchange
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

@@ -8402,6 +8402,111 @@ def train_val_test_split_report(spark, sf_dir):
     )
 
 
+def event_pattern_match_report(spark, sf_dir):
+    """MATCH_RECOGNIZE-style sequential pattern matching over the event
+    stream — the row-pattern feature (Snowflake/Oracle MATCH_RECOGNIZE,
+    Flink CEP) recast as per-key sequence strings + regex: each user's
+    events order by (ts, event_id) into a compact one-char-per-event
+    string (s/v/c/p/e by type initial), and the funnel pattern
+    `s[vc]*p` (signup, any views/clicks, purchase) counts non-overlapping
+    matches per user.  Scale shape: ONE groupBy user (the same shuffle a
+    MATCH_RECOGNIZE engine needs to co-locate each key's rows); the
+    per-user sequence is bounded by events-per-user — for unbounded keys
+    you'd window the sequence by time first (the CEP within-clause).  The
+    regex state machine is codegen-resident; nothing is driver-side."""
+    ev = _events(spark, sf_dir)
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("ch"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("e")).alias("es"))
+        .select(
+            "user_id",
+            F.size("es").cast("long").alias("n_events"),
+            F.array_join(F.transform("es", lambda x: x["ch"]), "").alias("seq"),
+        )
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        F.regexp_count("seq", F.lit(r"s[vc]*p")).cast("long").alias("n_funnels"),
+    ).orderBy("user_id")
+
+
+EVENT_PATTERN_SQL = """
+WITH seq AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY epoch_us(ts), event_id) AS s
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(len(regexp_extract_all(s, 's[vc]*p')) AS BIGINT) AS n_funnels
+FROM seq ORDER BY user_id
+"""
+
+
+def outlier_mad_report(spark, sf_dir):
+    """Robust outlier detection per segment — median absolute deviation,
+    the estimator that survives the outliers it hunts (z-scores don't:
+    one whale inflates the stddev that judges it).  Exact two-level
+    median over integer cents; a row is an outlier when |x - median| >
+    3·MAD.  Plan shape: BOTH window aggregates partition by the same key,
+    so Catalyst reuses ONE Exchange for the whole query — median, MAD,
+    and the outlier flags ride a single shuffle.  At 100 TB exact
+    percentiles buffer each partition's values; the production swap is
+    approx_percentile in the same plan shape (documented, not silently
+    substituted — the oracle gates the exact form)."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment")
+    df = (
+        cust.select(
+            "c_mktsegment", _cents(F.col("c_acctbal")).alias("cents")
+        )
+        .withColumn("med", F.expr("percentile(cents, 0.5)").over(w))
+        .withColumn("adev", F.abs(F.col("cents") - F.col("med")))
+        .withColumn("mad", F.expr("percentile(adev, 0.5)").over(w))
+    )
+    return (
+        df.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.first("med").alias("med_cents"),
+            F.first("mad").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+OUTLIER_MAD_SQL = f"""
+WITH c AS (
+  SELECT c_mktsegment, {_c('c_acctbal')} AS cents FROM customer
+),
+m AS (
+  SELECT c_mktsegment, cents,
+         quantile_cont(cents, 0.5) OVER (PARTITION BY c_mktsegment) AS med
+  FROM c
+),
+a AS (
+  SELECT c_mktsegment, cents, med, abs(cents - med) AS adev,
+         quantile_cont(abs(cents - med), 0.5)
+           OVER (PARTITION BY c_mktsegment) AS mad
+  FROM m
+)
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       ANY_VALUE(med) AS med_cents, ANY_VALUE(mad) AS mad_cents,
+       CAST(SUM(CASE WHEN adev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM a GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def mor_delete_lifecycle_report(spark, sf_dir):
     """Merge-on-read DELETE lifecycle through the REAL table layer
     (`ParquetTable.delete_keys_mor`): deletes write only the matched KEYS
@@ -8660,6 +8765,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vocab_coverage_report": (vocab_coverage_report, VOCAB_COVERAGE_SQL),
     "train_val_test_split_report": (train_val_test_split_report, TRAIN_SPLIT_SQL),
     "mor_delete_lifecycle_report": (mor_delete_lifecycle_report, MOR_DELETE_SQL),
+    "event_pattern_match_report": (event_pattern_match_report, EVENT_PATTERN_SQL),
+    "outlier_mad_report": (outlier_mad_report, OUTLIER_MAD_SQL),
 }
 
 # Rows-only demos retired from REGISTRY per VERDICT r3 #1: their hash-checked
