@@ -175,6 +175,7 @@ def main() -> None:
         "mor_delete_lifecycle_report",   # merge-on-read deletes + fold
         "event_pattern_match_report",    # MATCH_RECOGNIZE-style row patterns
         "outlier_mad_report",            # robust MAD outliers, one Exchange
+        "scd2_dimension_pit_report",     # SCD2 intervals + point-in-time join
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

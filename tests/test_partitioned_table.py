@@ -521,3 +521,50 @@ def test_mor_clone_carries_tombstones(spark, tmp_path):
     # not unhide keys on the source
     c.compact(target_files=1)
     assert sorted(r.k for r in t.read().collect()) == list(range(10, 30))
+
+
+_mor_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.sampled_from(["A", "B"]),
+        st.integers(-20, 20),
+    ),
+    max_size=10,
+)
+_mor_dels = st.sets(st.integers(min_value=0, max_value=12), max_size=6)
+
+
+@given(rows=_mor_rows, dels1=_mor_dels, dels2=_mor_dels)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mor_equals_cow_delete_property(spark, rows, dels1, dels2):
+    """For ANY base rows and ANY two delete-key sets (absent keys, empty
+    sets, duplicates included), MOR delete -> fold -> MOR delete reads
+    exactly like two copy-on-write delete_where calls."""
+    import shutil
+    import tempfile
+
+    data = [(k, s, float(v)) for k, s, v in rows]
+    root = tempfile.mkdtemp(prefix="udp_mor_prop_")
+    try:
+        t1 = ParquetTable(spark, root, "mor_side", SCHEMA)
+        t2 = ParquetTable(spark, root, "cow_side", SCHEMA)
+        for t in (t1, t2):
+            t.ensure()
+            if data:
+                t.append(_mk(spark, data))
+        d1 = _mk(spark, [(k, "A", 0.0) for k in sorted(dels1)]).select("k")
+        d2 = _mk(spark, [(k, "A", 0.0) for k in sorted(dels2)]).select("k")
+        t1.delete_keys_mor(d1, ["k"])
+        t1.compact(target_files=1)
+        t1.delete_keys_mor(d2, ["k"])
+        t2.delete_where(F.col("k").isin(list(dels1)) if dels1 else F.lit(False))
+        t2.delete_where(F.col("k").isin(list(dels2)) if dels2 else F.lit(False))
+        got = sorted((r.k, r.seg, r.val) for r in t1.read().collect())
+        want = sorted((r.k, r.seg, r.val) for r in t2.read().collect())
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

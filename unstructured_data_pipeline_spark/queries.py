@@ -8507,6 +8507,78 @@ FROM a GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def scd2_dimension_pit_report(spark, sf_dir):
+    """Slowly-changing-dimension Type 2 build + point-in-time join — the
+    warehouse pattern for 'what did the dimension say WHEN the fact
+    happened': attribute-change events (signup/click) become versioned
+    dimension rows with [valid_from, valid_to) intervals via one lead()
+    window per key; purchase facts then join the version active at their
+    timestamp.  Interval semantics make the match exact: versions
+    partition each key's timeline (half-open, lead()-chained), so every
+    fact matches AT MOST one version — no dedup needed after the join.
+    Scale shape: the interval build is one window shuffle on the key; the
+    PIT join is a plain equi-join on the key with a row-local interval
+    filter, fan-out bounded by versions-per-key (for high-churn keys
+    you'd as-of-bucket the fact side first, `asof_purchase_last_view`'s
+    technique).  Facts before any version report under version 0.
+    Output: per version ordinal, purchase count and exact value total."""
+    ev = _events(spark, sf_dir)
+    upd = ev.filter(F.col("event_type").isin("signup", "click")).select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = upd.select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), _cents(F.col("value")).alias("p_cents")
+    )
+    pit = facts.join(
+        dim,
+        (facts["user_id"] == dim["user_id"])
+        & (dim["valid_from"] <= facts["p_ts"])
+        & (dim["valid_to"].isNull() | (facts["p_ts"] < dim["valid_to"])),
+        "left",
+    )
+    return (
+        pit.groupBy(F.coalesce(dim["version"], F.lit(0)).alias("version"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("p_cents").alias("sum_cents"),
+        )
+        .orderBy("version")
+    )
+
+
+SCD2_PIT_SQL = f"""
+WITH upd AS (
+  SELECT user_id, epoch_us(ts) AS ts, event_id FROM events
+  WHERE event_type IN ('signup', 'click')
+),
+dim AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+         ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM upd
+),
+facts AS (
+  SELECT user_id, epoch_us(ts) AS p_ts, {_c('value')} AS p_cents FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT COALESCE(d.version, 0) AS version,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(p_cents) AS BIGINT) AS sum_cents
+FROM facts f LEFT JOIN dim d
+  ON f.user_id = d.user_id AND d.valid_from <= f.p_ts
+ AND (d.valid_to IS NULL OR f.p_ts < d.valid_to)
+GROUP BY COALESCE(d.version, 0) ORDER BY version
+"""
+
+
 def mor_delete_lifecycle_report(spark, sf_dir):
     """Merge-on-read DELETE lifecycle through the REAL table layer
     (`ParquetTable.delete_keys_mor`): deletes write only the matched KEYS
@@ -8767,6 +8839,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mor_delete_lifecycle_report": (mor_delete_lifecycle_report, MOR_DELETE_SQL),
     "event_pattern_match_report": (event_pattern_match_report, EVENT_PATTERN_SQL),
     "outlier_mad_report": (outlier_mad_report, OUTLIER_MAD_SQL),
+    "scd2_dimension_pit_report": (scd2_dimension_pit_report, SCD2_PIT_SQL),
 }
 
 # Rows-only demos retired from REGISTRY per VERDICT r3 #1: their hash-checked
