@@ -292,3 +292,55 @@ def test_rollup_merge_is_replay_safe(spark, tmp_path):
 
     got = {r["bucket"]: (r["n"], r["total"]) for r in table.read().collect()}
     assert got == {1: (3, 17), 2: (1, 5), 3: (4, 2)}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream inner join: purchases attribute to the
+    views they follow within the horizon; both watermarks + the
+    time-range condition bound the join state.  The streaming result must
+    equal the batch twin run over the same files."""
+    from unstructured_data_pipeline_spark.streaming.joins import (
+        interval_attribution_join,
+    )
+
+    vsrc, psrc = tmp_path / "views", tmp_path / "purch"
+    _write_events(
+        vsrc,
+        [
+            {"user_id": 1, "value": 0.0, "ts": "2026-01-01 10:00:00", "event_type": "view"},
+            {"user_id": 2, "value": 0.0, "ts": "2026-01-01 10:05:00", "event_type": "view"},
+        ],
+    )
+    _write_events(
+        psrc,
+        [
+            # in-horizon for user 1's 10:00 view
+            {"user_id": 1, "value": 9.5, "ts": "2026-01-01 10:30:00", "event_type": "purchase"},
+            # 2h25m after user 2's view — outside the 1h horizon
+            {"user_id": 2, "value": 4.0, "ts": "2026-01-01 12:30:00", "event_type": "purchase"},
+        ],
+    )
+    views = spark.readStream.schema(EVENT_SCHEMA).json(str(vsrc))
+    purch = spark.readStream.schema(EVENT_SCHEMA).json(str(psrc))
+    q = (
+        interval_attribution_join(views, purch)
+        .writeStream.format("memory")
+        .queryName("attributed")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["v_user"], r["p_value"]) for r in spark.table("attributed").collect()
+    }
+    assert got == {(1, 9.5)}
+    # batch twin over the same files must agree
+    bviews = spark.read.schema(EVENT_SCHEMA).json(str(vsrc))
+    bpurch = spark.read.schema(EVENT_SCHEMA).json(str(psrc))
+    bgot = {
+        (r["v_user"], r["p_value"])
+        for r in interval_attribution_join(bviews, bpurch).collect()
+    }
+    assert bgot == got
