@@ -176,6 +176,8 @@ def main() -> None:
         "event_pattern_match_report",    # MATCH_RECOGNIZE-style row patterns
         "outlier_mad_report",            # robust MAD outliers, one Exchange
         "scd2_dimension_pit_report",     # SCD2 intervals + point-in-time join
+        "recursive_bom_closure_report",  # WITH RECURSIVE parity via iteration
+        "interval_concurrency_report",   # hourly active sessions, bounded explode
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

@@ -8507,6 +8507,128 @@ FROM a GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def recursive_bom_closure_report(spark, sf_dir):
+    """Recursive-CTE parity — Spark has no WITH RECURSIVE, so the
+    bill-of-materials explosion (transitive closure of a containment
+    hierarchy) runs as bounded-depth frontier iteration: each level is
+    ONE shuffle join of the previous frontier against the edge table on
+    the frontier's tail key, unioned into the closure.  The oracle runs
+    DuckDB's NATIVE ``WITH RECURSIVE`` over the same edges, so the
+    contract proves the iterative expansion computes exactly the
+    recursive-CTE answer.  Hierarchy (deterministic, from fixture parts):
+    part p's parent is p div 10 (a forest, so (ancestor, descendant)
+    paths are unique and need no per-level dedup; for DAG inputs you'd
+    add a distinct per frontier).  At scale: depth-bounded iterations,
+    edges reused across levels (persist once), frontier shuffles on the
+    join key — the standard relational stand-in for recursion, same
+    shape as `dedup.py`'s bounded min-label connected components.
+    Output: per depth, path count and exact descendant-key total."""
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    edges = (
+        p.filter(F.col("p_partkey") >= 10)
+        .select(
+            (F.col("p_partkey") / 10).cast("long").alias("parent"),
+            F.col("p_partkey").alias("child"),
+        )
+        .persist()
+    )
+    frontier = edges.select(
+        F.col("parent").alias("ancestor"),
+        F.col("child").alias("descendant"),
+        F.lit(1).alias("depth"),
+    )
+    closure = frontier
+    for _ in range(2):
+        # alias both sides: the frontier derives from edges, so the
+        # self-join needs qualified names
+        f, e = frontier.alias("f"), edges.alias("e")
+        frontier = f.join(
+            e, F.col("f.descendant") == F.col("e.parent")
+        ).select(
+            F.col("f.ancestor").alias("ancestor"),
+            F.col("e.child").alias("descendant"),
+            (F.col("f.depth") + 1).alias("depth"),
+        )
+        closure = closure.unionByName(frontier)
+    out = (
+        closure.groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.sum("descendant").alias("sum_desc"),
+        )
+        .orderBy("depth")
+    )
+    rows = out.collect()  # ≤3 rows; lets the persisted edges release
+    edges.unpersist(blocking=False)
+    return spark.createDataFrame(rows, out.schema)
+
+
+RECURSIVE_BOM_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT CAST(p_partkey // 10 AS BIGINT) AS parent, p_partkey AS child
+  FROM part WHERE p_partkey >= 10
+),
+anc AS (
+  SELECT parent AS ancestor, child AS descendant, 1 AS depth FROM edges
+  UNION ALL
+  SELECT a.ancestor, e.child, a.depth + 1
+  FROM anc a JOIN edges e ON e.parent = a.descendant
+  WHERE a.depth < 3
+)
+SELECT CAST(depth AS INTEGER) AS depth, COUNT(*) AS n_paths,
+       CAST(SUM(descendant) AS BIGINT) AS sum_desc
+FROM anc GROUP BY depth ORDER BY depth
+"""
+
+
+def interval_concurrency_report(spark, sf_dir):
+    """Interval-overlap concurrency — 'how many sessions were active each
+    hour', the load-profile question interval trees answer on one
+    machine, recast as a bounded coverage explode: per-user-per-day
+    activity spans [first event, last event] become one row per covered
+    hour (fan-out ≤ 24, hard-bounded by the daily clip), then one groupBy
+    counts active sessions and distinct users per hour.  No global
+    sweep-line sort, no single-partition window — the classic +1/-1
+    running-sum formulation needs a TOTAL order over boundaries, which at
+    100 TB means the two-level bucket prefix-sum this hourly bucketing IS.
+    All time arithmetic on BIGINT epoch-micros (integer div), hash-exact
+    cross-engine."""
+    ev = _events(spark, sf_dir)
+    hour_us = 3_600_000_000
+    day_us = 86_400_000_000
+    spans = ev.groupBy(
+        "user_id", F.expr(f"ts div {day_us}").alias("day")
+    ).agg(
+        F.expr(f"min(ts) div {hour_us}").alias("h0"),
+        F.expr(f"max(ts) div {hour_us}").alias("h1"),
+    )
+    covered = spans.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hr")
+    )
+    return (
+        covered.groupBy("hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_active_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hr")
+    )
+
+
+INTERVAL_CONCURRENCY_SQL = """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         MIN(epoch_us(ts)) // 3600000000 AS h0,
+         MAX(epoch_us(ts)) // 3600000000 AS h1
+  FROM events GROUP BY user_id, day
+),
+covered AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hr FROM s)
+SELECT hr, COUNT(*) AS n_active_sessions,
+       COUNT(DISTINCT user_id) AS n_users
+FROM covered GROUP BY hr ORDER BY hr
+"""
+
+
 def scd2_dimension_pit_report(spark, sf_dir):
     """Slowly-changing-dimension Type 2 build + point-in-time join — the
     warehouse pattern for 'what did the dimension say WHEN the fact
@@ -8840,6 +8962,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "event_pattern_match_report": (event_pattern_match_report, EVENT_PATTERN_SQL),
     "outlier_mad_report": (outlier_mad_report, OUTLIER_MAD_SQL),
     "scd2_dimension_pit_report": (scd2_dimension_pit_report, SCD2_PIT_SQL),
+    "recursive_bom_closure_report": (recursive_bom_closure_report, RECURSIVE_BOM_SQL),
+    "interval_concurrency_report": (interval_concurrency_report, INTERVAL_CONCURRENCY_SQL),
 }
 
 # Rows-only demos retired from REGISTRY per VERDICT r3 #1: their hash-checked
