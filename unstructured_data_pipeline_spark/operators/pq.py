@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from unstructured_data_pipeline_spark.operators.clustering import (
     kmeans_assignments,
+    quantize_vec,
 )
 
 __all__ = ["pq_fit_encode", "pq_adc_topk"]
@@ -170,56 +171,143 @@ def pq_fit_encode_subspace(
     if train_cap == "auto":
         train_cap = 100 * k
     dsub = dim // m
-    vec = F.col(vec_col).cast("array<double>")
-
-    def _fit_sub(sub: int):
-        sliced = df.select(
-            F.col(id_col).alias("pid"),
-            F.slice(vec, sub * dsub + 1, dsub).alias("sv"),
-        )
-        assigned = kmeans_assignments(
-            sliced, "pid", "sv", k=k, iters=iters, scale=scale,
-            train_cap=train_cap,
-        ).persist()
-        try:
-            cb_rows = assigned.groupBy("k").agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(F.element_at("x", i + 1)).alias(f"s{i}")
-                    for i in range(dsub)
-                ],
-            ).collect()  # bounded: k rows
-            cb = {
-                r["k"]: ([r[f"s{i}"] for i in range(dsub)], r["n"])
-                for r in cb_rows
+    spark = df.sparkSession
+    empty_schema = "id long, " + ", ".join(f"c{s} int" for s in range(m))
+    pts = df.select(
+        F.col(id_col).alias("id"),
+        quantize_vec(F.col(vec_col), scale).alias("x"),
+    )
+    # ONE md5-sample serves every subspace (the sample is keyed by id, so
+    # the m per-subspace training sets are the same rows sliced m ways) —
+    # the earlier shape ran m independent kmeans_assignments chains, i.e.
+    # m sample-extraction scans + m final-assignment scans + an m-way
+    # id-join at encode, glued by driver threads; this one is 2 corpus
+    # scans TOTAL (sample + encode), no joins, no threads, same results
+    # bit-for-bit (same sample ids, same seeds, same fold order).
+    train = (
+        pts.orderBy(F.md5(F.col("id").cast("string")), "id").limit(train_cap)
+        if train_cap is not None
+        else pts
+    )
+    train = train.persist()
+    try:
+        seeds = train.orderBy("id").limit(k).collect()
+        if len(seeds) < k:  # degenerate input (fewer points than clusters)
+            return (
+                spark.createDataFrame([], empty_schema),
+                [dict() for _ in range(m)],
+                dsub,
+            )
+        cents = [
+            [(list(r["x"])[s * dsub : (s + 1) * dsub], 1) for r in seeds]
+            for s in range(m)
+        ]
+        for _ in range(iters):
+            # every subspace's argmin in ONE exploded row-local pass over
+            # the cached sample, then ONE groupBy updates all m codebooks
+            # (m*k rows of dsub+1 integers to the driver)
+            assigned = _assign_multi(train, cents, dsub, m)
+            rows = _subspace_sums(assigned, dsub).collect()
+            upd = {
+                (r["sub"], r["kk"]): (
+                    [r[f"s{i}"] for i in range(dsub)],
+                    r["n"],
+                )
+                for r in rows
             }
-            c = assigned.select("id", F.col("k").alias(f"c{sub}")).persist()
-            c.count()  # materialize while `assigned` is cached
-        finally:
-            assigned.unpersist(blocking=False)
-        return cb, c
-
-    # the m fits are independent — submit them from m driver threads so
-    # their (short, mostly-barrier) Spark jobs interleave on the cluster
-    # instead of serializing driver-side (concurrent job submission is the
-    # supported Spark pattern for independent work; results are unaffected
-    # because each fit is deterministic in isolation)
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=m) as ex:
-        fitted = list(ex.map(_fit_sub, range(m)))
-    codebooks = [cb for cb, _ in fitted]
-    codes = None
-    for _, c in fitted:
-        codes = c if codes is None else codes.join(c, "id")
-    # `codes` stays cached for the caller (it is the PQ index — callers
-    # search it repeatedly); the m per-subspace frames are only inputs to
-    # the id-join above, so release them once `codes` is materialized
-    codes = codes.persist()
-    codes.count()
-    for _, c in fitted:
-        c.unpersist(blocking=False)
+            cents = [
+                [upd.get((s, j), cents[s][j]) for j in range(k)]
+                for s in range(m)
+            ]
+    finally:
+        train.unpersist(blocking=False)
+    # final FULL-corpus encode: one scan, all m argmins row-local; the
+    # codebook state (half-step-after-assignment over the full corpus,
+    # what ADC scores against) aggregates from the same cached frame
+    final = _assign_multi(pts, cents, dsub, m).persist()
+    try:
+        cb_rows = _subspace_sums(final, dsub).collect()
+        codebooks: list[dict] = [dict() for _ in range(m)]
+        for r in cb_rows:
+            codebooks[r["sub"]][r["kk"]] = (
+                [r[f"s{i}"] for i in range(dsub)],
+                r["n"],
+            )
+        # `codes` stays cached for the caller (it is the PQ index —
+        # callers search it repeatedly)
+        codes = (
+            final.groupBy("id")
+            .agg(
+                *[
+                    F.max(F.when(F.col("sub") == s, F.col("kk"))).alias(f"c{s}")
+                    for s in range(m)
+                ]
+            )
+            .persist()
+        )
+        codes.count()  # materialize while `final` is cached
+    finally:
+        final.unpersist(blocking=False)
     return codes, codebooks, dsub
+
+
+def _assign_multi(
+    pts: DataFrame, cents: list[list[tuple[list[int], int]]], dsub: int, m: int
+) -> DataFrame:
+    """Exploded per-subspace assignment ``(id, sub, sv, kk)``: m slice rows
+    per vector, ONE set of k argmin entries whose centroid literals are
+    arrays-of-arrays indexed by ``sub`` at runtime.  Same IEEE op sequence
+    as `clustering._assign` per slice (the subspace lookup selects the
+    same integers the per-subspace chains used; division, subtraction and
+    the sequential fold are unchanged), but the codegen stays k HOFs wide
+    — a k*m-wide single projection JIT-bailed and ran interpreted."""
+    k = len(cents[0])
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice("x", s * dsub + 1, dsub).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    ex = pts.select("id", F.explode(subs).alias("e")).select(
+        "id", F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv")
+    )
+    sv = F.col("sv")
+    sub1 = F.col("sub") + 1
+
+    def make_step(srow, nrow):
+        def step(acc, i):
+            diff = F.element_at(sv, i) - F.element_at(srow, i) / nrow
+            return acc + diff * diff
+
+        return step
+
+    entries = []
+    for j in range(k):
+        s_all = F.lit([[int(v) for v in cents[s][j][0]] for s in range(m)])
+        n_all = F.lit([int(cents[s][j][1]) for s in range(m)])
+        srow = F.element_at(s_all, sub1.cast("int"))
+        nrow = F.element_at(n_all, sub1.cast("int"))
+        dist = F.aggregate(
+            F.sequence(F.lit(1), F.lit(dsub)),
+            F.lit(0.0),
+            make_step(srow, nrow),
+        )
+        entries.append(F.struct(dist.alias("d"), F.lit(j).alias("k")))
+    return ex.select(
+        "id", "sub", "sv", F.array_min(F.array(*entries))["k"].alias("kk")
+    )
+
+
+def _subspace_sums(assigned: DataFrame, dsub: int) -> DataFrame:
+    """Per (subspace, cluster) count + elementwise slice sums from an
+    `_assign_multi` frame — one map-side-combinable groupBy."""
+    return assigned.groupBy("sub", "kk").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.element_at("sv", i + 1)).alias(f"s{i}") for i in range(dsub)],
+    )
 
 
 def _sq_dist(qx: list[int], s: list[int], n: int) -> float:
