@@ -178,6 +178,7 @@ def main() -> None:
         "scd2_dimension_pit_report",     # SCD2 intervals + point-in-time join
         "recursive_bom_closure_report",  # WITH RECURSIVE parity via iteration
         "interval_concurrency_report",   # hourly active sessions, bounded explode
+        "expectations_audit_report",     # data-quality gate, one pass per table
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

@@ -8507,6 +8507,122 @@ FROM a GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def expectations_audit_report(spark, sf_dir):
+    """Declarative data-quality expectations — the validation gate a
+    pipeline runs before publishing a batch (Great-Expectations shape,
+    compiled to Spark aggregates): each expectation is a row-local
+    violation predicate, ALL single-table checks evaluate in ONE pass per
+    table (conditional-sum aggregation — adding a check adds a column,
+    not a scan), and the referential check is one broadcast-dim anti-join
+    count.  Output: one row per expectation with its violation count and
+    pass flag — the table a publish gate asserts on.  At 100 TB: two fact
+    scans total (orders checks ride one aggregate; referential anti-join
+    is the second), dims broadcast."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+
+    def row(name, viol):
+        return F.struct(
+            F.lit(name).alias("expectation"), viol.alias("n_violations")
+        )
+
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731
+    cust_checks = cust.select(
+        F.array(
+            row("customer.custkey_not_null", cnt(F.col("c_custkey").isNull())),
+            row(
+                "customer.acctbal_in_range",
+                cnt(~F.col("c_acctbal").between(-1000.0, 10000.0)),
+            ),
+            row(
+                "customer.mktsegment_in_set",
+                cnt(
+                    ~F.col("c_mktsegment").isin(
+                        "AUTOMOBILE", "BUILDING", "FURNITURE",
+                        "HOUSEHOLD", "MACHINERY",
+                    )
+                ),
+            ),
+            row(
+                "customer.custkey_unique",
+                (F.count(F.lit(1)) - F.countDistinct("c_custkey")).cast("long"),
+            ),
+        ).alias("checks")
+    )
+    order_checks = orders.select(
+        F.array(
+            row("orders.totalprice_positive", cnt(F.col("o_totalprice") <= 0)),
+            row(
+                "orders.status_in_set",
+                cnt(~F.col("o_orderstatus").isin("F", "O", "P")),
+            ),
+        ).alias("checks")
+    )
+    # referential integrity: orphan orders (no matching customer) — the
+    # one check that needs a second relation; broadcast anti-join count
+    orphans = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.array(
+                row("orders.custkey_references_customer", F.col("n"))
+            ).alias("checks")
+        )
+    )
+    return (
+        cust_checks.unionByName(order_checks)
+        .unionByName(orphans)
+        .select(F.explode("checks").alias("c"))
+        .select(
+            F.col("c.expectation").alias("expectation"),
+            F.col("c.n_violations").alias("n_violations"),
+            (F.col("c.n_violations") == 0).alias("passed"),
+        )
+        .orderBy("expectation")
+    )
+
+
+EXPECTATIONS_SQL = """
+WITH c AS (
+  SELECT 'customer.custkey_not_null' AS expectation,
+         CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+  FROM customer
+  UNION ALL
+  SELECT 'customer.acctbal_in_range',
+         CAST(SUM(CASE WHEN c_acctbal NOT BETWEEN -1000.0 AND 10000.0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT 'customer.mktsegment_in_set',
+         CAST(SUM(CASE WHEN c_mktsegment NOT IN
+           ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+           THEN 1 ELSE 0 END) AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT 'customer.custkey_unique',
+         CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT 'orders.totalprice_positive',
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders.status_in_set',
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders.custkey_references_customer',
+         CAST(COUNT(*) AS BIGINT)
+  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+)
+SELECT expectation, n_violations, n_violations = 0 AS passed
+FROM c ORDER BY expectation
+"""
+
+
 def recursive_bom_closure_report(spark, sf_dir):
     """Recursive-CTE parity — Spark has no WITH RECURSIVE, so the
     bill-of-materials explosion (transitive closure of a containment
@@ -8964,6 +9080,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "scd2_dimension_pit_report": (scd2_dimension_pit_report, SCD2_PIT_SQL),
     "recursive_bom_closure_report": (recursive_bom_closure_report, RECURSIVE_BOM_SQL),
     "interval_concurrency_report": (interval_concurrency_report, INTERVAL_CONCURRENCY_SQL),
+    "expectations_audit_report": (expectations_audit_report, EXPECTATIONS_SQL),
 }
 
 # Rows-only demos retired from REGISTRY per VERDICT r3 #1: their hash-checked
