@@ -31,3 +31,9 @@ def test_curation_pipeline_runs():
     out = _run("curation_pipeline.py", "/root/testdata/sf0.001")
     assert "after decontamination" in out
     assert "packing / mixture report:" in out
+
+
+def test_warehouse_lifecycle_runs():
+    out = _run("warehouse_lifecycle.py", "/root/testdata/sf0.001")
+    assert "ivm rollup == recompute: ok" in out
+    assert "warehouse lifecycle: complete" in out
