@@ -179,6 +179,7 @@ def main() -> None:
         "recursive_bom_closure_report",  # WITH RECURSIVE parity via iteration
         "interval_concurrency_report",   # hourly active sessions, bounded explode
         "expectations_audit_report",     # data-quality gate, one pass per table
+        "mutual_nn_pairs",               # bitext mutual top-1 pair mining
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

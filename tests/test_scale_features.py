@@ -262,6 +262,7 @@ def test_no_unbounded_join_plans(spark, sf_dir):
         "ann_pq_subspace_topk",
         "ann_pq_recall",
         "jl_projection_topk",   # broadcast |Q|=4 projected query vectors
+        "mutual_nn_pairs",      # broadcast one label block (in-bucket exact step)
     }
     offenders = {}
     for name, (fn, _) in REGISTRY.items():

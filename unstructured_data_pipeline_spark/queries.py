@@ -8507,6 +8507,85 @@ FROM a GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def mutual_nn_pairs(spark, sf_dir):
+    """Mutual nearest-neighbor pair mining — the bitext/parallel-data
+    technique (each side's top-1 must agree before a pair is kept, which
+    filters the asymmetric false matches plain top-1 retrieval keeps).
+    Sides here are two embedding label groups; distances are exact
+    integer L2 over fixed-point coordinates (hash-exact cross-engine).
+    Scale shape: the exact all-pairs step runs WITHIN A BLOCK — side A
+    (one label/bucket) broadcasts against side B, the deliberate
+    bounded-build BNLJ every blocked similarity op in this repo uses; at
+    corpus scale the blocks come from LSH/IVF assignment
+    (`similarity.py`), and this is the in-bucket step.  Both directions'
+    rank-1 come from two windows over ONE scored frame; mutuality is an
+    equi-join of the two rank-1 sets."""
+    emb = _heavy(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * 10000 + F.lit(0.5)).cast("long"),
+    )
+    a = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("a_id"), q.alias("qa")
+    )
+    b = emb.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("b_id"), q.alias("qb")
+    )
+    scored = b.join(F.broadcast(a), F.lit(True)).select(
+        "a_id",
+        "b_id",
+        F.aggregate(
+            F.zip_with("qa", "qb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("dist2"),
+    )
+    wa = Window.partitionBy("a_id").orderBy("dist2", "b_id")
+    wb = Window.partitionBy("b_id").orderBy("dist2", "a_id")
+    ranked = scored.select(
+        "a_id",
+        "b_id",
+        "dist2",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    return (
+        ranked.filter((F.col("ra") == 1) & (F.col("rb") == 1))
+        .select("a_id", "b_id", "dist2")
+        .orderBy("a_id")
+    )
+
+
+_Q10K = (
+    "list_transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
+)
+
+MUTUAL_NN_SQL = f"""
+WITH a AS (
+  SELECT vec_id AS a_id, {_Q10K.format(col='embedding')} AS qa
+  FROM embeddings WHERE label = 0
+),
+b AS (
+  SELECT vec_id AS b_id, {_Q10K.format(col='embedding')} AS qb
+  FROM embeddings WHERE label = 1
+),
+scored AS (
+  SELECT a_id, b_id,
+         list_sum(list_transform(generate_series(1, 64),
+           i -> (qa[i] - qb[i]) * (qa[i] - qb[i]))) AS dist2
+  FROM a, b
+),
+ranked AS (
+  SELECT a_id, b_id, dist2,
+         row_number() OVER (PARTITION BY a_id ORDER BY dist2, b_id) AS ra,
+         row_number() OVER (PARTITION BY b_id ORDER BY dist2, a_id) AS rb
+  FROM scored
+)
+SELECT a_id, b_id, CAST(dist2 AS BIGINT) AS dist2
+FROM ranked WHERE ra = 1 AND rb = 1 ORDER BY a_id
+"""
+
+
 def expectations_audit_report(spark, sf_dir):
     """Declarative data-quality expectations — the validation gate a
     pipeline runs before publishing a batch (Great-Expectations shape,
@@ -9081,6 +9160,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "recursive_bom_closure_report": (recursive_bom_closure_report, RECURSIVE_BOM_SQL),
     "interval_concurrency_report": (interval_concurrency_report, INTERVAL_CONCURRENCY_SQL),
     "expectations_audit_report": (expectations_audit_report, EXPECTATIONS_SQL),
+    "mutual_nn_pairs": (mutual_nn_pairs, MUTUAL_NN_SQL),
 }
 
 # Rows-only demos retired from REGISTRY per VERDICT r3 #1: their hash-checked
