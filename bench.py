@@ -180,6 +180,8 @@ def main() -> None:
         "interval_concurrency_report",   # hourly active sessions, bounded explode
         "expectations_audit_report",     # data-quality gate, one pass per table
         "mutual_nn_pairs",               # bitext mutual top-1 pair mining
+        "ols_trend_by_segment",          # exact OLS from integer power sums
+        "user_streaks_report",           # gaps-and-islands longest streaks
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

@@ -8507,6 +8507,117 @@ FROM a GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def ols_trend_by_segment(spark, sf_dir):
+    """Exact per-group least-squares trend — slope and intercept of order
+    value over order date per market segment, from INTEGER power sums
+    (n, Σx, Σy, Σxy, Σx²) exactly like `corr_stats_exact`: one
+    map-side-combinable aggregate per group, no second pass, no
+    centering shuffle.  x = days since 1992-01-01 (date arithmetic, no
+    timezone dependence; the small origin keeps n·Σxy inside BIGINT);
+    y = price cents.  The closed
+    forms n·Σxy − Σx·Σy and n·Σx² − (Σx)² stay exact in BIGINT; the one
+    division happens once per GROUP on int64→double conversions (IEEE
+    round-to-nearest, identical in both engines), rounded to 6 places.
+    At 100 TB: one aggregation, 5 integer sums per group — regression as
+    a monoid."""
+    o = _t(spark, sf_dir, "orders").join(
+        F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    # date-diff, not unix_timestamp: NTZ epoch extraction is session-
+    # timezone-dependent and the driver runs a vanilla session
+    x = F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).cast("long")
+    y = _cents(F.col("o_totalprice"))
+    sums = o.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return sums.select(
+        "c_mktsegment",
+        "n",
+        F.round(slope, 6).alias("slope_cents_per_day"),
+        F.round(intercept, 6).alias("intercept_cents"),
+    ).orderBy("c_mktsegment")
+
+
+OLS_TREND_SQL = f"""
+WITH j AS (
+  SELECT c_mktsegment,
+         CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+         {_c('o_totalprice')} AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+s AS (
+  SELECT c_mktsegment, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM j GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_day,
+       round((CAST(sy AS DOUBLE)
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept_cents
+FROM s ORDER BY c_mktsegment
+"""
+
+
+def user_streaks_report(spark, sf_dir):
+    """Gaps-and-islands — the classic SQL streak problem (longest run of
+    consecutive active DAYS per user), solved with the canonical
+    day − dense_rank trick: within a user, consecutive days share a
+    constant (day − rank) island key, so streaks fall out of two window
+    passes over the same user partition (ONE shuffle — both windows and
+    the groupBys share the user-keyed exchange) and a per-island count.
+    Output: per streak length, how many users have it as their LONGEST
+    streak — the engagement histogram.  All integer day arithmetic."""
+    ev = _events(spark, sf_dir)
+    days = ev.select(
+        "user_id", F.expr("ts div 86400000000").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        "day",
+        (F.col("day") - F.row_number().over(w)).alias("island"),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    longest = streaks.groupBy("user_id").agg(F.max("len").alias("best"))
+    return (
+        longest.groupBy("best")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("best")
+    )
+
+
+USER_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+islands AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, COUNT(*) AS len FROM islands GROUP BY user_id, island
+),
+longest AS (SELECT user_id, MAX(len) AS best FROM streaks GROUP BY user_id)
+SELECT best, COUNT(*) AS n_users FROM longest GROUP BY best ORDER BY best
+"""
+
+
 def mutual_nn_pairs(spark, sf_dir):
     """Mutual nearest-neighbor pair mining — the bitext/parallel-data
     technique (each side's top-1 must agree before a pair is kept, which
@@ -9161,6 +9272,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "interval_concurrency_report": (interval_concurrency_report, INTERVAL_CONCURRENCY_SQL),
     "expectations_audit_report": (expectations_audit_report, EXPECTATIONS_SQL),
     "mutual_nn_pairs": (mutual_nn_pairs, MUTUAL_NN_SQL),
+    "ols_trend_by_segment": (ols_trend_by_segment, OLS_TREND_SQL),
+    "user_streaks_report": (user_streaks_report, USER_STREAKS_SQL),
 }
 
 # Rows-only demos retired from REGISTRY per VERDICT r3 #1: their hash-checked
