@@ -182,6 +182,8 @@ def main() -> None:
         "mutual_nn_pairs",               # bitext mutual top-1 pair mining
         "ols_trend_by_segment",          # exact OLS from integer power sums
         "user_streaks_report",           # gaps-and-islands longest streaks
+        "table_fingerprint_report",      # order-independent reconciliation sums
+        "rfm_segmentation_report",       # RFM quartile segment histogram
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

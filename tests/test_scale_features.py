@@ -263,6 +263,7 @@ def test_no_unbounded_join_plans(spark, sf_dir):
         "ann_pq_recall",
         "jl_projection_topk",   # broadcast |Q|=4 projected query vectors
         "mutual_nn_pairs",      # broadcast one label block (in-bucket exact step)
+        "rfm_segmentation_report",  # broadcast single-row max-date scalar
     }
     offenders = {}
     for name, (fn, _) in REGISTRY.items():

@@ -8507,6 +8507,123 @@ FROM a GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def table_fingerprint_report(spark, sf_dir):
+    """Order-independent table fingerprints — the replication/migration
+    reconciliation primitive: two copies of a table match iff their
+    fingerprints match, computable on each side WITHOUT moving rows.
+    Per-row hash = first 12 hex digits of md5 over a canonical pipe-joined
+    projection (12 digits keep the BIGINT sum of ~10⁸ rows far from
+    overflow); table fingerprint = (row count, SUM of row hashes) — a
+    commutative monoid, so ANY partitioning/engine/insertion order yields
+    the same pair, and a single corrupted cell flips it.  One aggregation
+    per table, map-side combinable.  Here: three tables' fingerprints in
+    one report (the cross-engine hash-match IS the reconciliation)."""
+
+    def fp(df, name, cols):
+        canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        h = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+        return df.agg(
+            F.lit(name).alias("tbl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(h).alias("fingerprint"),
+        )
+
+    cust = fp(
+        _t(spark, sf_dir, "customer"),
+        "customer",
+        ["c_custkey", "c_mktsegment"],
+    )
+    nat = fp(_t(spark, sf_dir, "nation"), "nation", ["n_nationkey", "n_name"])
+    reg = fp(_t(spark, sf_dir, "region"), "region", ["r_regionkey", "r_name"])
+    return cust.unionByName(nat).unionByName(reg).orderBy("tbl")
+
+
+TABLE_FINGERPRINT_SQL = """
+WITH f AS (
+  SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
+         CAST(SUM(CAST(('0x' || substr(md5(concat_ws('|',
+           CAST(c_custkey AS VARCHAR), c_mktsegment)), 1, 12)) AS BIGINT)) AS BIGINT)
+           AS fingerprint
+  FROM customer
+  UNION ALL
+  SELECT 'nation', COUNT(*),
+         CAST(SUM(CAST(('0x' || substr(md5(concat_ws('|',
+           CAST(n_nationkey AS VARCHAR), n_name)), 1, 12)) AS BIGINT)) AS BIGINT)
+  FROM nation
+  UNION ALL
+  SELECT 'region', COUNT(*),
+         CAST(SUM(CAST(('0x' || substr(md5(concat_ws('|',
+           CAST(r_regionkey AS VARCHAR), r_name)), 1, 12)) AS BIGINT)) AS BIGINT)
+  FROM region
+)
+SELECT tbl, n_rows, fingerprint FROM f ORDER BY tbl
+"""
+
+
+def rfm_segmentation_report(spark, sf_dir):
+    """RFM segmentation — the classic customer-analytics feature build:
+    per customer, Recency (days from last order to the corpus max date),
+    Frequency (order count), Monetary (total cents); each dimension
+    quartiled with ntile(4) and the 3-digit RFM segment reported as a
+    histogram.  Plan shape: one groupBy builds the per-customer features,
+    the max date rides a single-row broadcast (scalar subquery shape, not
+    a global window over rows), and the three ntiles are unpartitioned
+    windows over the CUSTOMER-level frame — one row per customer, the
+    already-aggregated small relation, which is the documented exception
+    to the no-global-window rule (same as `source_mixture_weights`).
+    Ties order by customer key so quartile edges are deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    feats = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("monetary"),
+    )
+    maxd = o.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
+    feats = feats.join(F.broadcast(maxd)).select(
+        "o_custkey",
+        F.datediff(F.col("maxd"), F.col("last_order")).alias("recency"),
+        "frequency",
+        "monetary",
+    )
+    wr = Window.orderBy("recency", "o_custkey")
+    wf = Window.orderBy(F.desc("frequency"), "o_custkey")
+    wm = Window.orderBy(F.desc("monetary"), "o_custkey")
+    scored = feats.select(
+        F.ntile(4).over(wr).alias("r"),
+        F.ntile(4).over(wf).alias("f"),
+        F.ntile(4).over(wm).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r", "f", "m")
+    )
+
+
+RFM_SQL = f"""
+WITH feats AS (
+  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_order,
+         COUNT(*) AS frequency,
+         CAST(SUM({_c('o_totalprice')}) AS BIGINT) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+maxd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+r AS (
+  SELECT o_custkey,
+         date_diff('day', last_order, maxd) AS recency, frequency, monetary
+  FROM feats, maxd
+),
+scored AS (
+  SELECT ntile(4) OVER (ORDER BY recency, o_custkey) AS r,
+         ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+  FROM r
+)
+SELECT r, f, m, COUNT(*) AS n_customers
+FROM scored GROUP BY r, f, m ORDER BY r, f, m
+"""
+
+
 def ols_trend_by_segment(spark, sf_dir):
     """Exact per-group least-squares trend — slope and intercept of order
     value over order date per market segment, from INTEGER power sums
@@ -9274,6 +9391,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mutual_nn_pairs": (mutual_nn_pairs, MUTUAL_NN_SQL),
     "ols_trend_by_segment": (ols_trend_by_segment, OLS_TREND_SQL),
     "user_streaks_report": (user_streaks_report, USER_STREAKS_SQL),
+    "table_fingerprint_report": (table_fingerprint_report, TABLE_FINGERPRINT_SQL),
+    "rfm_segmentation_report": (rfm_segmentation_report, RFM_SQL),
 }
 
 # Rows-only demos retired from REGISTRY per VERDICT r3 #1: their hash-checked
