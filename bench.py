@@ -184,6 +184,8 @@ def main() -> None:
         "user_streaks_report",           # gaps-and-islands longest streaks
         "table_fingerprint_report",      # order-independent reconciliation sums
         "rfm_segmentation_report",       # RFM quartile segment histogram
+        "association_rules_report",      # basket rules: support/confidence/lift
+        "largest_remainder_allocation",  # exact integer proration
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

@@ -8507,6 +8507,163 @@ FROM a GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def association_rules_report(spark, sf_dir):
+    """Market-basket association rules — the Apriori output surface
+    (support, confidence, lift) for part pairs co-ordered in the same
+    order.  Pair counts come from the bounded per-order self-join
+    (`pagerank_part_copurchase`'s edge build: fan-out capped by order
+    size); item supports are one groupBy broadcast back onto the pairs;
+    the basket total is a single-row broadcast scalar.  Confidence and
+    lift are single divisions of exact integers, rounded to 6 — ranks
+    deterministic with id tie-breaks.  Output: top-20 rules by lift
+    among pairs with support ≥ 3 baskets.  At 100 TB nothing is
+    quadratic: pairs are order-local, supports are broadcast-sized."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.distinct()
+    n_orders = baskets.select("l_orderkey").distinct().count()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("ante"),
+            F.col("b.l_partkey").alias("cons"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= 3)
+    )
+    items = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("item_n"))
+    ruled = (
+        pairs.join(
+            F.broadcast(items.withColumnRenamed("l_partkey", "ante")), "ante"
+        )
+        .withColumnRenamed("item_n", "ante_n")
+        .join(
+            F.broadcast(
+                items.withColumnRenamed("l_partkey", "cons").withColumnRenamed(
+                    "item_n", "cons_n"
+                )
+            ),
+            "cons",
+        )
+    )
+    conf = F.col("pair_n") / F.col("ante_n")
+    lift = conf * n_orders / F.col("cons_n")
+    return (
+        ruled.select(
+            "ante",
+            "cons",
+            "pair_n",
+            F.round(conf, 6).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "ante", "cons")
+        .limit(20)
+    )
+
+
+ASSOCIATION_RULES_SQL = """
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets),
+pairs AS (
+  SELECT a.l_partkey AS ante, b.l_partkey AS cons, COUNT(*) AS pair_n
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY ante, cons HAVING COUNT(*) >= 3
+),
+items AS (SELECT l_partkey, COUNT(*) AS item_n FROM baskets GROUP BY l_partkey)
+SELECT ante, cons, pair_n,
+       round(CAST(pair_n AS DOUBLE) / ia.item_n, 6) AS confidence,
+       round(CAST(pair_n AS DOUBLE) / ia.item_n * n.n_orders / ic.item_n, 6) AS lift
+FROM pairs
+JOIN items ia ON ia.l_partkey = ante
+JOIN items ic ON ic.l_partkey = cons
+CROSS JOIN n
+ORDER BY lift DESC, ante, cons LIMIT 20
+"""
+
+
+def largest_remainder_allocation(spark, sf_dir):
+    """Exact integer proration by the largest-remainder method — the
+    billing/apportionment algorithm (distribute an integer budget across
+    groups proportional to weights so the shares sum EXACTLY to the
+    budget; naive rounding drifts).  Each segment gets
+    floor(budget·weight/total), and the leftover units go one each to
+    the largest fractional remainders (ties by segment key).  All
+    arithmetic is BIGINT (remainders compared as integer cross-products,
+    never floats), so the allocation is bit-identical on any engine.
+    Plan: one groupBy for weights, windows over the 5-row aggregate for
+    the total/rank — post-aggregation driver-scale work.  The invariant
+    the oracle hash-checks: SUM(alloc) == budget exactly."""
+    budget = 1_000_000
+    o = _t(spark, sf_dir, "orders").join(
+        F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    w = o.groupBy("c_mktsegment").agg(
+        F.sum(_cents(F.col("o_totalprice"))).alias("weight")
+    )
+    tot = Window.partitionBy()
+    shares = w.select(
+        "c_mktsegment",
+        "weight",
+        F.sum("weight").over(tot).alias("total"),
+        F.count(F.lit(1)).over(tot).alias("n_groups"),
+    ).select(
+        "c_mktsegment",
+        "weight",
+        "total",
+        F.expr(f"({budget} * weight) div total").alias("base"),
+        # remainder as an exact integer: budget*weight mod total
+        F.expr(f"({budget} * weight) % total").alias("rem"),
+    )
+    leftover = F.lit(budget) - F.sum("base").over(tot)
+    ranked = shares.select(
+        "c_mktsegment",
+        "base",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), "c_mktsegment"))
+        .alias("rr"),
+        leftover.alias("leftover"),
+    )
+    return (
+        ranked.select(
+            "c_mktsegment",
+            (
+                F.col("base")
+                + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("alloc"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+LARGEST_REMAINDER_SQL = f"""
+WITH w AS (
+  SELECT c_mktsegment, CAST(SUM({_c('o_totalprice')}) AS BIGINT) AS weight
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+),
+s AS (
+  SELECT c_mktsegment, weight,
+         SUM(weight) OVER () AS total,
+         (1000000 * weight) // SUM(weight) OVER () AS base,
+         (1000000 * weight) % SUM(weight) OVER () AS rem
+  FROM w
+),
+r AS (
+  SELECT c_mktsegment, base,
+         row_number() OVER (ORDER BY rem DESC, c_mktsegment) AS rr,
+         1000000 - SUM(base) OVER () AS leftover
+  FROM s
+)
+SELECT c_mktsegment,
+       CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM r ORDER BY c_mktsegment
+"""
+
+
 def table_fingerprint_report(spark, sf_dir):
     """Order-independent table fingerprints — the replication/migration
     reconciliation primitive: two copies of a table match iff their
@@ -9393,6 +9550,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "user_streaks_report": (user_streaks_report, USER_STREAKS_SQL),
     "table_fingerprint_report": (table_fingerprint_report, TABLE_FINGERPRINT_SQL),
     "rfm_segmentation_report": (rfm_segmentation_report, RFM_SQL),
+    "association_rules_report": (association_rules_report, ASSOCIATION_RULES_SQL),
+    "largest_remainder_allocation": (largest_remainder_allocation, LARGEST_REMAINDER_SQL),
 }
 
 # Rows-only demos retired from REGISTRY per VERDICT r3 #1: their hash-checked
