@@ -746,3 +746,63 @@ def test_containment_boundary_exact(spark):
     }
     assert rows[(1, 2)] == 0.8  # the boundary-exact direction
     assert rows[(2, 1)] == 1.0  # B fully contained in A
+
+
+def test_largest_remainder_invariants(spark):
+    """Property: for ANY positive integer weights, the largest-remainder
+    allocation sums EXACTLY to the budget and each share is within one
+    unit of its exact proportional entitlement (the method's defining
+    guarantees; naive rounding breaks the first, floor-only the second)."""
+    import math
+
+    from hypothesis import given, settings, HealthCheck
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    budget = 10_000
+
+    @given(
+        weights=st.lists(
+            st.integers(min_value=1, max_value=10**9), min_size=1, max_size=8
+        )
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(weights):
+        w = spark.createDataFrame(
+            [(f"g{i:02d}", wt) for i, wt in enumerate(weights)],
+            "c_mktsegment string, weight long",
+        )
+        tot = Window.partitionBy()
+        shares = w.select(
+            "c_mktsegment",
+            "weight",
+            F.expr(f"({budget} * weight) div sum(weight) over ()").alias("base"),
+            F.expr(f"({budget} * weight) % sum(weight) over ()").alias("rem"),
+        )
+        leftover = F.lit(budget) - F.sum("base").over(tot)
+        ranked = shares.select(
+            "c_mktsegment",
+            "weight",
+            "base",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rem"), "c_mktsegment"))
+            .alias("rr"),
+            leftover.alias("leftover"),
+        )
+        out = {
+            r["c_mktsegment"]: (r["weight"], r["base"] + (1 if r["rr"] <= r["leftover"] else 0))
+            for r in ranked.collect()
+        }
+        total_w = sum(weights)
+        assert sum(a for _, a in out.values()) == budget  # exact-sum invariant
+        for wt, alloc in out.values():
+            exact = budget * wt / total_w
+            assert math.floor(exact) <= alloc <= math.floor(exact) + 1
+
+    check()
