@@ -8787,11 +8787,11 @@ def ols_trend_by_segment(spark, sf_dir):
     (n, Σx, Σy, Σxy, Σx²) exactly like `corr_stats_exact`: one
     map-side-combinable aggregate per group, no second pass, no
     centering shuffle.  x = days since 1992-01-01 (date arithmetic, no
-    timezone dependence; the small origin keeps n·Σxy inside BIGINT);
-    y = price cents.  The closed
-    forms n·Σxy − Σx·Σy and n·Σx² − (Σx)² stay exact in BIGINT; the one
-    division happens once per GROUP on int64→double conversions (IEEE
-    round-to-nearest, identical in both engines), rounded to 6 places.
+    timezone dependence); y = price cents.  The closed forms
+    n·Σxy − Σx·Σy and n·Σx² − (Σx)² are computed in exact WIDE integers —
+    Spark DECIMAL(38,0) == DuckDB HUGEINT — because n·Σxy overflows int64
+    at sf0.1 (caught by the sf0.1 sweep); the one division per GROUP
+    happens on correctly-rounded to-double conversions, rounded to 6.
     At 100 TB: one aggregation, 5 integer sums per group — regression as
     a monoid."""
     o = _t(spark, sf_dir, "orders").join(
@@ -8809,10 +8809,19 @@ def ols_trend_by_segment(spark, sf_dir):
         F.sum(x * y).alias("sxy"),
         F.sum(x * x).alias("sxx"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # closed forms in EXACT wide integers: n·Σxy overflows int64 at sf0.1
+    # (n~3e4, Σxy~1e15) — Spark DECIMAL(38,0) == DuckDB HUGEINT, both
+    # exact here, both correctly-rounded on the final to-double conversion
+    dec = "decimal(38,0)"
+    nn, sx, sy, sxy, sxx = (
+        F.col(c).cast(dec) for c in ("n", "sx", "sy", "sxy", "sxx")
+    )
+    num = (nn * sxy - sx * sy).cast("double")
+    den = (nn * sxx - sx * sx).cast("double")
     slope = num / den
-    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
     return sums.select(
         "c_mktsegment",
         "n",
@@ -8835,11 +8844,13 @@ s AS (
   FROM j GROUP BY c_mktsegment
 )
 SELECT c_mktsegment, n,
-       round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_day,
+       round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6)
+         AS slope_cents_per_day,
        round((CAST(sy AS DOUBLE)
-              - CAST(n * sxy - sx * sy AS DOUBLE)
-                / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              - CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                * CAST(sx AS DOUBLE))
              / CAST(n AS DOUBLE), 6) AS intercept_cents
 FROM s ORDER BY c_mktsegment
 """
