@@ -186,6 +186,7 @@ def main() -> None:
         "rfm_segmentation_report",       # RFM quartile segment histogram
         "association_rules_report",      # basket rules: support/confidence/lift
         "largest_remainder_allocation",  # exact integer proration
+        "twap_user_daily",               # time-weighted average per user-day
     ]
 
     def _emb_neardup_expression(spark, sf_dir):
