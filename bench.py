@@ -59,8 +59,16 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Shuffle/spill files go to a repo-local scratch dir instead of /tmp:
+    # round 5's driver bench died mid-run when a /tmp reaper deleted live
+    # blockmgr shuffle files (BENCH_r05 rc=1, zero parsed numbers).
+    scratch = str(Path(__file__).resolve().parent / ".spark-scratch")
+    os.makedirs(scratch, exist_ok=True)
     spark = get_spark(
-        app_name="udp-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+        app_name="udp-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.local.dir": scratch},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -92,7 +100,35 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    extra: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    docs_per_sec: float | None = None
     total = 0.0
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    def emit(partial: bool) -> None:
+        """Print the cumulative result JSON line NOW (flush), so a crash at
+        any later stage can no longer erase already-measured numbers —
+        the driver's parser takes the LAST JSON line it sees (VERDICT r5 #3;
+        BENCH_r05 died at stage 3781 with every number lost)."""
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_query_suite_total",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "cold_queries": cold,
+                    "extra_queries": extra,
+                    "pipeline_docs_per_sec": docs_per_sec,
+                    "sf": float(sf) if sf else None,
+                    "partial": partial,
+                    "errors": errors,
+                }
+            ),
+            flush=True,
+        )
+
     for name in HEADLINE:
         fn, _ = REGISTRY[name]
         # steady-state methodology: run once to JIT the generated code for
@@ -100,15 +136,22 @@ def main() -> None:
         # plan build + execution.  The rebuild gets a new QueryExecution, so
         # nothing is reused across runs except compiled codegen classes —
         # the second run re-scans, re-shuffles, and re-computes everything.
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        n = len(fn(spark, sf_dir).collect())
+        try:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            cold[name] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            n = len(fn(spark, sf_dir).collect())
+        except Exception as e:  # keep measuring; record and move on
+            errors[name] = str(e).split("\n")[0][:200]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+            continue
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s cold {cold[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    emit(partial=True)  # headline numbers are now crash-safe on stdout
 
     # round-2 additions, timed SEPARATELY — the headline set above stays
     # frozen for round-over-round comparability (VERDICT r1 #10)
@@ -267,46 +310,43 @@ def main() -> None:
         "emb_neardup_expression": _emb_neardup_expression,
         "pq_subspace_recall": _pq_subspace_recall,
     }
-    extra: dict[str, float] = {}
-    for name in EXTRA:
+    for i, name in enumerate(EXTRA):
         if name in BENCH_ONLY:
             fn = BENCH_ONLY[name]
         elif name in REGISTRY:
             fn = REGISTRY[name][0]
         else:
             fn = DEMOS[name]  # rows-only demos retired from REGISTRY in r4
-        fn(spark, sf_dir).collect()  # warm/JIT
-        t0 = time.perf_counter()
-        n = len(fn(spark, sf_dir).collect())
-        extra[name] = round(time.perf_counter() - t0, 3)
-        print(f"# extra {name}: {extra[name]:.3f}s ({n} rows)", file=sys.stderr)
+        try:
+            fn(spark, sf_dir).collect()  # warm/JIT
+            t0 = time.perf_counter()
+            n = len(fn(spark, sf_dir).collect())
+            extra[name] = round(time.perf_counter() - t0, 3)
+            print(f"# extra {name}: {extra[name]:.3f}s ({n} rows)", file=sys.stderr)
+        except Exception as e:
+            errors[name] = str(e).split("\n")[0][:200]
+            print(f"# extra {name}: FAILED {errors[name]}", file=sys.stderr)
+        if (i + 1) % 8 == 0:
+            emit(partial=True)  # checkpoint the artifact every 8 extras
 
     # document-pipeline throughput (BASELINE.md: docs/sec, stub AI backends,
     # full classify->extract->EAV): documents count / wall time of the EAV run.
     # Drop the EXTRA queries' persisted state first (several table-layer and
     # PQ entries legitimately cache intermediates): the throughput number
     # should measure the pipeline, not the GC pressure of 40 earlier queries.
-    spark.catalog.clearCache()
-    n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
-    t0 = time.perf_counter()
-    REGISTRY["pipeline_extract_eav"][0](spark, sf_dir).count()
-    docs_per_sec = round(n_docs / (time.perf_counter() - t0), 1)
+    emit(partial=True)
+    try:
+        spark.catalog.clearCache()
+        n_docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).count()
+        t0 = time.perf_counter()
+        REGISTRY["pipeline_extract_eav"][0](spark, sf_dir).count()
+        docs_per_sec = round(n_docs / (time.perf_counter() - t0), 1)
+    except Exception as e:
+        errors["pipeline_docs_per_sec"] = str(e).split("\n")[0][:200]
 
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_suite_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "cold_queries": cold,
-                "extra_queries": extra,
-                "pipeline_docs_per_sec": docs_per_sec,
-                "sf": float(sf) if sf else None,
-            }
-        )
-    )
+    emit(partial=False)
     spark.stop()
 
 

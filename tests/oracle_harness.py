@@ -22,15 +22,27 @@ def run_oracle(sql: str, sf_dir: str):
 
 
 def _norm_cell(v):
+    """Canonicalize a cell for comparison.
+
+    Driver parity (VERDICT r5 #2): the driver hashes canonical STRING
+    renderings of each cell, so an integer-typed Spark column vs a
+    float-typed oracle column (e.g. DuckDB HUGEINT rendered as float64 by
+    fetchdf) must NOT compare equal here even though Python says
+    ``26000000000000 == 2.6e13``.  Floats are therefore rendered as their
+    repr string (after a 9-dp round that absorbs benign cross-engine
+    double noise) — ``'26000000000000.0'`` never equals the int
+    ``26000000000000``, so a kind mismatch fails locally exactly like it
+    fails at the driver."""
     if v is None:
         return None
+    if hasattr(v, "item"):  # numpy scalar
+        v = v.item()
+    if isinstance(v, bool):
+        return f"b:{v}"
     if isinstance(v, float):
         if math.isnan(v):
             return None
-        return round(v, 9)
-    if hasattr(v, "item"):  # numpy scalar
-        v = v.item()
-        return _norm_cell(v)
+        return repr(round(v, 9))
     if isinstance(v, bytes):
         return v.hex()
     return v

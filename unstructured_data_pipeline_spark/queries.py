@@ -8219,7 +8219,7 @@ d AS (
   FROM qp JOIN proj v USING (j)
   WHERE v.vec_id <> q_id GROUP BY q_id, v.vec_id
 )
-SELECT q_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, dist2
+SELECT q_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, CAST(dist2 AS BIGINT) AS dist2
 FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dist2, neighbor_id) AS rnk
       FROM d) t
 WHERE rnk <= 5 ORDER BY q_id, rnk
@@ -9609,7 +9609,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
     "q18_big_orders": (q18_big_orders, Q18_SQL),
     # round-5 additions (never driver-checked -> the computed freshness
-    # rotation surfaces them right behind _R5_CHANGED automatically)
+    # rotation surfaces them right behind _R6_CHANGED automatically)
     "dsir_importance_sample": (dsir_importance_sample, DSIR_SQL),
     "bm25_topk_contract": (bm25_topk_contract, BM25_SQL),
     "unimax_language_budgets": (unimax_language_budgets, UNIMAX_SQL),
@@ -9665,14 +9665,10 @@ DEMOS = {
 # Entries past the ~50 budget simply wait; the computed order guarantees
 # they are the FRESHEST-evidence entries, never forgotten ones.
 
-_R5_CHANGED = [
-    # sample-fit Lloyd's training (train_cap md5-sample, VERDICT r4 wrong #1)
-    "kmeans_embeddings_clusters",
-    "semdedup_report",
-    # + single-scan broadcast ADC top-k (VERDICT r4 wrong #2)
-    "ann_pq_topk_contract",
-    "ann_pq_subspace_topk",
-    "ann_pq_recall",
+_R6_CHANGED = [
+    # VERDICT r5 #1: CAST(dist2 AS BIGINT) added to JL_PROJECTION_SQL (the
+    # registry's only HUGEINT-output oracle; engine output was already right)
+    "jl_projection_topk",
 ]
 
 
@@ -9709,7 +9705,7 @@ def _latest_green_rounds() -> dict[str, int]:
 
 
 def _freshness_order(names: list[str]) -> list[str]:
-    changed = [n for n in _R5_CHANGED if n in names]
+    changed = [n for n in _R6_CHANGED if n in names]
     green = _latest_green_rounds()
     pos = {n: i for i, n in enumerate(names)}
     rest = sorted(
@@ -9719,7 +9715,7 @@ def _freshness_order(names: list[str]) -> list[str]:
     return changed + rest
 
 
-assert set(_R5_CHANGED) <= set(REGISTRY), sorted(set(_R5_CHANGED) - set(REGISTRY))
+assert set(_R6_CHANGED) <= set(REGISTRY), sorted(set(_R6_CHANGED) - set(REGISTRY))
 REGISTRY = {n: REGISTRY[n] for n in _freshness_order(list(REGISTRY))}
 
 
