@@ -9451,6 +9451,83 @@ FROM documents GROUP BY split, lang ORDER BY split, lang
 
 
 # ---------------------------------------------------------------------------
+# round 6: data-skipping, binary ANN, theta set ops, format/privacy surface
+
+
+def zonemap_pruning_report(spark, sf_dir):
+    """Zone-map file skipping — the data-skipping half of the layout story
+    (`zorder_layout_report` is the clustering half; every lakehouse format
+    and the reference platform's micro-partition pruning work this way):
+    events are laid out into user_id-clustered files (fixed-width id
+    buckets, one file per bucket), a per-file min/max index is built in
+    ONE scan (`operators/zonemaps.py`), and a range predicate first
+    intersects the file zones so only overlapping files are scanned.  The
+    report proves both halves of the contract: the pruned scan's answer
+    equals the full-scan answer (n_rows / sum_cents / n_users), and the
+    metadata-only decision read strictly fewer files (files_read <
+    files_total).  At 100 TB the index is O(files) kilobytes, pruning is
+    driver-side metadata, and scan cost tracks the selected range — not
+    the table size."""
+    import shutil
+    import tempfile
+
+    from unstructured_data_pipeline_spark.operators import zonemaps as ZM
+
+    ev = _events(spark, sf_dir).select("user_id", _cents(F.col("value")).alias("cents"))
+    mx = ev.agg(F.max("user_id")).first()[0]
+    w = max(1, mx // 8 + 1)  # fixed-width id buckets -> 8-ish clustered files
+    root = tempfile.mkdtemp(prefix="udp_zonemap_")
+    (
+        ev.withColumn("bucket", F.expr(f"user_id div {w}"))
+        .repartition("bucket")  # one task per bucket -> one file per dir
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(root)
+    )
+    zones = ZM.collect_zone_maps(spark, root, ["user_id"])
+    lo, hi = w * 2 + w // 2, w * 6 + w // 3
+    picked, files_read, files_total = ZM.pruned_read(spark, zones, "user_id", lo, hi)
+    agg = (
+        picked.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.lit(files_total).cast("long").alias("files_total"),
+            F.lit(files_read).cast("long").alias("files_read"),
+            F.col("n_rows").cast("long"),
+            F.col("sum_cents").cast("long"),
+            F.col("n_users").cast("long"),
+        )
+        .cache()
+    )
+    agg.count()  # materialize before the scratch dir is removed
+    shutil.rmtree(root, ignore_errors=True)
+    return agg
+
+
+ZONEMAP_SQL = f"""
+WITH e AS (SELECT user_id, {_c('value')} AS cents FROM events),
+p AS (SELECT GREATEST(1, (MAX(user_id) // 8) + 1) AS w FROM e),
+b AS (SELECT user_id // w AS bucket, user_id, cents FROM e, p),
+zones AS (SELECT bucket, MIN(user_id) AS mn, MAX(user_id) AS mxu
+          FROM b GROUP BY bucket),
+bounds AS (SELECT w * 2 + w // 2 AS lo, w * 6 + w // 3 AS hi FROM p),
+pruned AS (SELECT z.bucket FROM zones z, bounds
+           WHERE z.mxu >= bounds.lo AND z.mn <= bounds.hi),
+sel AS (SELECT b.user_id, b.cents FROM b, bounds
+        WHERE b.user_id >= bounds.lo AND b.user_id <= bounds.hi)
+SELECT (SELECT COUNT(*) FROM zones) AS files_total,
+       (SELECT COUNT(*) FROM pruned) AS files_read,
+       COUNT(*) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       COUNT(DISTINCT user_id) AS n_users
+FROM sel
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -9637,6 +9714,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "association_rules_report": (association_rules_report, ASSOCIATION_RULES_SQL),
     "largest_remainder_allocation": (largest_remainder_allocation, LARGEST_REMAINDER_SQL),
     "twap_user_daily": (twap_user_daily, TWAP_SQL),
+    # round-6 additions (never driver-checked -> the computed freshness
+    # rotation surfaces them right behind _R6_CHANGED automatically)
+    "zonemap_pruning_report": (zonemap_pruning_report, ZONEMAP_SQL),
 }
 
 # Rows-only demos retired from REGISTRY per VERDICT r3 #1: their hash-checked
