@@ -318,6 +318,34 @@ def ivf_topk(
     )
 
 
+def sign_bit_words(col_name: str, dim: int = 64, word_bits: int = 32) -> list[Column]:
+    """1-bit (binary) quantization: pack the sign pattern of a float
+    embedding into ``dim / word_bits`` non-negative BIGINT words — bit i of
+    word w is set iff ``vec[w*word_bits + i] > 0``.  32-bit words keep every
+    value inside the positive BIGINT range, so the identical integer
+    arithmetic exists on the DuckDB side (no engine-specific overflow
+    semantics in play).  64 dims collapse to 8 bytes — a 32x compression of
+    a float32 vector — and similarity becomes XOR+popcount, entirely inside
+    whole-stage codegen.  Pure row-local Column expressions: quantization
+    runs at scan speed on any corpus size."""
+    return [
+        F.expr(
+            f"aggregate(sequence(0, {word_bits - 1}), 0L, (acc, i) -> "
+            f"acc + IF({col_name}[i + {off}] > 0D, shiftleft(1L, i), 0L))"
+        )
+        for off in range(0, dim, word_bits)
+    ]
+
+
+def hamming_words(a_cols: list[str], b_cols: list[str]) -> Column:
+    """Hamming distance between two packed sign patterns: XOR + popcount
+    per word, summed — integer-exact, codegen-friendly, no Python."""
+    out = F.lit(0).cast("long")
+    for a, b in zip(a_cols, b_cols):
+        out = out + F.expr(f"bit_count({a} ^ {b})")
+    return out
+
+
 def hashed_bow_embedding(
     df: DataFrame, id_col: str, text_col: str, dim: int = 32
 ) -> DataFrame:

@@ -9527,6 +9527,69 @@ FROM sel
 """
 
 
+def binary_quant_hamming_topk(spark, sf_dir):
+    """Binary (1-bit) quantization ANN — the third point on the repo's
+    compression/recall curve after float brute force (`emb_cosine_topk`)
+    and int8 (`embedding_quantize_int8`) / PQ (`ann_pq_topk_contract`):
+    each 64-dim float vector collapses to its 8-byte sign pattern (two
+    32-bit words, `similarity.sign_bit_words`), and distance becomes
+    XOR+popcount (`hamming_words`) — integer-exact, whole-stage-codegen,
+    32x less data scanned per comparison.  Queries (vec_id < 8) broadcast
+    against the quantized corpus; per-query rank window takes the Hamming
+    top-5 with id tie-breaks.  At 10^9 vectors the quantized corpus is
+    8 GB instead of 256 GB and the scan is pure ALU — the standard first
+    stage of a two-stage (binary prefilter -> exact rerank) retriever."""
+    emb = _t(spark, sf_dir, "embeddings")
+    w0, w1 = SIM.sign_bit_words("embedding", dim=64, word_bits=32)
+    packed = emb.select("vec_id", w0.alias("w0"), w1.alias("w1"))
+    q = packed.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    scored = (
+        packed.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            SIM.hamming_words(["q0", "q1"], ["w0", "w1"]).alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("q_id", "rnk")
+    )
+
+
+_SIGN_WORD_SQL = """list_sum(list_transform(generate_series(1, 32), i ->
+  CASE WHEN {v}[i + {off}] > 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+       ELSE CAST(0 AS BIGINT) END))"""
+
+BINARY_HAMMING_SQL = f"""
+WITH packed AS (
+  SELECT vec_id,
+         {_SIGN_WORD_SQL.format(v='embedding', off=0)} AS w0,
+         {_SIGN_WORD_SQL.format(v='embedding', off=32)} AS w1
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, w0 AS q0, w1 AS q1 FROM packed WHERE vec_id < 8),
+scored AS (
+  SELECT q.q_id, p.vec_id AS neighbor_id,
+         bit_count(xor(p.w0, q.q0)) + bit_count(xor(p.w1, q.q1)) AS hamming
+  FROM packed p, q WHERE p.vec_id <> q.q_id
+)
+SELECT q_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY hamming, neighbor_id) AS rnk
+      FROM scored) t
+WHERE rnk <= 5 ORDER BY q_id, rnk
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -9717,6 +9780,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # round-6 additions (never driver-checked -> the computed freshness
     # rotation surfaces them right behind _R6_CHANGED automatically)
     "zonemap_pruning_report": (zonemap_pruning_report, ZONEMAP_SQL),
+    "binary_quant_hamming_topk": (binary_quant_hamming_topk, BINARY_HAMMING_SQL),
 }
 
 # Rows-only demos retired from REGISTRY per VERDICT r3 #1: their hash-checked
