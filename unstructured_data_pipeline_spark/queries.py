@@ -9737,6 +9737,53 @@ FROM rows5, theta ORDER BY op
 """
 
 
+def orc_roundtrip_report(spark, sf_dir):
+    """S7 export through the third sink format: orders written as ORC
+    (`sources/export.py:export_orc_dir` — the Hive/Trino-lineage columnar
+    interchange format, built into Spark), read back WITHOUT an explicit
+    schema (ORC round-trips types natively — the point over CSV), and
+    rolled up per order status.  Covers native-type fidelity for BIGINT,
+    DOUBLE and TIMESTAMP_NTZ columns across the write->read boundary; the
+    oracle computes the same rollup straight from the source table, so any
+    type drift in the ORC path breaks the hash.  At scale ORC files carry
+    per-stripe min/max (format-level zone maps) and Spark pushes filters
+    to stripe level, so the export stays a queryable table."""
+    import shutil
+    import tempfile
+
+    from unstructured_data_pipeline_spark.sources.export import export_orc_dir
+
+    orders = _t(spark, sf_dir, "orders")
+    out_dir = tempfile.mkdtemp(prefix="udp_orc_")
+    export_orc_dir(orders, out_dir)
+    back = spark.read.orc(out_dir)
+    out = (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("sum_cents"),
+            F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_date"),
+            F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("last_date"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("o_orderstatus")
+        .cache()
+    )
+    out.count()  # materialize before the export dir is removed
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
+
+
+ORC_ROUNDTRIP_SQL = f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM({_c('o_totalprice')}) AS BIGINT) AS sum_cents,
+       MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_date,
+       MAX(strftime(o_orderdate, '%Y-%m-%d')) AS last_date,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -9929,6 +9976,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "zonemap_pruning_report": (zonemap_pruning_report, ZONEMAP_SQL),
     "binary_quant_hamming_topk": (binary_quant_hamming_topk, BINARY_HAMMING_SQL),
     "theta_sketch_setops": (theta_sketch_setops, THETA_SETOPS_SQL),
+    "orc_roundtrip_report": (orc_roundtrip_report, ORC_ROUNDTRIP_SQL),
 }
 
 # Rows-only demos retired from REGISTRY per VERDICT r3 #1: their hash-checked

@@ -62,3 +62,14 @@ def export_csv_dir(df: DataFrame, path: str) -> None:
 def export_json_dir(df: DataFrame, path: str) -> None:
     """Distributed JSON-lines export — the 100 TB shape."""
     df.write.mode("overwrite").json(path)
+
+
+def export_orc_dir(df: DataFrame, path: str) -> None:
+    """Distributed ORC export — the columnar interchange shape for
+    warehouses that ingest ORC rather than parquet (Hive/Trino lineage).
+    Unlike the text sinks above, ORC round-trips types natively
+    (timestamps, doubles, nested arrays), carries per-stripe min/max
+    indexes (the zone-map idea baked into the format), and Spark's ORC
+    reader pushes filters down to stripe level — so an ORC export is a
+    first-class queryable table, not just a download."""
+    df.write.mode("overwrite").orc(path)
