@@ -40,3 +40,18 @@ def try_to_timestamp(col: Column | str) -> Column:
 def iff(cond: Column, a, b) -> Column:
     """Snowflake IFF (`app.py:714,732`)."""
     return F.when(cond, a).otherwise(b)
+
+
+def pseudonym(col: Column | str, salt: str, width: int = 16) -> Column:
+    """Deterministic keyed pseudonymization: a salted md5 token replacing a
+    direct identifier.  The same (salt, key) always maps to the same token,
+    so REFERENTIAL INTEGRITY survives — fact tables pseudonymized with the
+    same salt still join to their dimensions — while the raw identifier
+    never leaves the pipeline.  Pure JVM expression (md5 + concat), runs at
+    scan speed; rotate the salt to break linkability across releases.
+    128-bit md5 at width=16 (64 bits) keeps collision odds negligible below
+    ~2^32 keys; raise width for larger key spaces."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit(":"), c.cast("string"))), 1, width
+    )

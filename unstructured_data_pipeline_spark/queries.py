@@ -9784,6 +9784,67 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def pseudonymize_consistent_report(spark, sf_dir):
+    """Privacy-preserving pseudonymization with referential integrity —
+    the compliance transform a training-data pipeline applies before any
+    table leaves the trust boundary (the de-identification sibling of
+    `text_clean_pii`, which scrubs free text; this one handles STRUCTURED
+    identifiers): direct ids are replaced by salted-md5 tokens
+    (`functions.scalars.pseudonym`), names are masked to an initial, and
+    — the part that makes it an operator rather than a UDF — BOTH the
+    dimension and the fact table are tokenized with the same salt, then
+    re-joined ON THE PSEUDONYM.  The per-segment rollup out of that
+    pseudonym join hash-matching the oracle's raw-key rollup proves the
+    tokenization is injective and consistent across tables: analytics
+    survive, identifiers don't.  min_pid pins the token derivation itself
+    cross-engine.  Row-local md5 at scan speed; the join shape is
+    unchanged (same key cardinality), so plans at 100 TB are identical to
+    the raw-key plans."""
+    from unstructured_data_pipeline_spark.functions.scalars import pseudonym
+
+    salt = "udp_pepper_v1"
+    cust = _t(spark, sf_dir, "customer").select(
+        pseudonym("c_custkey", salt).alias("pid"),
+        F.concat(F.substring("c_name", 1, 1), F.lit("***")).alias("masked_name"),
+        "c_mktsegment",
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        pseudonym("o_custkey", salt).alias("pid"),
+        _cents(F.col("o_totalprice")).alias("cents"),
+    )
+    return (
+        orders.join(cust, "pid")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("pid").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+            F.countDistinct("masked_name").alias("n_masked_names"),
+            F.min("pid").alias("min_pid"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+PSEUDONYMIZE_SQL = f"""
+WITH cust AS (
+  SELECT substr(md5('udp_pepper_v1:' || CAST(c_custkey AS VARCHAR)), 1, 16) AS pid,
+         substr(c_name, 1, 1) || '***' AS masked_name, c_mktsegment
+  FROM customer
+),
+o AS (
+  SELECT substr(md5('udp_pepper_v1:' || CAST(o_custkey AS VARCHAR)), 1, 16) AS pid,
+         {_c('o_totalprice')} AS cents
+  FROM orders
+)
+SELECT c_mktsegment, COUNT(DISTINCT o.pid) AS n_customers,
+       COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       COUNT(DISTINCT masked_name) AS n_masked_names, MIN(o.pid) AS min_pid
+FROM o JOIN cust ON o.pid = cust.pid
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -9977,6 +10038,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "binary_quant_hamming_topk": (binary_quant_hamming_topk, BINARY_HAMMING_SQL),
     "theta_sketch_setops": (theta_sketch_setops, THETA_SETOPS_SQL),
     "orc_roundtrip_report": (orc_roundtrip_report, ORC_ROUNDTRIP_SQL),
+    "pseudonymize_consistent_report": (
+        pseudonymize_consistent_report,
+        PSEUDONYMIZE_SQL,
+    ),
 }
 
 # Rows-only demos retired from REGISTRY per VERDICT r3 #1: their hash-checked
