@@ -9845,6 +9845,121 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def _token_sign_pattern_spark(tok_col: str) -> F.Column:
+    """8-bit sign pattern of a token's deterministic ±1 vector: bit j-1 is
+    md5 nibble j's parity.  Two patterns' dot product (as ±1 vectors) is
+    8 - 2*hamming — all integer, identical in DuckDB."""
+    from unstructured_data_pipeline_spark.functions.text import hex_nibble_value
+
+    h = F.md5(F.col(tok_col))
+    pat = F.lit(0).cast("long")
+    for j in range(8):
+        pat = pat + (hex_nibble_value(F.substring(h, j + 1, 1)) % 2).cast(
+            "long"
+        ) * F.lit(1 << j)
+    return pat
+
+
+def _token_sign_pattern_sql(tok: str) -> str:
+    terms = [
+        f"((strpos('0123456789abcdef', substr(md5({tok}), {j + 1}, 1)) - 1) % 2)"
+        f" * {1 << j}"
+        for j in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def colbert_maxsim_topk(spark, sf_dir):
+    """Late-interaction (ColBERT-style) multi-vector retrieval — the
+    retrieval family the single-vector operators here can't express: a
+    document is a BAG of token vectors, and relevance is MaxSim
+    (Khattab & Zaharia 2020): sum over query tokens of the max similarity
+    against any document token.  Token encoder: the deterministic ±1
+    md5-sign vector (dim 8), stored as its 8-BIT SIGN PATTERN so the dot
+    product collapses to ``8 - 2*popcount(xor)`` — the binary-quantization
+    trick (`binary_quant_hamming_topk`) applied per token, making the
+    whole late-interaction stack integer-exact and oracle-checkable.
+    Queries: docs 0-3, first 8 tokens alphabetically (bounded).  Shape:
+    the tiny query-token table broadcasts against the corpus token table;
+    per-(query-token, doc) max then per-(query, doc) sum — two keyed
+    aggregations, no all-pairs, fan-out per corpus token row bounded by
+    |query tokens|.  Swap the md5 encoder for learned token embeddings
+    (PQ-coded, `pq.py`) and the plan is production ColBERT."""
+    docs = _heavy(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("tok"),
+    )
+    dtoks = toks.select(
+        "doc_id", _token_sign_pattern_spark("tok").alias("dpat")
+    )
+    wq = Window.partitionBy("q_id").orderBy("tok")
+    qtoks = (
+        toks.filter(F.col("doc_id") < 4)
+        .select(F.col("doc_id").alias("q_id"), "tok")
+        .withColumn("qn", F.row_number().over(wq))
+        .filter(F.col("qn") <= 8)
+        .select("q_id", "tok", _token_sign_pattern_spark("tok").alias("qpat"))
+    )
+    dot = F.lit(8) - F.lit(2) * F.expr("bit_count(qpat ^ dpat)")
+    per_qtok = (
+        dtoks.join(F.broadcast(qtoks))
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .groupBy("q_id", "tok", "doc_id")
+        .agg(F.max(dot).alias("best"))
+    )
+    scored = per_qtok.groupBy("q_id", "doc_id").agg(
+        F.sum("best").alias("maxsim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("maxsim"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "doc_id", F.col("maxsim").cast("long"), "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+COLBERT_MAXSIM_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+),
+dtoks AS (SELECT doc_id, {_token_sign_pattern_sql('tok')} AS dpat FROM toks),
+qtoks AS (
+  SELECT doc_id AS q_id, tok, {_token_sign_pattern_sql('tok')} AS qpat
+  FROM (SELECT doc_id, tok,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tok) AS qn
+        FROM toks WHERE doc_id < 4)
+  WHERE qn <= 8
+),
+per_qtok AS (
+  SELECT q.q_id, q.tok, d.doc_id,
+         MAX(8 - 2 * bit_count(xor(CAST(q.qpat AS BIGINT),
+                                   CAST(d.dpat AS BIGINT)))) AS best
+  FROM dtoks d, qtoks q WHERE d.doc_id <> q.q_id
+  GROUP BY q.q_id, q.tok, d.doc_id
+),
+scored AS (
+  SELECT q_id, doc_id, SUM(best) AS maxsim FROM per_qtok GROUP BY q_id, doc_id
+)
+SELECT q_id, doc_id, CAST(maxsim AS BIGINT) AS maxsim, CAST(rnk AS INTEGER) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY maxsim DESC, doc_id) AS rnk
+      FROM scored) t
+WHERE rnk <= 5 ORDER BY q_id, rnk
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -10042,6 +10157,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         pseudonymize_consistent_report,
         PSEUDONYMIZE_SQL,
     ),
+    "colbert_maxsim_topk": (colbert_maxsim_topk, COLBERT_MAXSIM_SQL),
 }
 
 # Rows-only demos retired from REGISTRY per VERDICT r3 #1: their hash-checked
