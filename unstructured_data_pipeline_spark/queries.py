@@ -9960,6 +9960,164 @@ WHERE rnk <= 5 ORDER BY q_id, rnk
 """
 
 
+def join_cardinality_estimate(spark, sf_dir):
+    """Join-size estimation by correlated hash sampling — the planner
+    statistic behind every join-order / broadcast decision (Vengerov et
+    al., VLDB'15; the same family AQE consults at runtime): |A ⋈ B| =
+    Σ_k cntA(k)·cntB(k), estimated WITHOUT the join by sampling keys with
+    md5(key) below a fixed threshold — both sides keep the SAME keys
+    (correlated sampling — an independent row sample would almost never
+    retain matching pairs), so Σ over sampled keys / p is unbiased.  Two
+    join shapes are profiled: the FK fan-out join (orders⋈lineitem) and
+    the dimension join (customer⋈orders).  Exact values ride along (two
+    groupBys + a key-level join — never the row-level join itself), so
+    the report hash-gates the estimator AND documents its rel_error.  At
+    100 TB the sampled profile is 1/64 of the DISTINCT KEYS (not rows) —
+    the stats collection a warehouse runs nightly to keep its optimizer
+    honest."""
+    p_inv = 64  # sample keys whose 48-bit md5 value < 2^48/64 -> p = 1/64
+    thresh = _HEX16_12 // p_inv
+
+    def profile(a, acol, b, bcol, label):
+        ca = a.groupBy(F.col(acol).alias("k")).agg(F.count(F.lit(1)).alias("na"))
+        cb = b.groupBy(F.col(bcol).alias("k")).agg(F.count(F.lit(1)).alias("nb"))
+        keys = ca.join(cb, "k").withColumn(
+            "hv", _kmv_val_spark(F.md5(F.col("k").cast("string")))
+        )
+        prod = F.col("na") * F.col("nb")
+        return keys.agg(
+            F.lit(label).alias("join_name"),
+            F.count(F.lit(1)).cast("long").alias("n_keys_common"),
+            F.sum(prod).cast("long").alias("exact_pairs"),
+            F.sum(F.when(F.col("hv") < thresh, 1).otherwise(0))
+            .cast("long")
+            .alias("n_keys_sampled"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("hv") < thresh, prod)), F.lit(0)
+                ).cast("double")
+                * p_inv,
+                4,
+            ).alias("est_r"),
+        )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    out = profile(orders, "o_orderkey", li, "l_orderkey", "orders_lineitem").unionByName(
+        profile(cust, "c_custkey", orders, "o_custkey", "customer_orders")
+    )
+    return out.withColumn(
+        "rel_err",
+        F.round(
+            F.abs(F.col("est_r") - F.col("exact_pairs"))
+            / F.greatest(F.col("exact_pairs"), F.lit(1)),
+            4,
+        ),
+    ).orderBy("join_name")
+
+
+_JOINCARD_ONE_SQL = """
+SELECT '{label}' AS join_name,
+       COUNT(*) AS n_keys_common,
+       CAST(SUM(na * nb) AS BIGINT) AS exact_pairs,
+       CAST(SUM(CASE WHEN hv < {thresh} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keys_sampled,
+       round(CAST(COALESCE(SUM(CASE WHEN hv < {thresh} THEN na * nb END), 0)
+                  AS DOUBLE) * {p_inv}, 4) AS est_r
+FROM (
+  SELECT ca.k, na, nb, {hv} AS hv
+  FROM (SELECT {acol} AS k, COUNT(*) AS na FROM {a} GROUP BY 1) ca
+  JOIN (SELECT {bcol} AS k, COUNT(*) AS nb FROM {b} GROUP BY 1) cb
+    ON ca.k = cb.k
+)
+"""
+
+
+def _joincard_sql() -> str:
+    thresh = _HEX16_12 // 64
+    hv = _kmv_val_sql("md5(CAST(ca.k AS VARCHAR))")
+    one = [
+        _JOINCARD_ONE_SQL.format(
+            label="orders_lineitem", a="orders", acol="o_orderkey",
+            b="lineitem", bcol="l_orderkey", thresh=thresh, p_inv=64, hv=hv,
+        ),
+        _JOINCARD_ONE_SQL.format(
+            label="customer_orders", a="customer", acol="c_custkey",
+            b="orders", bcol="o_custkey", thresh=thresh, p_inv=64, hv=hv,
+        ),
+    ]
+    return (
+        "SELECT join_name, n_keys_common, exact_pairs, n_keys_sampled, est_r,\n"
+        "       round(abs(est_r - exact_pairs) / GREATEST(exact_pairs, 1), 4)"
+        " AS rel_err\n"
+        "FROM (" + " UNION ALL ".join(one) + ") ORDER BY join_name"
+    )
+
+
+JOIN_CARDINALITY_SQL = _joincard_sql()
+
+
+def compaction_report(spark, sf_dir):
+    """The small-files problem and its steady-state fix, as a first-class
+    contract: 16 single-file appends (a streaming/micro-batch ingest
+    pattern) leave the table at 16 files — 16 tasks and 16 footer reads
+    for every later scan — then ``ParquetTable.compact`` rewrites to 2.
+    The report hash-gates what compaction must and must not change: file
+    count drops 16 -> 2 (must), row count / value sum / per-type rollup
+    are byte-identical (must not).  On a real lakehouse this is OPTIMIZE;
+    here it's a version-publishing rewrite, so time travel to the
+    pre-compaction version still works (`table_time_travel_report`)."""
+    import shutil
+    import tempfile
+
+    from unstructured_data_pipeline_spark.operators.dml import ParquetTable
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type", _cents(F.col("value")).alias("cents")
+    )
+    root = tempfile.mkdtemp(prefix="udp_compact_")
+    import glob as _glob
+
+    t = ParquetTable(spark, root, "events_ingest", ev.schema)
+    t.ensure()
+    n_seed = len(_glob.glob(os.path.join(t.data_dir(), "*.parquet")))
+    n_chunks = 16
+    for i in range(n_chunks):  # micro-batch ingest: one small file each
+        t.append(ev.filter(F.col("event_id") % n_chunks == i).coalesce(1))
+    # ingest-added files only: ensure()'s empty seed file is bootstrap, not
+    # ingest debt (it holds zero rows — the rollup below proves it)
+    files_before = (
+        len(_glob.glob(os.path.join(t.data_dir(), "*.parquet"))) - n_seed
+    )
+    files_after = t.compact(target_files=2)
+    rollup = (
+        t.read()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("sum_cents"))
+        .select(
+            F.lit(files_before).cast("long").alias("files_before"),
+            F.lit(files_after).cast("long").alias("files_after"),
+            "event_type",
+            F.col("n_rows").cast("long"),
+            F.col("sum_cents").cast("long"),
+        )
+        .orderBy("event_type")
+        .cache()
+    )
+    rollup.count()  # materialize before the scratch dir is removed
+    shutil.rmtree(root, ignore_errors=True)
+    return rollup
+
+
+COMPACTION_SQL = f"""
+SELECT CAST(16 AS BIGINT) AS files_before, CAST(2 AS BIGINT) AS files_after,
+       event_type, COUNT(*) AS n_rows,
+       CAST(SUM({_c('value')}) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -10158,6 +10316,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         PSEUDONYMIZE_SQL,
     ),
     "colbert_maxsim_topk": (colbert_maxsim_topk, COLBERT_MAXSIM_SQL),
+    "join_cardinality_estimate": (join_cardinality_estimate, JOIN_CARDINALITY_SQL),
+    "compaction_report": (compaction_report, COMPACTION_SQL),
 }
 
 # Rows-only demos retired from REGISTRY per VERDICT r3 #1: their hash-checked
