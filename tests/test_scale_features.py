@@ -264,6 +264,9 @@ def test_no_unbounded_join_plans(spark, sf_dir):
         "jl_projection_topk",   # broadcast |Q|=4 projected query vectors
         "mutual_nn_pairs",      # broadcast one label block (in-bucket exact step)
         "rfm_segmentation_report",  # broadcast single-row max-date scalar
+        "binary_quant_hamming_topk",  # broadcast |Q|=8 packed sign words
+        "theta_sketch_setops",  # broadcast single-row theta scalar
+        "colbert_maxsim_topk",  # broadcast bounded query-token table (<=32 rows)
     }
     offenders = {}
     for name, (fn, _) in REGISTRY.items():

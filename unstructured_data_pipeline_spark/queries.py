@@ -9475,6 +9475,13 @@ def zonemap_pruning_report(spark, sf_dir):
 
     ev = _events(spark, sf_dir).select("user_id", _cents(F.col("value")).alias("cents"))
     mx = ev.agg(F.max("user_id")).first()[0]
+    if mx is None:  # empty input: nothing to lay out, nothing to prune
+        return spark.range(0).select(
+            *(
+                F.lit(0).cast("long").alias(c)
+                for c in ("files_total", "files_read", "n_rows", "sum_cents", "n_users")
+            )
+        )
     w = max(1, mx // 8 + 1)  # fixed-width id buckets -> 8-ish clustered files
     root = tempfile.mkdtemp(prefix="udp_zonemap_")
     (
