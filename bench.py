@@ -230,6 +230,15 @@ def main() -> None:
         "association_rules_report",      # basket rules: support/confidence/lift
         "largest_remainder_allocation",  # exact integer proration
         "twap_user_daily",               # time-weighted average per user-day
+        # round-6 additions
+        "zonemap_pruning_report",        # per-file min/max skipping index
+        "binary_quant_hamming_topk",     # 1-bit sign packing + xor/popcount
+        "theta_sketch_setops",           # KMV-merge union/intersect/diff
+        "orc_roundtrip_report",          # ORC sink native-type roundtrip
+        "pseudonymize_consistent_report",  # salted-token referential integrity
+        "colbert_maxsim_topk",           # late-interaction MaxSim retrieval
+        "join_cardinality_estimate",     # correlated-hash-sample join stats
+        "compaction_report",             # 16-file ingest -> OPTIMIZE to 2
     ]
 
     def _emb_neardup_expression(spark, sf_dir):
