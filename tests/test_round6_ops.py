@@ -121,3 +121,30 @@ def test_theta_setops_identities(spark, sf_dir):
     s = {k: rows[k]["n_sample"] for k in rows}
     assert s["A"] + s["B"] == s["union"] + s["intersect"]
     assert s["a_minus_b"] == s["A"] - s["intersect"]
+
+
+def test_dpp_plan_has_dynamic_pruning(spark, sf_dir, tmp_path):
+    """The fact scan of a partition-key join against a filtered dimension
+    must carry a dynamicpruningexpression partition filter — the runtime
+    pruning mechanism dynamic_partition_pruning_report's docstring claims.
+    Reproduces the report's layout inline so the plan can be inspected
+    before the report's scratch dir is cleaned up."""
+    from unstructured_data_pipeline_spark.queries import _cents, _events
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", _cents(F.col("value")).alias("cents"), "event_type"
+    )
+    root = str(tmp_path / "dpp_fact")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(root)
+    fact = spark.read.parquet(root)
+    from pyspark.sql import Window
+
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("pri", F.row_number().over(Window.orderBy("event_type")))
+        .filter(F.col("pri") <= 2)
+    )
+    out = fact.join(dim, "event_type").groupBy("event_type").count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:2000]

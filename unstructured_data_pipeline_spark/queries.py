@@ -10125,6 +10125,81 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def dynamic_partition_pruning_report(spark, sf_dir):
+    """Dynamic partition pruning — the run-time half of the pruning story
+    (`zonemap_pruning_report` prunes with static metadata; DPP prunes with
+    values DISCOVERED DURING EXECUTION): events are laid out
+    hive-partitioned by event_type, and a join against a filtered
+    dimension (the two alphabetically-first types) lets Spark inject the
+    dim's surviving keys into the fact scan as a
+    ``dynamicpruningexpression`` partition filter — the fact partitions
+    for the other types are never opened.  The plan property is pinned by
+    `test_dpp_plan_has_dynamic_pruning`; this report hash-gates the
+    result: the DPP'd join's rollup equals the static IN-list oracle.  At
+    100 TB this is THE mechanism that keeps star-schema joins from
+    scanning the whole fact table when the predicate lives on the
+    dimension (date ranges, category slices); it needs only (a) the fact
+    partitioned on the join key and (b) a selective dim filter — both
+    modeled here."""
+    import shutil
+    import tempfile
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", _cents(F.col("value")).alias("cents"), "event_type"
+    )
+    types = ev.select("event_type").distinct()
+    if not types.head(1):  # empty input: nothing to partition or prune
+        return spark.range(0).select(
+            F.lit("").alias("event_type"),
+            F.lit(0).cast("long").alias("pri"),
+            F.lit(0).cast("long").alias("n_events"),
+            F.lit(0).cast("long").alias("sum_cents"),
+            F.lit(0).cast("long").alias("n_users"),
+        )
+    root = tempfile.mkdtemp(prefix="udp_dpp_")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(root)
+    fact = spark.read.parquet(root)
+    # dimension built from the data: types ranked alphabetically (a 5-row
+    # bounded frame — the global window is over the DISTINCT type set, not
+    # rows), with the filter pri <= 2 supplying DPP's selective predicate
+    dim = types.withColumn(
+        "pri",
+        F.row_number().over(Window.orderBy("event_type")).cast("long"),
+    ).filter(F.col("pri") <= 2)
+    out = (
+        fact.join(dim, "event_type")
+        .groupBy("event_type", "pri")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+        .cache()
+    )
+    out.count()  # materialize before the scratch dir is removed
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+DPP_SQL = f"""
+WITH e AS (SELECT event_id, user_id, {_c('value')} AS cents, event_type
+           FROM events),
+dim AS (
+  SELECT event_type, pri FROM (
+    SELECT event_type,
+           row_number() OVER (ORDER BY event_type) AS pri
+    FROM (SELECT DISTINCT event_type FROM e)
+  ) WHERE pri <= 2
+)
+SELECT e.event_type, CAST(dim.pri AS BIGINT) AS pri, COUNT(*) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       COUNT(DISTINCT user_id) AS n_users
+FROM e JOIN dim ON e.event_type = dim.event_type
+GROUP BY e.event_type, dim.pri ORDER BY e.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -10325,6 +10400,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "colbert_maxsim_topk": (colbert_maxsim_topk, COLBERT_MAXSIM_SQL),
     "join_cardinality_estimate": (join_cardinality_estimate, JOIN_CARDINALITY_SQL),
     "compaction_report": (compaction_report, COMPACTION_SQL),
+    "dynamic_partition_pruning_report": (
+        dynamic_partition_pruning_report,
+        DPP_SQL,
+    ),
 }
 
 # Rows-only demos retired from REGISTRY per VERDICT r3 #1: their hash-checked
