@@ -267,6 +267,10 @@ def test_no_unbounded_join_plans(spark, sf_dir):
         "binary_quant_hamming_topk",  # broadcast |Q|=8 packed sign words
         "theta_sketch_setops",  # broadcast single-row theta scalar
         "colbert_maxsim_topk",  # broadcast bounded query-token table (<=32 rows)
+        "drift_share_report",   # broadcast single-row ts-midpoint scalar
+        # seven (1-row base) x (1-row orphan-count) report joins on a
+        # literal key — both sides are single-row aggregates by construction
+        "referential_integrity_audit",
     }
     offenders = {}
     for name, (fn, _) in REGISTRY.items():

@@ -10477,13 +10477,14 @@ def triangle_count_copurchase(spark, sf_dir):
         F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("n_wedges"),
     ).collect()[0]
     n_edges = edges.count()
-    cc = round(3.0 * tri / stats["n_wedges"], 6) if stats["n_wedges"] else 0.0
+    n_wedges = int(stats["n_wedges"] or 0)  # SUM over an empty graph is NULL
+    cc = round(3.0 * tri / n_wedges, 6) if n_wedges else 0.0
     return spark.createDataFrame(
         [
             (
                 int(stats["n_nodes"]),
                 int(n_edges),
-                int(stats["n_wedges"]),
+                n_wedges,
                 int(tri),
                 float(cc),
             )
@@ -10697,6 +10698,271 @@ SELECT l_returnflag, MIN(cents) AS wmedian_cents,
        CAST(MAX(tot_n) AS BIGINT) AS n_items
 FROM c WHERE 2 * cum_w >= tot_w
 GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def referential_integrity_audit(spark, sf_dir):
+    """Foreign-key orphan audit across every FK edge in the warehouse —
+    the data-quality gate a 100 TB ingest runs before publishing a
+    snapshot (the reference trusts Snowflake constraints it never
+    declares; here the audit IS the constraint).  One row per edge:
+    child row count, NULL-key count, and orphan count (child keys with
+    no parent).  Each orphan probe is a left-anti join on the key —
+    Spark plans the small parents (region/nation) as broadcasts and
+    leaves the big ones to AQE; nothing is collected.  The union of
+    seven 1-row aggregates is driver-trivial."""
+    edges = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = []
+    for label, child, fk, parent, pk in edges:
+        c = _t(spark, sf_dir, child)
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("__pk")).distinct()
+        base = c.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_fk"),
+        ).select(F.lit(label).alias("fk_edge"), "n_child", "n_null_fk")
+        orphans = (
+            c.filter(F.col(fk).isNotNull())
+            .select(F.col(fk).alias("__pk"))
+            .join(p, "__pk", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("fk_edge"), "n_orphans")
+        )
+        parts.append(base.join(orphans, "fk_edge"))
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out.orderBy("fk_edge")
+
+
+def _ri_edge_sql(label: str, child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+SELECT '{label}' AS fk_edge,
+       (SELECT COUNT(*) FROM {child}) AS n_child,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {child} WHERE {fk} IS NULL) AS n_null_fk,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {child} c
+        WHERE c.{fk} IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})) AS n_orphans
+"""
+
+
+REFERENTIAL_INTEGRITY_SQL = (
+    " UNION ALL ".join(
+        _ri_edge_sql(*e)
+        for e in [
+            ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+            ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+            ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+            ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+            ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+            ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        ]
+    )
+    + " ORDER BY fk_edge"
+)
+
+
+# Benford expected first-digit shares in permille: round(log10(1+1/d)*1000).
+_BENFORD_PERMILLE = [301, 176, 125, 97, 79, 67, 58, 51, 46]
+
+
+def benford_first_digit_audit(spark, sf_dir):
+    """Benford's-law first-digit audit on order totals — the classic
+    fraud/corruption screen for financial columns.  The leading digit is
+    taken from the integer-cents string (no log10 — floats never touch
+    the hash path); observed shares are integer permille against the
+    hard-coded Benford constants, and the deviation column is their
+    signed difference.  One scan, one 9-group aggregate; the total used
+    for the permille is a separate COUNT action (a scalar, not data)."""
+    o = _t(spark, sf_dir, "orders").select(
+        _cents(F.col("o_totalprice")).alias("cents")
+    ).filter(F.col("cents") > 0)
+    n_total = o.count()
+    exp = F.array(*[F.lit(v) for v in _BENFORD_PERMILLE])
+    return (
+        o.select(F.substring(F.col("cents").cast("string"), 1, 1).cast("long").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .select(
+            "digit",
+            "n_obs",
+            F.expr(f"(n_obs * 1000) div {n_total}").alias("obs_permille"),
+            F.element_at(exp, F.col("digit").cast("int")).cast("long").alias("exp_permille"),
+        )
+        .withColumn(
+            "delta_permille", (F.col("obs_permille") - F.col("exp_permille")).cast("long")
+        )
+        .orderBy("digit")
+    )
+
+
+BENFORD_SQL = f"""
+WITH o AS (
+  SELECT {_c('o_totalprice')} AS cents FROM orders
+  WHERE {_c('o_totalprice')} > 0
+),
+tot AS (SELECT COUNT(*) AS n FROM o),
+d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         COUNT(*) AS n_obs
+  FROM o GROUP BY digit
+)
+SELECT digit, n_obs,
+       (n_obs * 1000) // tot.n AS obs_permille,
+       CAST(CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125
+                       WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67
+                       WHEN 7 THEN 58 WHEN 8 THEN 51 ELSE 46 END AS BIGINT)
+         AS exp_permille,
+       (n_obs * 1000) // tot.n
+         - CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125
+                      WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67
+                      WHEN 7 THEN 58 WHEN 8 THEN 51 ELSE 46 END AS delta_permille
+FROM d, tot ORDER BY digit
+"""
+
+
+def drift_share_report(spark, sf_dir):
+    """Distribution-drift monitor: compare the event-type mix of the
+    stream's first half against its second half (epoch midpoint of the
+    data's own [min, max] ts range) — the shape of a training-data
+    freshness gate ("did the source mix shift between crawls?").
+    Integer-exact drift: per-type shares in permille of each half, the
+    signed delta, and the squared deviation that sums into a chi-square-
+    like drift score.  One scan builds both halves (a conditional
+    aggregate per type), the bounds row broadcasts, and the per-half
+    totals come from a window over the ~|event types| grouped rows."""
+    ev = _events(spark, sf_dir).select("event_type", "ts")
+    bounds = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).select(F.expr("(lo + hi) div 2").alias("mid"))
+    halves = (
+        ev.join(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("ts") <= F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_early"),
+            F.sum(F.when(F.col("ts") > F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_late"),
+        )
+    )
+    w = Window.partitionBy()  # over |event types| grouped rows — bounded
+    return (
+        halves.withColumn("tot_early", F.sum("n_early").over(w))
+        .withColumn("tot_late", F.sum("n_late").over(w))
+        .select(
+            "event_type",
+            "n_early",
+            "n_late",
+            F.expr("(n_early * 1000) div tot_early").alias("early_permille"),
+            F.expr("(n_late * 1000) div tot_late").alias("late_permille"),
+        )
+        .withColumn(
+            "delta_permille",
+            (F.col("late_permille") - F.col("early_permille")).cast("long"),
+        )
+        .withColumn(
+            "drift_sq", (F.col("delta_permille") * F.col("delta_permille")).cast("long")
+        )
+        .orderBy("event_type")
+    )
+
+
+DRIFT_SHARE_SQL = """
+WITH ev AS (SELECT event_type, epoch_us(ts) AS ts FROM events),
+b AS (SELECT (MIN(ts) + MAX(ts)) // 2 AS mid FROM ev),
+h AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN ts <= b.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+         CAST(SUM(CASE WHEN ts > b.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+  FROM ev, b GROUP BY event_type
+),
+t AS (
+  SELECT *, SUM(n_early) OVER () AS tot_early, SUM(n_late) OVER () AS tot_late
+  FROM h
+)
+SELECT event_type, n_early, n_late,
+       CAST((n_early * 1000) // tot_early AS BIGINT) AS early_permille,
+       CAST((n_late * 1000) // tot_late AS BIGINT) AS late_permille,
+       CAST((n_late * 1000) // tot_late
+            - (n_early * 1000) // tot_early AS BIGINT) AS delta_permille,
+       CAST(((n_late * 1000) // tot_late - (n_early * 1000) // tot_early)
+            * ((n_late * 1000) // tot_late - (n_early * 1000) // tot_early)
+            AS BIGINT) AS drift_sq
+FROM t ORDER BY event_type
+"""
+
+
+def cusum_changepoint_hourly(spark, sf_dir):
+    """CUSUM change-point detection on the hourly event-count series —
+    "when did the level shift?" for rate monitoring.  The classic
+    statistic argmax_k |S_k - (k/n)·S_n| is kept integer by scaling
+    through n: D_k = |n·S_k - k·S_n|.  The series is the hourly rollup
+    (one groupBy — the windowed relation is |hours|, not |events|, so
+    the unpartitioned cumulative window is bounded however big the
+    stream); the answer is the top-1 row by (D desc, hour asc)."""
+    ev = _events(spark, sf_dir)
+    hr_us = 3_600_000_000
+    hourly = (
+        ev.select(F.expr(f"ts div {hr_us}").alias("hour"))
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_ord = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    scored = hourly.select(
+        "hour",
+        "n",
+        F.row_number().over(Window.orderBy("hour")).cast("long").alias("k"),
+        F.sum("n").over(w_ord).alias("s_k"),
+        F.sum("n").over(w_all).alias("s_n"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_hours"),
+    ).withColumn("d_scaled", F.abs(F.col("n_hours") * F.col("s_k") - F.col("k") * F.col("s_n")))
+    pick = Window.orderBy(F.col("d_scaled").desc(), F.col("hour").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "hour",
+            F.col("n").cast("long").alias("n_events_at_hour"),
+            "k",
+            F.col("s_k").cast("long").alias("cum_events"),
+            F.col("s_n").cast("long").alias("total_events"),
+            "n_hours",
+            F.col("d_scaled").cast("long").alias("d_scaled"),
+        )
+    )
+
+
+CUSUM_SQL = """
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour, COUNT(*) AS n
+  FROM events GROUP BY hour
+),
+s AS (
+  SELECT hour, n,
+         CAST(ROW_NUMBER() OVER (ORDER BY hour) AS BIGINT) AS k,
+         SUM(n) OVER (ORDER BY hour
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_k,
+         SUM(n) OVER () AS s_n,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_hours
+  FROM hourly
+)
+SELECT hour, CAST(n AS BIGINT) AS n_events_at_hour, k,
+       CAST(s_k AS BIGINT) AS cum_events, CAST(s_n AS BIGINT) AS total_events,
+       n_hours, CAST(ABS(n_hours * s_k - k * s_n) AS BIGINT) AS d_scaled
+FROM s ORDER BY ABS(n_hours * s_k - k * s_n) DESC, hour ASC LIMIT 1
 """
 
 
@@ -10916,6 +11182,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         EQUIDEPTH_HISTOGRAM_SQL,
     ),
     "weighted_median_by_flag": (weighted_median_by_flag, WEIGHTED_MEDIAN_SQL),
+    # round-6 third block: data-quality gates and monitoring statistics
+    "referential_integrity_audit": (
+        referential_integrity_audit,
+        REFERENTIAL_INTEGRITY_SQL,
+    ),
+    "benford_first_digit_audit": (benford_first_digit_audit, BENFORD_SQL),
+    "drift_share_report": (drift_share_report, DRIFT_SHARE_SQL),
+    "cusum_changepoint_hourly": (cusum_changepoint_hourly, CUSUM_SQL),
 }
 
 # Rows-only demos retired from REGISTRY per VERDICT r3 #1: their hash-checked
