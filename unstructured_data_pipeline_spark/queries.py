@@ -10966,6 +10966,262 @@ FROM s ORDER BY ABS(n_hours * s_k - k * s_n) DESC, hour ASC LIMIT 1
 """
 
 
+def frequent_event_sequences(spark, sf_dir):
+    """Sequential-pattern mining (the PrefixSpan question at length 3):
+    which consecutive event-type trigrams occur in the most users'
+    streams?  Support is DISTINCT users containing the trigram — the
+    sequence-mining semantic, deliberately different from
+    `event_transition_matrix`'s occurrence counts.  Trigrams come from
+    two leads over the per-user ts-ordered window (partitioned by user —
+    scale-safe); one grouped aggregate computes support + occurrences;
+    top-20 by (support, occurrences, lexicographic) is a deterministic
+    rank cut planned as WindowGroupLimit."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    scored = tri.groupBy("t1", "t2", "t3").agg(
+        F.countDistinct("user_id").alias("support"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    pick = Window.orderBy(
+        F.col("support").desc(),
+        F.col("n_occurrences").desc(),
+        F.col("t1"),
+        F.col("t2"),
+        F.col("t3"),
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(pick).cast("long"))
+        .filter(F.col("rk") <= 20)
+        .select("rk", "t1", "t2", "t3", "support", "n_occurrences")
+        .orderBy("rk")
+    )
+
+
+FREQUENT_SEQUENCES_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts, event_id FROM events
+),
+tri AS (
+  SELECT user_id, event_type AS t1,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+  FROM ev
+),
+scored AS (
+  SELECT t1, t2, t3, COUNT(DISTINCT user_id) AS support,
+         COUNT(*) AS n_occurrences
+  FROM tri WHERE t3 IS NOT NULL GROUP BY t1, t2, t3
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY support DESC, n_occurrences DESC,
+                               t1, t2, t3) AS BIGINT) AS rk,
+       t1, t2, t3, support, n_occurrences
+FROM scored
+QUALIFY rk <= 20 ORDER BY rk
+"""
+
+
+def kcore_decomposition(spark, sf_dir):
+    """Bounded k-core peeling (k=3, three rounds) on the part co-purchase
+    graph — the community-density primitive behind spam-cluster and
+    citation-core detection.  Each round drops nodes of degree < k and
+    every edge touching them; the loop is a FIXED number of DataFrame
+    rounds (same bounded-iteration shape as `recursive_bom_closure_report`
+    and `pagerank_part_copurchase` — no driver-side data, only per-round
+    COUNT scalars).  The edge build is persisted once and reused across
+    rounds.  The DuckDB oracle peels the same three rounds as nested
+    CTEs — two engines, one fixed-point prefix."""
+    k = 3
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= 2)
+        .select("u", "v")
+        .persist()
+    )
+    rows = []
+    try:
+        cur = edges
+        for rnd in range(1, 4):
+            deg = (
+                cur.select(F.col("u").alias("node"))
+                .union(cur.select(F.col("v").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("deg"))
+            )
+            kept = deg.filter(F.col("deg") >= k).select("node").persist()
+            nxt = (
+                cur.join(kept.withColumnRenamed("node", "u"), "u", "left_semi")
+                .join(kept.withColumnRenamed("node", "v"), "v", "left_semi")
+                .select("u", "v")
+                .persist()
+            )
+            rows.append((rnd, kept.count(), nxt.count()))
+            if cur is not edges:
+                cur.unpersist()
+            kept.unpersist()
+            cur = nxt
+        if cur is not edges:
+            cur.unpersist()
+    finally:
+        edges.unpersist()
+    return spark.createDataFrame(
+        [(int(r), int(n), int(e)) for r, n, e in rows],
+        "round bigint, n_nodes bigint, n_edges bigint",
+    )
+
+
+KCORE_SQL = """
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM baskets a JOIN baskets b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY u, v HAVING COUNT(*) >= 2
+),
+d1 AS (SELECT node, COUNT(*) AS deg FROM (
+         SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY node),
+k1 AS (SELECT node FROM d1 WHERE deg >= 3),
+e1 AS (SELECT u, v FROM e0
+       WHERE u IN (SELECT node FROM k1) AND v IN (SELECT node FROM k1)),
+d2 AS (SELECT node, COUNT(*) AS deg FROM (
+         SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1) GROUP BY node),
+k2 AS (SELECT node FROM d2 WHERE deg >= 3),
+e2 AS (SELECT u, v FROM e1
+       WHERE u IN (SELECT node FROM k2) AND v IN (SELECT node FROM k2)),
+d3 AS (SELECT node, COUNT(*) AS deg FROM (
+         SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2) GROUP BY node),
+k3 AS (SELECT node FROM d3 WHERE deg >= 3),
+e3 AS (SELECT u, v FROM e2
+       WHERE u IN (SELECT node FROM k3) AND v IN (SELECT node FROM k3))
+SELECT 1 AS round, (SELECT COUNT(*) FROM k1) AS n_nodes,
+       (SELECT COUNT(*) FROM e1) AS n_edges
+UNION ALL
+SELECT 2, (SELECT COUNT(*) FROM k2), (SELECT COUNT(*) FROM e2)
+UNION ALL
+SELECT 3, (SELECT COUNT(*) FROM k3), (SELECT COUNT(*) FROM e3)
+ORDER BY round
+"""
+
+
+def encoding_advisor_report(spark, sf_dir):
+    """Storage-layout advisor: for each candidate column, how many RLE
+    runs does the data produce in its natural (o_orderkey, linenumber)
+    order vs re-sorted by the column within each synthetic row-group —
+    the statistic behind "which sort key shrinks the table" advisors
+    (Snowflake clustering keys, Delta OPTIMIZE ZORDER pick targets this
+    way; complements `zorder_layout_report`).  Row-groups are
+    l_orderkey div 4096 so runs never span groups (parquet pages don't
+    either).  One melt (stack) puts all three columns through ONE
+    window shape — partitioned by (column, row-group), never global.
+    runs_sorted within a group is just its distinct-value count."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
+    )
+    m = li.select(
+        F.expr("l_orderkey div 4096").alias("rg"),
+        (F.col("l_orderkey") * 16 + F.col("l_linenumber")).alias("ord"),
+        F.expr(
+            "stack(3, 'l_returnflag', l_returnflag,"
+            " 'l_linestatus', l_linestatus,"
+            " 'l_quantity', cast(qty as string)) as (col_name, val)"
+        ),
+    )
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture, so
+    # val is the final sort key: equal rows become adjacent and the run
+    # sequence is total-order deterministic in both engines.
+    w = Window.partitionBy("col_name", "rg").orderBy("ord", "val")
+    runs = m.withColumn(
+        "is_start",
+        F.when(
+            F.lag("val").over(w).isNull() | (F.lag("val").over(w) != F.col("val")),
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    )
+    natural = runs.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("val").alias("n_distinct"),
+        F.countDistinct("rg").alias("n_rowgroups"),
+        F.sum("is_start").cast("long").alias("runs_natural"),
+    )
+    sorted_runs = (
+        m.groupBy("col_name", "rg")
+        .agg(F.countDistinct("val").alias("rg_distinct"))
+        .groupBy("col_name")
+        .agg(F.sum("rg_distinct").cast("long").alias("runs_sorted"))
+    )
+    return (
+        natural.join(sorted_runs, "col_name")
+        .withColumn(
+            "savings_permille",
+            F.expr("((runs_natural - runs_sorted) * 1000) div runs_natural"),
+        )
+        .orderBy("col_name")
+    )
+
+
+ENCODING_ADVISOR_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty
+  FROM lineitem
+),
+m AS (
+  SELECT l_orderkey // 4096 AS rg, l_orderkey * 16 + l_linenumber AS ord,
+         'l_returnflag' AS col_name, l_returnflag AS val FROM li
+  UNION ALL
+  SELECT l_orderkey // 4096, l_orderkey * 16 + l_linenumber,
+         'l_linestatus', l_linestatus FROM li
+  UNION ALL
+  SELECT l_orderkey // 4096, l_orderkey * 16 + l_linenumber,
+         'l_quantity', CAST(qty AS VARCHAR) FROM li
+),
+runs AS (
+  SELECT col_name, rg, val,
+         CASE WHEN LAG(val) OVER (PARTITION BY col_name, rg ORDER BY ord, val)
+                   IS DISTINCT FROM val THEN 1 ELSE 0 END AS is_start
+  FROM m
+),
+nat AS (
+  SELECT col_name, COUNT(*) AS n_rows, COUNT(DISTINCT val) AS n_distinct,
+         COUNT(DISTINCT rg) AS n_rowgroups,
+         CAST(SUM(is_start) AS BIGINT) AS runs_natural
+  FROM runs GROUP BY col_name
+),
+srt AS (
+  SELECT col_name, CAST(SUM(rg_distinct) AS BIGINT) AS runs_sorted FROM (
+    SELECT col_name, rg, COUNT(DISTINCT val) AS rg_distinct
+    FROM m GROUP BY col_name, rg
+  ) GROUP BY col_name
+)
+SELECT nat.col_name, n_rows, n_distinct, n_rowgroups, runs_natural,
+       runs_sorted,
+       CAST(((runs_natural - runs_sorted) * 1000) // runs_natural AS BIGINT)
+         AS savings_permille
+FROM nat JOIN srt ON nat.col_name = srt.col_name
+ORDER BY nat.col_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -11190,6 +11446,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "benford_first_digit_audit": (benford_first_digit_audit, BENFORD_SQL),
     "drift_share_report": (drift_share_report, DRIFT_SHARE_SQL),
     "cusum_changepoint_hourly": (cusum_changepoint_hourly, CUSUM_SQL),
+    "frequent_event_sequences": (frequent_event_sequences, FREQUENT_SEQUENCES_SQL),
+    "kcore_decomposition": (kcore_decomposition, KCORE_SQL),
+    "encoding_advisor_report": (encoding_advisor_report, ENCODING_ADVISOR_SQL),
 }
 
 # Rows-only demos retired from REGISTRY per VERDICT r3 #1: their hash-checked
