@@ -239,6 +239,23 @@ def main() -> None:
         "colbert_maxsim_topk",           # late-interaction MaxSim retrieval
         "join_cardinality_estimate",     # correlated-hash-sample join stats
         "compaction_report",             # 16-file ingest -> OPTIMIZE to 2
+        "dynamic_partition_pruning_report",  # runtime fact-scan pruning
+        "inverted_index_report",         # postings-list IR index stats
+        "bigram_collocations_topk",      # PMI collocations, integer-exact
+        "event_transition_matrix",       # Markov first-order transitions
+        "events_gap_filled_hourly",      # spine-join time densification
+        "triangle_count_copurchase",     # degree-ordered wedge join
+        "skyline_parts_2d",              # 2-D Pareto frontier
+        "equidepth_histogram_orders",    # planner equi-depth buckets
+        "weighted_median_by_flag",       # exact weighted median, integer
+        "referential_integrity_audit",   # 7 FK orphan anti-join probes
+        "benford_first_digit_audit",     # first-digit permille vs Benford
+        "drift_share_report",            # half-vs-half event-mix drift
+        "cusum_changepoint_hourly",      # argmax |n*S_k - k*S_n|
+        "frequent_event_sequences",      # distinct-user trigram support
+        "kcore_decomposition",           # 3-round k=3 peeling
+        "encoding_advisor_report",       # RLE runs natural vs sorted
+        "rake_keyphrases",               # RAKE phrase milli-scores
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

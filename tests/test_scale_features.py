@@ -268,6 +268,7 @@ def test_no_unbounded_join_plans(spark, sf_dir):
         "theta_sketch_setops",  # broadcast single-row theta scalar
         "colbert_maxsim_topk",  # broadcast bounded query-token table (<=32 rows)
         "drift_share_report",   # broadcast single-row ts-midpoint scalar
+        "ndcg_mrr_eval",        # broadcast |Q|=8 quantized query vectors
         # seven (1-row base) x (1-row orphan-count) report joins on a
         # literal key — both sides are single-row aggregates by construction
         "referential_integrity_audit",

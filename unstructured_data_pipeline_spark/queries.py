@@ -11319,6 +11319,358 @@ QUALIFY rk <= 20 ORDER BY rk
 """
 
 
+def bitmap_index_report(spark, sf_dir):
+    """Bitmap-index algebra: pack per-predicate presence bits into int64
+    words (64 rows per word inside each row-group) with shiftleft +
+    BIT_OR, then answer multi-predicate counts from popcount over
+    AND/OR/AND-NOT of the words — the acceleration structure behind
+    low-cardinality predicate evaluation in ORC/Pinot/Druid.  The DuckDB
+    oracle computes the same counts by direct predicate scan — two
+    entirely different evaluation strategies, one answer.  Bit-position
+    assignment inside a word is an arbitrary (window-numbered) order:
+    positions don't affect counts, so nondeterministic tie order is
+    harmless by construction."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_returnflag") == "R").alias("pa"),
+        (F.floor(F.col("l_quantity") + F.lit(0.5)) >= 25).alias("pb"),
+        (F.col("l_linestatus") == "F").alias("pc"),
+    )
+    w = Window.partitionBy(F.expr("l_orderkey div 4096")).orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+    pos = li.select(
+        F.expr("l_orderkey div 4096").alias("rg"),
+        (F.row_number().over(w) - 1).alias("p"),
+        "pa",
+        "pb",
+        "pc",
+    )
+    # python F.shiftleft only takes a literal bit count -> SQL expr form
+    bit = lambda c: F.expr(  # noqa: E731
+        f"CASE WHEN {c} THEN shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"
+        f" ELSE CAST(0 AS BIGINT) END"
+    )
+    words = pos.groupBy("rg", F.expr("p div 64").alias("word_idx")).agg(
+        F.bit_or(bit("pa")).alias("wa"),
+        F.bit_or(bit("pb")).alias("wb"),
+        F.bit_or(bit("pc")).alias("wc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return words.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum(F.bit_count("wa")).cast("long").alias("n_a"),
+        F.sum(F.bit_count("wb")).cast("long").alias("n_b"),
+        F.sum(F.bit_count("wc")).cast("long").alias("n_c"),
+        F.sum(F.bit_count(F.col("wa").bitwiseAND(F.col("wb"))))
+        .cast("long")
+        .alias("n_a_and_b"),
+        F.sum(F.bit_count(F.col("wa").bitwiseOR(F.col("wc"))))
+        .cast("long")
+        .alias("n_a_or_c"),
+        F.sum(F.bit_count(F.col("wa").bitwiseAND(F.bitwise_not(F.col("wb")))))
+        .cast("long")
+        .alias("n_a_and_not_b"),
+    )
+
+
+BITMAP_INDEX_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n_a,
+       CAST(COUNT(*) FILTER (WHERE FLOOR(l_quantity + 0.5) >= 25) AS BIGINT) AS n_b,
+       CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_c,
+       CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R'
+                               AND FLOOR(l_quantity + 0.5) >= 25) AS BIGINT)
+         AS n_a_and_b,
+       CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R'
+                                OR l_linestatus = 'F') AS BIGINT) AS n_a_or_c,
+       CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R'
+                               AND NOT FLOOR(l_quantity + 0.5) >= 25) AS BIGINT)
+         AS n_a_and_not_b
+FROM lineitem
+"""
+
+
+def fd_violation_audit(spark, sf_dir):
+    """Functional-dependency discovery audit — does column A determine
+    column B?  The profiling primitive behind schema normalization and
+    key inference.  For each candidate FD: number of determinant values,
+    how many map to MORE than one dependent value (violations), and the
+    worst fan-out.  Each check is two grouped aggregates (A,B then A) —
+    no joins, no windows, linear at any scale."""
+    checks = [
+        ("orders", "o_orderkey", "o_orderstatus"),
+        ("orders", "o_custkey", "o_orderpriority"),
+        ("customer", "c_custkey", "c_mktsegment"),
+        ("customer", "c_nationkey", "c_mktsegment"),
+        ("lineitem", "l_partkey", "l_returnflag"),
+    ]
+    parts = []
+    for table, det, dep in checks:
+        t = _t(spark, sf_dir, table)
+        per_det = t.groupBy(det).agg(F.countDistinct(dep).alias("n_dep"))
+        parts.append(
+            per_det.agg(
+                F.count(F.lit(1)).alias("n_determinants"),
+                F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating"),
+                F.max("n_dep").alias("max_fanout"),
+            ).select(
+                F.lit(f"{table}.{det}->{dep}").alias("fd"),
+                "n_determinants",
+                "n_violating",
+                "max_fanout",
+                (F.col("n_violating") == 0).cast("boolean").alias("holds"),
+            )
+        )
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out.orderBy("fd")
+
+
+def _fd_check_sql(table: str, det: str, dep: str) -> str:
+    return f"""
+SELECT '{table}.{det}->{dep}' AS fd,
+       COUNT(*) AS n_determinants,
+       CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       MAX(n_dep) AS max_fanout,
+       SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (SELECT {det}, COUNT(DISTINCT {dep}) AS n_dep FROM {table} GROUP BY {det})
+"""
+
+
+FD_AUDIT_SQL = (
+    " UNION ALL ".join(
+        _fd_check_sql(*c)
+        for c in [
+            ("orders", "o_orderkey", "o_orderstatus"),
+            ("orders", "o_custkey", "o_orderpriority"),
+            ("customer", "c_custkey", "c_mktsegment"),
+            ("customer", "c_nationkey", "c_mktsegment"),
+            ("lineitem", "l_partkey", "l_returnflag"),
+        ]
+    )
+    + " ORDER BY fd"
+)
+
+
+def k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit over a quasi-identifier tuple — the privacy
+    gate run before sharing a table (complements
+    `pseudonymize_consistent_report` and `text_clean_pii`): group by the
+    QI columns (nation, market segment, coarse account-balance bucket),
+    then report the equivalence-class size distribution with per-size
+    class counts, row totals, and whether that size violates k=5.  Two
+    grouped aggregates; the output is |distinct class sizes| rows."""
+    k = 5
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_bucket"),
+    )
+    classes = c.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return (
+        classes.groupBy("class_size")
+        .agg(F.count(F.lit(1)).alias("n_classes"))
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes")).cast("long").alias("n_rows"),
+            (F.col("class_size") < k).alias("violates_k5"),
+        )
+        .orderBy("class_size")
+    )
+
+
+K_ANONYMITY_SQL = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+         COUNT(*) AS class_size
+  FROM customer GROUP BY c_nationkey, c_mktsegment, bal_bucket
+)
+SELECT class_size, COUNT(*) AS n_classes,
+       CAST(class_size * COUNT(*) AS BIGINT) AS n_rows,
+       class_size < 5 AS violates_k5
+FROM classes GROUP BY class_size ORDER BY class_size
+"""
+
+
+# NDCG@10 discount table: round(1e6 / log2(i+1)) for rank i = 1..10.
+# Hard-coded so no log ever touches the hash path; IDCG@10 is their sum.
+_NDCG_DISCOUNT_MICRO = [
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+]
+_IDCG10_MICRO = sum(_NDCG_DISCOUNT_MICRO)  # 4543560
+
+
+def ndcg_mrr_eval(spark, sf_dir):
+    """Retrieval-quality evaluation harness — NDCG@10, MRR, and hit
+    count of a degraded ranker against exact ground truth, the metric
+    layer every retrieval stack needs next to its recall contracts.
+    Ground truth: exact double-precision cosine top-10 per query.
+    Candidate: top-10 by RAW INT8-QUANTIZED DOT PRODUCT (per-vector
+    symmetric scales dropped — deliberately cruder than cosine, so the
+    metrics measure real ranking damage and stay integer-exact
+    cross-engine).  Discounts are the hard-coded round(1e6/log2(i+1))
+    table; NDCG is permille DCG/IDCG, MRR is 1000 div first-hit rank.
+    Scale shape: |Q|=8 queries broadcast against the corpus for both
+    rankings; metrics are one grouped aggregate over <= |Q|*10 rows."""
+    emb = _heavy(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scaled = emb.select(
+        "vec_id",
+        "v",
+        (F.array_max(F.transform("v", lambda x: F.abs(x))) / F.lit(127.0)).alias(
+            "scale"
+        ),
+    )
+    s = F.col("scale")
+    qz = lambda x: F.when(s == 0.0, F.lit(0).cast("long")).otherwise(  # noqa: E731
+        F.floor(x / s + F.lit(0.5)).cast("long")
+    )
+    quant = scaled.select("vec_id", F.transform("v", qz).alias("qv"))
+    qside = quant.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("qq")
+    )
+    cand_scored = (
+        quant.join(F.broadcast(qside))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with("qv", "qq", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qdot"),
+        )
+    )
+    wc = Window.partitionBy("q_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        cand_scored.withColumn("rnk", F.row_number().over(wc))
+        .filter(F.col("rnk") <= 10)
+        .select("q_id", "neighbor_id", "rnk")
+    )
+    full = _t(spark, sf_dir, "embeddings")
+    truth = SIM.cosine_topk(full, full.filter(F.col("vec_id") < 8), k=10).select(
+        "q_id", "neighbor_id", F.lit(1).alias("rel")
+    )
+    disc = F.array(*[F.lit(v) for v in _NDCG_DISCOUNT_MICRO])
+    hits = cand.join(truth, ["q_id", "neighbor_id"], "left").select(
+        "q_id",
+        "rnk",
+        F.coalesce("rel", F.lit(0)).alias("rel"),
+        F.when(F.col("rel").isNotNull(), F.element_at(disc, F.col("rnk")))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("gain_micro"),
+    )
+    return (
+        hits.groupBy("q_id")
+        .agg(
+            F.sum("rel").cast("long").alias("n_hits"),
+            F.coalesce(
+                F.min(F.when(F.col("rel") == 1, F.col("rnk"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("first_hit_rank"),
+            F.sum("gain_micro").cast("long").alias("dcg_micro"),
+        )
+        .select(
+            "q_id",
+            "n_hits",
+            "first_hit_rank",
+            F.when(F.col("first_hit_rank") > 0, 1000 / F.col("first_hit_rank"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("mrr_milli"),
+            "dcg_micro",
+            F.expr(f"(dcg_micro * 1000) div {_IDCG10_MICRO}").alias(
+                "ndcg_permille"
+            ),
+        )
+        .orderBy("q_id")
+    )
+
+
+NDCG_MRR_SQL = f"""
+WITH scaled AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+           AS scale
+  FROM embeddings
+),
+quant AS (
+  SELECT vec_id,
+         list_transform(v, x -> CASE WHEN scale = 0.0 THEN CAST(0 AS BIGINT)
+                                     ELSE CAST(floor(x / scale + 0.5) AS BIGINT)
+                                END) AS qv
+  FROM scaled
+),
+cand_scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, 64),
+                                 i -> c.qv[i] * q.qv[i])) AS qdot
+  FROM quant c, (SELECT * FROM quant WHERE vec_id < 8) q
+  WHERE c.vec_id <> q.vec_id
+),
+cand AS (
+  SELECT q_id, neighbor_id, rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY qdot DESC, neighbor_id) AS rnk
+    FROM cand_scored
+  ) WHERE rnk <= 10
+),
+truth_scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+         {_DOT.format(a='c.embedding', b='q.embedding')}
+         / (sqrt({_DOT.format(a='c.embedding', b='c.embedding')})
+            * sqrt({_DOT.format(a='q.embedding', b='q.embedding')})) AS cos
+  FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 8) q
+  WHERE c.vec_id <> q.vec_id
+),
+truth AS (
+  SELECT q_id, neighbor_id, 1 AS rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, neighbor_id) AS trnk
+    FROM truth_scored
+  ) WHERE trnk <= 10
+),
+hits AS (
+  SELECT cand.q_id, cand.rnk, COALESCE(truth.rel, 0) AS rel,
+         CASE WHEN truth.rel IS NOT NULL THEN
+           ([1000000, 630930, 500000, 430677, 386853,
+             356207, 333333, 315465, 301030, 289065])[cand.rnk]
+         ELSE 0 END AS gain_micro
+  FROM cand LEFT JOIN truth
+    ON cand.q_id = truth.q_id AND cand.neighbor_id = truth.neighbor_id
+),
+agg AS (
+  SELECT q_id, CAST(SUM(rel) AS BIGINT) AS n_hits,
+         CAST(COALESCE(MIN(CASE WHEN rel = 1 THEN rnk END), 0) AS BIGINT)
+           AS first_hit_rank,
+         CAST(SUM(gain_micro) AS BIGINT) AS dcg_micro
+  FROM hits GROUP BY q_id
+)
+SELECT q_id, n_hits, first_hit_rank,
+       CAST(CASE WHEN first_hit_rank > 0 THEN 1000 // first_hit_rank
+                 ELSE 0 END AS BIGINT) AS mrr_milli,
+       dcg_micro,
+       CAST((dcg_micro * 1000) // {_IDCG10_MICRO} AS BIGINT) AS ndcg_permille
+FROM agg ORDER BY q_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -11547,6 +11899,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "kcore_decomposition": (kcore_decomposition, KCORE_SQL),
     "encoding_advisor_report": (encoding_advisor_report, ENCODING_ADVISOR_SQL),
     "rake_keyphrases": (rake_keyphrases, RAKE_SQL),
+    "bitmap_index_report": (bitmap_index_report, BITMAP_INDEX_SQL),
+    "fd_violation_audit": (fd_violation_audit, FD_AUDIT_SQL),
+    "k_anonymity_audit": (k_anonymity_audit, K_ANONYMITY_SQL),
+    "ndcg_mrr_eval": (ndcg_mrr_eval, NDCG_MRR_SQL),
 }
 
 # Rows-only demos retired from REGISTRY per VERDICT r3 #1: their hash-checked
