@@ -256,6 +256,10 @@ def main() -> None:
         "kcore_decomposition",           # 3-round k=3 peeling
         "encoding_advisor_report",       # RLE runs natural vs sorted
         "rake_keyphrases",               # RAKE phrase milli-scores
+        "bitmap_index_report",           # popcount word-algebra counts
+        "fd_violation_audit",            # functional-dependency discovery
+        "k_anonymity_audit",             # QI equivalence-class audit
+        "ndcg_mrr_eval",                 # int8 ranker vs exact-cosine truth
     ]
 
     def _emb_neardup_expression(spark, sf_dir):
