@@ -11671,6 +11671,209 @@ FROM agg ORDER BY q_id
 """
 
 
+def vocab_growth_report(spark, sf_dir):
+    """Vocabulary-growth (Heaps'-law) curve — how fast does the corpus
+    vocabulary grow as documents stream in?  The statistic a tokenizer
+    budget is planned against.  Each word is attributed to its FIRST
+    document (min doc_id over one exploded aggregate); first-appearance
+    positions bucket into corpus deciles; the cumulative vocabulary is a
+    window over <= 10 decile rows.  One explode + two grouped
+    aggregates — never a per-document distinct scan."""
+    docs = _heavy(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id").alias("hi")).collect()[0]["hi"]
+    n = int(hi or 0) + 1
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    first = words.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    per_decile = (
+        first.select(
+            F.least(F.lit(9), F.expr(f"(first_doc * 10) div {n}")).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_new_words"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_decile.withColumn(
+            "cum_vocab", F.sum("n_new_words").over(w).cast("long")
+        )
+        .select("decile", "n_new_words", "cum_vocab")
+        .orderBy("decile")
+    )
+
+
+VOCAB_GROWTH_SQL = """
+WITH docs AS (SELECT doc_id, text FROM documents),
+n AS (SELECT MAX(doc_id) + 1 AS n FROM docs),
+words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs
+),
+first AS (
+  SELECT w, MIN(doc_id) AS first_doc FROM words WHERE w <> '' GROUP BY w
+),
+per_decile AS (
+  SELECT LEAST(9, (first_doc * 10) // n.n) AS decile, COUNT(*) AS n_new_words
+  FROM first, n GROUP BY decile
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_new_words,
+       CAST(SUM(n_new_words) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_vocab
+FROM per_decile ORDER BY decile
+"""
+
+
+def event_interarrival_histogram(spark, sf_dir):
+    """Per-user event inter-arrival time distribution in power-of-two
+    buckets — the latency/activity profile behind session-timeout and
+    rate-limit tuning.  The log2 bucket is the LENGTH OF THE BINARY
+    STRING of the microsecond gap (`bin()` exists in both engines and
+    is exact where floor(log2(double)) is not).  Gaps come from one lag
+    over the per-user window; the histogram is one grouped aggregate."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("gap", F.col("ts") - F.lag("ts").over(w))
+        .filter(F.col("gap").isNotNull())
+    )
+    return (
+        gaps.select(F.length(F.bin("gap")).cast("long").alias("log2_bucket"), "gap")
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap").alias("min_gap_us"),
+            F.max("gap").alias("max_gap_us"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+INTERARRIVAL_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts, event_id FROM events
+),
+gaps AS (
+  SELECT ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM ev
+)
+SELECT CAST(LENGTH(bin(gap)) AS BIGINT) AS log2_bucket,
+       COUNT(*) AS n_gaps, MIN(gap) AS min_gap_us, MAX(gap) AS max_gap_us
+FROM gaps WHERE gap IS NOT NULL
+GROUP BY log2_bucket ORDER BY log2_bucket
+"""
+
+
+def nation_profile_similarity(spark, sf_dir):
+    """Pairwise categorical-profile similarity: which nations have the
+    most alike customer market-segment mixes?  Profiles are integer
+    permille share vectors (bounded <= 1000 per component, so the
+    squared-cosine stays inside int64 at ANY table size — raw counts
+    would overflow dot^2 at 100 TB); similarity is cos^2 in permille =
+    (dot*dot*1000) div (|a|^2 * |b|^2) — no square root ever taken, so
+    the metric is integer-exact cross-engine.  Shape: one groupBy to
+    profiles (|nations| x |segments| rows), a self-join on segment
+    bounded by the profile relation's size, top-20 by rank window."""
+    c = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    counts = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    shares = counts.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr("(cnt * 1000) div (sum(cnt) over (partition by c_nationkey))")
+        .cast("long")
+        .alias("share"),
+    )
+    norms = shares.groupBy("c_nationkey").agg(
+        F.sum(F.col("share") * F.col("share")).cast("long").alias("norm2")
+    )
+    a = shares.select(
+        F.col("c_nationkey").alias("k1"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("share").alias("s1"),
+    )
+    b = shares.select(
+        F.col("c_nationkey").alias("k2"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("share").alias("s2"),
+    )
+    dots = (
+        a.join(b, "seg")
+        .filter(F.col("k1") < F.col("k2"))
+        .groupBy("k1", "k2")
+        .agg(F.sum(F.col("s1") * F.col("s2")).cast("long").alias("dot"))
+    )
+    scored = (
+        dots.join(norms.withColumnRenamed("c_nationkey", "k1"), "k1")
+        .withColumnRenamed("norm2", "na2")
+        .join(norms.withColumnRenamed("c_nationkey", "k2"), "k2")
+        .withColumnRenamed("norm2", "nb2")
+        .select(
+            "k1",
+            "k2",
+            F.expr("(dot * dot * 1000) div (na2 * nb2)").alias("cos2_permille"),
+        )
+    )
+    pick = Window.orderBy(
+        F.col("cos2_permille").desc(), F.col("k1"), F.col("k2")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(pick).cast("long"))
+        .filter(F.col("rk") <= 20)
+        .join(F.broadcast(nat.withColumnRenamed("n_nationkey", "k1")), "k1")
+        .withColumnRenamed("n_name", "nation_a")
+        .join(F.broadcast(nat.withColumnRenamed("n_nationkey", "k2")), "k2")
+        .withColumnRenamed("n_name", "nation_b")
+        .select("rk", "nation_a", "nation_b", "cos2_permille")
+        .orderBy("rk")
+    )
+
+
+NATION_PROFILE_SIM_SQL = """
+WITH counts AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+shares AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST((cnt * 1000) // (SUM(cnt) OVER (PARTITION BY c_nationkey))
+              AS BIGINT) AS share
+  FROM counts
+),
+norms AS (
+  SELECT c_nationkey, CAST(SUM(share * share) AS BIGINT) AS norm2
+  FROM shares GROUP BY c_nationkey
+),
+dots AS (
+  SELECT a.c_nationkey AS k1, b.c_nationkey AS k2,
+         CAST(SUM(a.share * b.share) AS BIGINT) AS dot
+  FROM shares a JOIN shares b ON a.c_mktsegment = b.c_mktsegment
+  WHERE a.c_nationkey < b.c_nationkey
+  GROUP BY k1, k2
+),
+scored AS (
+  SELECT k1, k2,
+         CAST((dot * dot * 1000) // (na.norm2 * nb.norm2) AS BIGINT)
+           AS cos2_permille
+  FROM dots
+  JOIN norms na ON na.c_nationkey = dots.k1
+  JOIN norms nb ON nb.c_nationkey = dots.k2
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cos2_permille DESC, k1, k2)
+                 AS BIGINT) AS rk
+  FROM scored
+)
+SELECT rk, na.n_name AS nation_a, nb.n_name AS nation_b, cos2_permille
+FROM ranked
+JOIN nation na ON na.n_nationkey = ranked.k1
+JOIN nation nb ON nb.n_nationkey = ranked.k2
+WHERE rk <= 20 ORDER BY rk
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -11903,6 +12106,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "fd_violation_audit": (fd_violation_audit, FD_AUDIT_SQL),
     "k_anonymity_audit": (k_anonymity_audit, K_ANONYMITY_SQL),
     "ndcg_mrr_eval": (ndcg_mrr_eval, NDCG_MRR_SQL),
+    "vocab_growth_report": (vocab_growth_report, VOCAB_GROWTH_SQL),
+    "event_interarrival_histogram": (
+        event_interarrival_histogram,
+        INTERARRIVAL_SQL,
+    ),
+    "nation_profile_similarity": (
+        nation_profile_similarity,
+        NATION_PROFILE_SIM_SQL,
+    ),
 }
 
 # Rows-only demos retired from REGISTRY per VERDICT r3 #1: their hash-checked
