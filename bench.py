@@ -260,6 +260,9 @@ def main() -> None:
         "fd_violation_audit",            # functional-dependency discovery
         "k_anonymity_audit",             # QI equivalence-class audit
         "ndcg_mrr_eval",                 # int8 ranker vs exact-cosine truth
+        "vocab_growth_report",           # Heaps-law decile curve
+        "event_interarrival_histogram",  # power-of-two gap buckets
+        "nation_profile_similarity",     # cos^2 permille profile pairs
     ]
 
     def _emb_neardup_expression(spark, sf_dir):
