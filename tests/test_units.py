@@ -806,3 +806,32 @@ def test_largest_remainder_invariants(spark):
             assert math.floor(exact) <= alloc <= math.floor(exact) + 1
 
     check()
+
+
+def test_bench_compact_line_fits_tail():
+    """Structural guard for the r2-r6 bench-artifact bug class: the driver
+    keeps only a 2000-char tail of combined stdout+stderr and parses the
+    LAST JSON line.  Render bench.py's final compact line with worst-case
+    values for every headline query and assert it leaves headroom for a
+    py4j traceback landing after it would be impossible -- the line itself
+    must stay well under the window (VERDICT r6 #1/#8)."""
+    import bench
+
+    saved = {k: bench.STATE[k] for k in bench.STATE}
+    try:
+        bench.STATE["timings"] = {k: 9999.99 for k in bench.HEADLINE}
+        bench.STATE["total"] = 99999.999
+        bench.STATE["sf"] = 0.1
+        bench.STATE["docs_per_sec"] = 99999.9
+        bench.STATE["extra"] = {f"x{i}": 1.0 for i in range(250)}
+        bench.STATE["errors"] = {f"e{i}": "boom" for i in range(50)}
+        line = bench.compact_line(partial=False)
+        parsed = __import__("json").loads(line)
+        assert parsed["metric"] == "headline_query_suite_total"
+        assert set(parsed["queries"]) == set(bench.HEADLINE)
+        # extras/errors must NOT inflate the line -- counts only
+        assert parsed["n_extra_ok"] == 250 and parsed["n_err"] == 50
+        assert len(line) < 1500, f"compact line {len(line)} chars"
+    finally:
+        bench.STATE.clear()
+        bench.STATE.update(saved)

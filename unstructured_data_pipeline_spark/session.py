@@ -37,6 +37,14 @@ def get_spark(
         builder = builder.master(master)
 
     defaults = {
+        # Local mode runs driver + all executor threads in ONE JVM; PySpark's
+        # default heap is ~1g, which is the prime suspect for the recurring
+        # JVM deaths at the tail of the 200-query bench marathon (VERDICT r6
+        # #2: r2/r5/r6 all died mid-EXTRA).  48g leaves plenty of the 128 GiB
+        # sandbox for Python workers + page cache.  Takes effect only at JVM
+        # launch (builder-time), which is exactly where this is applied; a
+        # cluster submit with --driver-memory overrides it via extra_conf.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
         # pin ANSI on: the driver's vanilla session runs Spark 4 ANSI-mode
         # defaults, so our sessions must match (element_at/cast/div-by-zero
         # all change behavior between modes)
