@@ -49,6 +49,34 @@ def test_zonemap_empty_selection(spark, tmp_path):
     assert picked.count() == 0
 
 
+def test_zonemap_null_stats_file_skipped(spark, tmp_path):
+    """A file whose indexed column is entirely NULL has NULL min/max stats;
+    a range predicate can't match NULL rows, so the file must be SKIPPED —
+    not crash the None>=int comparison (ADVICE r6)."""
+    good = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    nulls = spark.createDataFrame([(None,)] * 10, "k long")
+    path = str(tmp_path / "t3")
+    good.coalesce(1).write.parquet(path)
+    nulls.coalesce(1).write.mode("append").parquet(path)
+    zones = ZM.collect_zone_maps(spark, path, ["k"])
+    keep, total = ZM.prune_files(zones, "k", 10, 20)
+    assert total == 2 and len(keep) == 1
+    picked, files_read, _ = ZM.pruned_read(spark, zones, "k", 10, 20)
+    assert files_read == 1
+    assert sorted(r["k"] for r in picked.collect()) == list(range(10, 21))
+
+
+def test_zonemap_zero_file_index(spark):
+    """An empty zone-map index (no files at all) degrades to an empty,
+    stat-typed frame instead of a zero-path spark.read crash (ADVICE r6)."""
+    zones = spark.createDataFrame(
+        [], "_file string, n_rows long, min_k long, max_k long"
+    )
+    picked, files_read, files_total = ZM.pruned_read(spark, zones, "k", 0, 10)
+    assert (files_read, files_total) == (0, 0)
+    assert picked.count() == 0 and picked.columns == ["k"]
+
+
 def test_sign_bit_words_match_numpy(spark, sf_dir):
     """Packed sign words must equal numpy's sign pattern bit-for-bit."""
     np = pytest.importorskip("numpy")
@@ -85,7 +113,9 @@ def test_pseudonym_consistency_and_masking(spark):
     assert rows[0]["a"] == rows[1]["a"]  # consistent within a salt
     assert rows[0]["a"] != rows[2]["a"]  # injective across keys
     assert rows[0]["a"] != rows[0]["b"]  # salt rotation breaks linkability
-    assert all(len(r["a"]) == 16 for r in rows)
+    # default width is 96 bits (24 hex chars): the birthday bound makes
+    # 64-bit tokens collide with ~39% odds at 2^32 keys (ADVICE r6)
+    assert all(len(r["a"]) == 24 for r in rows)
 
 
 def test_join_cardinality_sampling_is_correlated(spark, sf_dir):

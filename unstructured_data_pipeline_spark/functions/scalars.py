@@ -42,15 +42,21 @@ def iff(cond: Column, a, b) -> Column:
     return F.when(cond, a).otherwise(b)
 
 
-def pseudonym(col: Column | str, salt: str, width: int = 16) -> Column:
+def pseudonym(col: Column | str, salt: str, width: int = 24) -> Column:
     """Deterministic keyed pseudonymization: a salted md5 token replacing a
     direct identifier.  The same (salt, key) always maps to the same token,
     so REFERENTIAL INTEGRITY survives — fact tables pseudonymized with the
     same salt still join to their dimensions — while the raw identifier
     never leaves the pipeline.  Pure JVM expression (md5 + concat), runs at
     scan speed; rotate the salt to break linkability across releases.
-    128-bit md5 at width=16 (64 bits) keeps collision odds negligible below
-    ~2^32 keys; raise width for larger key spaces."""
+
+    Collision math (birthday bound, p ~= n^2 / 2^(b+1) for n keys in b
+    bits): width=16 hex chars = 64 bits is safe only to ~1e8 keys at
+    p < 1e-3 — at 2^32 keys the collision odds are already ~39%, and a
+    collision silently CONFLATES two identities downstream (ADVICE r6).
+    The default is therefore width=24 (96 bits): p < 1e-9 at 1e10 keys,
+    comfortably past any realistic identifier space at 100 TB.  Use
+    width=32 (the full digest) when tokens feed further derivations."""
     c = F.col(col) if isinstance(col, str) else col
     return F.substring(
         F.md5(F.concat(F.lit(salt), F.lit(":"), c.cast("string"))), 1, width

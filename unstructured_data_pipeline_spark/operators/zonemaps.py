@@ -50,10 +50,16 @@ def prune_files(zone_maps: DataFrame, col: str, lo, hi) -> tuple[list[str], int]
     map is O(files) — collecting it to the driver is the same size class
     as the file listing Spark's own scan planning already holds."""
     rows = zone_maps.select("_file", f"min_{col}", f"max_{col}").collect()
+    # NULL bounds mean the file's column is entirely NULL (min/max of an
+    # all-NULL column): no row there can satisfy a range predicate, so the
+    # file is SKIPPED rather than crashing the comparison (ADVICE r6).
     keep = [
         r["_file"]
         for r in rows
-        if r[f"max_{col}"] >= lo and r[f"min_{col}"] <= hi
+        if r[f"max_{col}"] is not None
+        and r[f"min_{col}"] is not None
+        and r[f"max_{col}"] >= lo
+        and r[f"min_{col}"] <= hi
     ]
     return keep, len(rows)
 
@@ -65,6 +71,25 @@ def pruned_read(
     filter still applies (zones are necessary, not sufficient).  Returns
     (dataframe, files_read, files_total)."""
     keep, total = prune_files(zone_maps, col, lo, hi)
+    if total == 0:
+        # zero files in the index: spark.read.parquet() with no paths would
+        # raise, so degrade to an empty frame typed from the zone-map's own
+        # min_/max_ stat columns — the only schema knowledge the index holds
+        # (indexed columns only, documented degradation; ADVICE r6).
+        fields = [
+            (f.name[len("min_"):], f.dataType)
+            for f in zone_maps.schema.fields
+            if f.name.startswith("min_")
+        ]
+        from pyspark.sql import types as T
+
+        return (
+            spark.createDataFrame([], T.StructType(
+                [T.StructField(n, t) for n, t in fields]
+            )),
+            0,
+            0,
+        )
     if not keep:
         # empty selection: preserve schema by reading all then filtering false
         df = spark.read.parquet(*[r["_file"] for r in zone_maps.select("_file").collect()])

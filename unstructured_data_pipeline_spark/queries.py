@@ -9835,12 +9835,12 @@ def pseudonymize_consistent_report(spark, sf_dir):
 
 PSEUDONYMIZE_SQL = f"""
 WITH cust AS (
-  SELECT substr(md5('udp_pepper_v1:' || CAST(c_custkey AS VARCHAR)), 1, 16) AS pid,
+  SELECT substr(md5('udp_pepper_v1:' || CAST(c_custkey AS VARCHAR)), 1, 24) AS pid,
          substr(c_name, 1, 1) || '***' AS masked_name, c_mktsegment
   FROM customer
 ),
 o AS (
-  SELECT substr(md5('udp_pepper_v1:' || CAST(o_custkey AS VARCHAR)), 1, 16) AS pid,
+  SELECT substr(md5('udp_pepper_v1:' || CAST(o_custkey AS VARCHAR)), 1, 24) AS pid,
          {_c('o_totalprice')} AS cents
   FROM orders
 )
@@ -10478,7 +10478,11 @@ def triangle_count_copurchase(spark, sf_dir):
     ).collect()[0]
     n_edges = edges.count()
     n_wedges = int(stats["n_wedges"] or 0)  # SUM over an empty graph is NULL
-    cc = round(3.0 * tri / n_wedges, 6) if n_wedges else 0.0
+    # integer micro-units, floor division: Python round() is half-to-even
+    # while DuckDB/F.round are half-away — an exact .5 tie at the 6th
+    # decimal would diverge the hash gate (ADVICE r6).  3*tri*1e6 fits
+    # int64 up to ~3e12 triangles; max(.., 1) guards the empty graph.
+    cc_micro = (3 * tri * 1_000_000) // max(n_wedges, 1)
     return spark.createDataFrame(
         [
             (
@@ -10486,11 +10490,11 @@ def triangle_count_copurchase(spark, sf_dir):
                 int(n_edges),
                 n_wedges,
                 int(tri),
-                float(cc),
+                int(cc_micro),
             )
         ],
         "n_nodes bigint, n_edges bigint, n_wedges bigint, n_triangles bigint,"
-        " global_cc double",
+        " global_cc_micro bigint",
     )
 
 
@@ -10516,8 +10520,9 @@ SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
        (SELECT COUNT(*) FROM edges) AS n_edges,
        (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
        tri.n AS n_triangles,
-       round(3.0 * tri.n
-             / (SELECT SUM(deg * (deg - 1) // 2) FROM deg), 6) AS global_cc
+       CAST(3 * tri.n * 1000000
+            // GREATEST((SELECT SUM(deg * (deg - 1) // 2) FROM deg), 1)
+            AS BIGINT) AS global_cc_micro
 FROM tri
 """
 
@@ -10600,7 +10605,7 @@ def equidepth_histogram_orders(spark, sf_dir):
         F.expr(
             f"least(9, (coalesce(sum(cnt) over (order by cents"
             f" rows between unbounded preceding and 1 preceding), 0) * 10)"
-            f" div {n_total})"
+            f" div {max(n_total, 1)})"
         ).alias("bucket"),
     )
     return (
@@ -10623,7 +10628,7 @@ b AS (
   SELECT cents, cnt,
          LEAST(9, (COALESCE(SUM(cnt) OVER (ORDER BY cents
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   * 10) // tot.n) AS bucket
+                   * 10) // GREATEST(tot.n, 1)) AS bucket
   FROM vals, tot
 )
 SELECT CAST(bucket AS BIGINT) AS bucket,
@@ -10796,7 +10801,7 @@ def benford_first_digit_audit(spark, sf_dir):
         .select(
             "digit",
             "n_obs",
-            F.expr(f"(n_obs * 1000) div {n_total}").alias("obs_permille"),
+            F.expr(f"(n_obs * 1000) div {max(n_total, 1)}").alias("obs_permille"),
             F.element_at(exp, F.col("digit").cast("int")).cast("long").alias("exp_permille"),
         )
         .withColumn(
@@ -10818,12 +10823,12 @@ d AS (
   FROM o GROUP BY digit
 )
 SELECT digit, n_obs,
-       (n_obs * 1000) // tot.n AS obs_permille,
+       (n_obs * 1000) // GREATEST(tot.n, 1) AS obs_permille,
        CAST(CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125
                        WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67
                        WHEN 7 THEN 58 WHEN 8 THEN 51 ELSE 46 END AS BIGINT)
          AS exp_permille,
-       (n_obs * 1000) // tot.n
+       (n_obs * 1000) // GREATEST(tot.n, 1)
          - CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125
                       WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67
                       WHEN 7 THEN 58 WHEN 8 THEN 51 ELSE 46 END AS delta_permille
@@ -10865,8 +10870,8 @@ def drift_share_report(spark, sf_dir):
             "event_type",
             "n_early",
             "n_late",
-            F.expr("(n_early * 1000) div tot_early").alias("early_permille"),
-            F.expr("(n_late * 1000) div tot_late").alias("late_permille"),
+            F.expr("(n_early * 1000) div greatest(tot_early, 1)").alias("early_permille"),
+            F.expr("(n_late * 1000) div greatest(tot_late, 1)").alias("late_permille"),
         )
         .withColumn(
             "delta_permille",
@@ -10893,12 +10898,12 @@ t AS (
   FROM h
 )
 SELECT event_type, n_early, n_late,
-       CAST((n_early * 1000) // tot_early AS BIGINT) AS early_permille,
-       CAST((n_late * 1000) // tot_late AS BIGINT) AS late_permille,
-       CAST((n_late * 1000) // tot_late
-            - (n_early * 1000) // tot_early AS BIGINT) AS delta_permille,
-       CAST(((n_late * 1000) // tot_late - (n_early * 1000) // tot_early)
-            * ((n_late * 1000) // tot_late - (n_early * 1000) // tot_early)
+       CAST((n_early * 1000) // GREATEST(tot_early, 1) AS BIGINT) AS early_permille,
+       CAST((n_late * 1000) // GREATEST(tot_late, 1) AS BIGINT) AS late_permille,
+       CAST((n_late * 1000) // GREATEST(tot_late, 1)
+            - (n_early * 1000) // GREATEST(tot_early, 1) AS BIGINT) AS delta_permille,
+       CAST(((n_late * 1000) // GREATEST(tot_late, 1) - (n_early * 1000) // GREATEST(tot_early, 1))
+            * ((n_late * 1000) // GREATEST(tot_late, 1) - (n_early * 1000) // GREATEST(tot_early, 1))
             AS BIGINT) AS drift_sq
 FROM t ORDER BY event_type
 """
@@ -12033,7 +12038,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
     "q18_big_orders": (q18_big_orders, Q18_SQL),
     # round-5 additions (never driver-checked -> the computed freshness
-    # rotation surfaces them right behind _R6_CHANGED automatically)
+    # rotation surfaces them right behind _R7_CHANGED automatically)
     "dsir_importance_sample": (dsir_importance_sample, DSIR_SQL),
     "bm25_topk_contract": (bm25_topk_contract, BM25_SQL),
     "unimax_language_budgets": (unimax_language_budgets, UNIMAX_SQL),
@@ -12062,7 +12067,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "largest_remainder_allocation": (largest_remainder_allocation, LARGEST_REMAINDER_SQL),
     "twap_user_daily": (twap_user_daily, TWAP_SQL),
     # round-6 additions (never driver-checked -> the computed freshness
-    # rotation surfaces them right behind _R6_CHANGED automatically)
+    # rotation surfaces them right behind _R7_CHANGED automatically)
     "zonemap_pruning_report": (zonemap_pruning_report, ZONEMAP_SQL),
     "binary_quant_hamming_topk": (binary_quant_hamming_topk, BINARY_HAMMING_SQL),
     "theta_sketch_setops": (theta_sketch_setops, THETA_SETOPS_SQL),
@@ -12143,10 +12148,21 @@ DEMOS = {
 # Entries past the ~50 budget simply wait; the computed order guarantees
 # they are the FRESHEST-evidence entries, never forgotten ones.
 
-_R6_CHANGED = [
-    # VERDICT r5 #1: CAST(dist2 AS BIGINT) added to JL_PROJECTION_SQL (the
-    # registry's only HUGEINT-output oracle; engine output was already right)
-    "jl_projection_topk",
+_R7_CHANGED = [
+    # ADVICE r6: pseudonym() default width 16 -> 24 hex chars (96-bit
+    # tokens; birthday bound), oracle substr widened in lockstep
+    "pseudonymize_consistent_report",
+    # ADVICE r6: global_cc double (Python banker's round) -> integer
+    # global_cc_micro via floor div in BOTH engines
+    "triangle_count_copurchase",
+    # ADVICE r6: zero-denominator guards (greatest(tot,1)) mirrored in the
+    # SQL oracles; outputs unchanged on non-empty fixtures but both texts
+    # changed, so re-verify first
+    "drift_share_report",
+    "benford_first_digit_audit",
+    "equidepth_histogram_orders",
+    # ADVICE r6: NULL-stats + zero-file guards in operators/zonemaps.py
+    "zonemap_pruning_report",
 ]
 
 
@@ -12183,7 +12199,7 @@ def _latest_green_rounds() -> dict[str, int]:
 
 
 def _freshness_order(names: list[str]) -> list[str]:
-    changed = [n for n in _R6_CHANGED if n in names]
+    changed = [n for n in _R7_CHANGED if n in names]
     green = _latest_green_rounds()
     pos = {n: i for i, n in enumerate(names)}
     rest = sorted(
@@ -12193,7 +12209,7 @@ def _freshness_order(names: list[str]) -> list[str]:
     return changed + rest
 
 
-assert set(_R6_CHANGED) <= set(REGISTRY), sorted(set(_R6_CHANGED) - set(REGISTRY))
+assert set(_R7_CHANGED) <= set(REGISTRY), sorted(set(_R7_CHANGED) - set(REGISTRY))
 REGISTRY = {n: REGISTRY[n] for n in _freshness_order(list(REGISTRY))}
 
 
