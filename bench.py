@@ -2,11 +2,26 @@
 """Benchmark the engine's headline queries.
 
 Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
-``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+``local[$SPARK_GRAFT_CPUS]``.  Each query is materialized with a full
+collect (outputs are small aggregates or bounded row sets) after a warm-up
+of the input scans.
 
-Each query is materialized with a full collect (outputs are small aggregates
-or bounded row sets) after a warm-up of the input scans.
+Artifact protocol (VERDICT r6 #1 — the driver records only a 2000-char
+tail of combined stdout+stderr and parses the LAST JSON line in it):
+
+* the LAST stdout line is a COMPACT (<1 kB) summary —
+  ``{"metric","value","unit","queries":{headline only, 2-decimal},"sf",
+  "pipeline_docs_per_sec","n_extra_ok","n_err","partial"}`` — emitted via
+  ``atexit`` so it lands AFTER any crash traceback;
+* the FULL record (cold runs, ~190 EXTRA timings, error map) checkpoints
+  atomically to ``bench_full_latest.json`` after the headline and every 8
+  extras — a dead JVM can no longer erase measured numbers;
+* ``spark.stop()`` is guarded and ``__main__`` exits 0 whenever the
+  headline was measured, so a tail-of-run JVM death (r2/r5/r6) degrades to
+  ``partial: true`` instead of rc=1 with ``parsed: null``.
+
+``SPARK_GRAFT_HEADLINE_ONLY=1`` times the frozen 28-query headline and
+skips the EXTRA marathon (used by the sf1 scale probe, SCALE.md).
 """
 
 from __future__ import annotations
@@ -38,6 +53,7 @@ STATE: dict = {
     "docs_per_sec": None,
     "total": 0.0,
     "sf": None,
+    "done": False,  # set only when main() reached its natural end
     "final_emitted": False,
 }
 
@@ -95,7 +111,7 @@ def emit_final() -> None:
     if STATE["final_emitted"] or not STATE["timings"]:
         return
     STATE["final_emitted"] = True
-    print(compact_line(partial=False), flush=True)
+    print(compact_line(partial=not STATE["done"]), flush=True)
 
 
 atexit.register(emit_final)
@@ -211,6 +227,7 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_HEADLINE_ONLY"):
         # scale probes (tools/make_sf1.py fixtures) time the frozen headline
         # without the ~130-query EXTRA marathon
+        STATE["done"] = True
         try:
             spark.stop()
         except Exception:
@@ -448,6 +465,7 @@ def main() -> None:
     except Exception as e:
         errors["pipeline_docs_per_sec"] = str(e).split("\n")[0][:200]
 
+    STATE["done"] = True
     emit_full(partial=False)
     try:
         # A dead JVM makes stop() raise ConnectionRefusedError; that must
