@@ -835,3 +835,37 @@ def test_bench_compact_line_fits_tail():
     finally:
         bench.STATE.clear()
         bench.STATE.update(saved)
+
+
+def test_bench_compact_line_survives_tail_capture():
+    """End-to-end simulation of the driver's capture: the compact line is
+    printed AFTER a py4j death traceback (atexit ordering), the driver
+    keeps the last 2000 chars of combined output and parses the last JSON
+    line it finds.  The parse must recover the headline total even in the
+    crash scenario that produced BENCH_r06's parsed:null."""
+    import json as _json
+
+    import bench
+
+    saved = {k: bench.STATE[k] for k in bench.STATE}
+    try:
+        bench.STATE["timings"] = {k: 1.0 for k in bench.HEADLINE}
+        bench.STATE["total"] = 28.0
+        bench.STATE["sf"] = 0.1
+        fake_traceback = (
+            "Traceback (most recent call last):\n"
+            + '  File "bench.py", line 999, in main\n    spark.stop()\n' * 20
+            + "ConnectionRefusedError: [Errno 111] Connection refused\n"
+        )
+        stream = fake_traceback + bench.compact_line(partial=True) + "\n"
+        tail = stream[-2000:]
+        json_lines = [
+            ln for ln in tail.splitlines() if ln.startswith("{") and ln.endswith("}")
+        ]
+        assert json_lines, "no complete JSON line inside the 2000-char tail"
+        parsed = _json.loads(json_lines[-1])
+        assert parsed["value"] == 28.0
+        assert parsed["partial"] is True
+    finally:
+        bench.STATE.clear()
+        bench.STATE.update(saved)
