@@ -76,3 +76,44 @@ def test_cube_partitions_the_total(spark, sf_dir):
     for gid in (0, 1, 2):
         assert sum(r["n_rows"] for r in by_gid[gid]) == total
         assert sum(r["sum_price_cents"] for r in by_gid[gid]) == cents
+
+
+def test_window_rank_quartiles_balanced(spark, sf_dir):
+    """NTILE must split each priority into quartiles whose sizes differ by
+    at most 1; the last quartile's cumulative distribution must reach
+    exactly 1000 permille, and every permille stays in [0, 1000]."""
+    from unstructured_data_pipeline_spark.queries import window_rank_functions_suite
+
+    rows = window_rank_functions_suite(spark, sf_dir).collect()
+    by_prio: dict[str, list] = {}
+    for r in rows:
+        by_prio.setdefault(r["o_orderpriority"], []).append(r)
+    for prio, qs in by_prio.items():
+        sizes = [r["n_rows"] for r in qs]
+        assert max(sizes) - min(sizes) <= 1, (prio, sizes)
+        last = max(qs, key=lambda r: r["quartile"])
+        assert last["max_cd_permille"] == 1000
+        for r in qs:
+            assert 0 <= r["max_pr_permille"] <= 1000
+            assert 0 <= r["max_cd_permille"] <= 1000
+        # quartile value ranges never overlap going upward
+        ordered = sorted(qs, key=lambda r: r["quartile"])
+        for lo, hi in zip(ordered, ordered[1:]):
+            assert lo["max_cents"] <= hi["min_cents"] or lo["max_cents"] == hi["min_cents"]
+
+
+def test_unpivot_preserves_totals(spark, sf_dir):
+    from unstructured_data_pipeline_spark.queries import _cents, unpivot_part_metrics
+
+    p = _t(spark, sf_dir, "part")
+    n = p.count()
+    direct = p.agg(
+        F.sum(_cents(F.col("p_retailprice"))).alias("price"),
+        F.sum(F.col("p_size").cast("long")).alias("size"),
+    ).first()
+    out = {r["metric"]: r for r in unpivot_part_metrics(spark, sf_dir).collect()}
+    assert set(out) == {"retailprice_cents", "size_units"}
+    for r in out.values():
+        assert r["n_rows"] == n
+    assert out["retailprice_cents"]["sum_value"] == direct["price"]
+    assert out["size_units"]["sum_value"] == direct["size"]
