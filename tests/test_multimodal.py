@@ -157,3 +157,87 @@ def test_audio_features_spark_pipeline_with_real_wav(spark):
     assert t["rms"] == pytest.approx(1 / math.sqrt(2), rel=0.01)
     assert 80 <= t["zero_crossings"] <= 96
     assert got["noise.bin"]["sample_rate"] == 16000  # fake tier
+
+
+def test_png_decode_roundtrip_every_filter():
+    """The stdlib PNG decoder must reconstruct the EXACT raw scanlines
+    through every RFC 2083 filter type (None/Sub/Up/Average/Paeth) — the
+    encoder forward-filters a gradient that exercises all predictors."""
+    from unstructured_data_pipeline_spark.operators.multimodal import (
+        _png_pixels,
+        make_minimal_png,
+    )
+
+    w, h = 5, 4
+    rows = [
+        bytes(((x * 37 + y * 91 + c * 13) % 256) for x in range(w) for c in range(3))
+        for y in range(h)
+    ]
+    for ft in range(5):
+        png = make_minimal_png(w, h, rows=rows, filter_type=ft)
+        decoded = _png_pixels(png)
+        assert decoded is not None, f"filter {ft} failed to decode"
+        dw, dh, ch, raw = decoded
+        assert (dw, dh, ch) == (w, h, 3)
+        assert [raw[y * w * 3 : (y + 1) * w * 3] for y in range(dh)] == rows, (
+            f"filter {ft} reconstruction mismatch"
+        )
+
+
+def test_png_pixel_stats_solid_and_gray():
+    from unstructured_data_pipeline_spark.operators.multimodal import (
+        _png_pixel_stats,
+        make_minimal_png,
+    )
+
+    stats = _png_pixel_stats(make_minimal_png(4, 4, rgb=(255, 0, 0)))
+    assert stats is not None
+    mr, mg, mb, std = stats
+    assert (round(mr, 6), round(mg, 6), round(mb, 6)) == (1.0, 0.0, 0.0)
+    assert std < 1e-7  # solid color -> (numerically) zero variance
+    # grayscale path: 1-channel scanlines replicate luma across RGB slots
+    gray_rows = [bytes([128] * 3) for _ in range(3)]
+    g = _png_pixel_stats(make_minimal_png(3, 3, rows=gray_rows))
+    assert g is not None and g[0] == g[1] == g[2]
+
+
+def test_png_feature_vector_leads_with_real_stats():
+    from unstructured_data_pipeline_spark.operators.multimodal import (
+        _feature_vector,
+        _png_pixel_stats,
+        make_minimal_png,
+    )
+
+    png = make_minimal_png(4, 4, rgb=(0, 255, 0))
+    feat = _feature_vector(png, dim=8)
+    assert feat[:4] == _png_pixel_stats(png)  # real stats prefix
+    assert len(feat) == 8  # fake tier fills the remainder deterministically
+
+
+def test_png_decoder_rejects_unsupported_shapes():
+    """16-bit / interlaced / palette payloads fall through to the next
+    tier (None), never a wrong decode."""
+    import struct
+    import zlib
+
+    from unstructured_data_pipeline_spark.operators.multimodal import _png_pixels
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    # palette (color type 3) is out of tier
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+        + chunk(b"IEND", b"")
+    )
+    assert _png_pixels(png) is None
+    assert _png_pixels(b"\x89PNG\r\n\x1a\ntruncated") is None
+    assert _png_pixels(b"not a png") is None

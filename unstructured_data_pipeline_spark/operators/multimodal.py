@@ -10,7 +10,8 @@ Decode tiers (all pure functions of the bytes — replayable):
 - **Real, stdlib-only**: container/geometry parsing for PNG, GIF, BMP and
   JPEG (magic sniff + header walk), full PCM decode for WAV (``wave`` +
   ``struct``), real per-channel pixel statistics for uncompressed 24-bit
-  BMP.
+  BMP AND for 8-bit non-interlaced PNG (zlib inflate + full
+  None/Sub/Up/Average/Paeth filter reconstruction, :func:`_png_pixels`).
 - **Optional import**: Pillow (``PIL.Image``) upgrades geometry + pixel
   stats to every format it supports; absent in this container.
 - **Deterministic fake**: feature vectors for compressed payloads the
@@ -161,16 +162,173 @@ def _bmp_pixel_stats(content: bytes) -> list[float] | None:
         return None
 
 
+def _png_pixels(content: bytes) -> tuple[int, int, int, bytes] | None:
+    """REAL stdlib PNG decode: chunk walk + zlib inflate + full filter
+    reconstruction (None/Sub/Up/Average/Paeth, RFC 2083 §6) for 8-bit
+    non-interlaced grayscale / RGB / gray+alpha / RGBA — the common
+    lossless cases.  Returns ``(width, height, channels, raw)`` where
+    ``raw`` is the unfiltered scanline bytes, or ``None`` for anything the
+    tier doesn't cover (16-bit, palette, interlaced — Pillow territory).
+    Pure function of the bytes; the per-pixel loop is the price of a
+    zero-dependency honest decode (same trade as ``_bmp_pixel_stats``) —
+    production swaps the Pillow tier in for throughput."""
+    import struct
+    import zlib
+
+    try:
+        if content[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        i, ihdr, idat = 8, None, b""
+        while i + 8 <= len(content):
+            ln, typ = struct.unpack(">I4s", content[i : i + 8])
+            data = content[i + 8 : i + 8 + ln]
+            if typ == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+            i += 12 + ln
+        if ihdr is None or not idat:
+            return None
+        w, h, bits, ctype, comp, filt, interlace = ihdr
+        if bits != 8 or comp or filt or interlace or ctype not in (0, 2, 4, 6):
+            return None
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        raw = zlib.decompress(idat)
+        stride = w * ch
+        if len(raw) != (stride + 1) * h or not stride:
+            return None
+        out = bytearray(stride * h)
+        for y in range(h):
+            f = raw[y * (stride + 1)]
+            line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+            o = y * stride
+            for x in range(stride):
+                a = out[o + x - ch] if x >= ch else 0
+                b = out[o - stride + x] if y > 0 else 0
+                if f == 0:
+                    v = line[x]
+                elif f == 1:
+                    v = line[x] + a
+                elif f == 2:
+                    v = line[x] + b
+                elif f == 3:
+                    v = line[x] + (a + b) // 2
+                elif f == 4:
+                    c = out[o - stride + x - ch] if (y > 0 and x >= ch) else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[x] + pred
+                else:
+                    return None
+                out[o + x] = v & 0xFF
+        return w, h, ch, bytes(out)
+    except (struct.error, zlib.error, IndexError, ValueError):
+        return None
+
+
+def _png_pixel_stats(content: bytes) -> list[float] | None:
+    """Per-channel means in [0, 1] + grayscale std from the REAL stdlib
+    PNG decode (:func:`_png_pixels`) — the same feature prefix shape as
+    :func:`_bmp_pixel_stats`.  Gray/gray+alpha payloads replicate the luma
+    across the RGB slots; alpha never enters the statistics."""
+    decoded = _png_pixels(content)
+    if decoded is None:
+        return None
+    w, h, ch, raw = decoded
+    color = 3 if ch >= 3 else 1
+    n = w * h
+    sums = [0, 0, 0]
+    sq = 0.0
+    for px in range(n):
+        base = px * ch
+        if color == 3:
+            r, g, b = raw[base], raw[base + 1], raw[base + 2]
+        else:
+            r = g = b = raw[base]
+        sums[0] += r
+        sums[1] += g
+        sums[2] += b
+        gray = (r + g + b) / (3 * 255.0)
+        sq += gray * gray
+    mr, mg, mb = (s / (n * 255.0) for s in sums)
+    mean_gray = (sums[0] + sums[1] + sums[2]) / (3 * n * 255.0)
+    var = max(0.0, sq / n - mean_gray * mean_gray)
+    return [mr, mg, mb, var**0.5]
+
+
+def make_minimal_png(
+    width: int = 4,
+    height: int = 4,
+    rgb: tuple[int, int, int] | None = (0, 0, 0),
+    rows: list[bytes] | None = None,
+    filter_type: int = 0,
+) -> bytes:
+    """Well-formed 8-bit PNG from stdlib only — the PNG counterpart of
+    :func:`make_minimal_bmp`.  ``rows`` (raw scanlines, len = width*3 RGB
+    or width gray) overrides the solid ``rgb`` fill; ``filter_type``
+    forward-applies the chosen RFC 2083 filter to every scanline so tests
+    can exercise each reconstruction path of :func:`_png_pixels`."""
+    import struct
+    import zlib
+
+    ch = 3 if (rows is None or len(rows[0]) == width * 3) else 1
+    if rows is None:
+        rows = [bytes(rgb) * width for _ in range(height)]
+    ctype = 2 if ch == 3 else 0
+    prev = bytes(len(rows[0]))
+    filtered = bytearray()
+    for line in rows:
+        filtered.append(filter_type)
+        for x in range(len(line)):
+            a = line[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if filter_type == 0:
+                f = line[x]
+            elif filter_type == 1:
+                f = line[x] - a
+            elif filter_type == 2:
+                f = line[x] - b
+            elif filter_type == 3:
+                f = line[x] - (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                f = line[x] - pred
+            filtered.append(f & 0xFF)
+        prev = line
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _feature_vector(content: bytes, dim: int = 8) -> list[float]:
     """Feature extraction: REAL pixel statistics lead the vector when the
-    payload is stdlib-decodable (24-bit BMP — per-channel means + gray
-    std); the remainder (and the whole vector for compressed formats) is
-    the DETERMINISTIC FAKE tier, md5-derived values in [-1, 1] standing in
-    for a vision encoder."""
+    payload is stdlib-decodable (24-bit BMP and 8-bit non-interlaced PNG —
+    per-channel means + gray std); the remainder (and the whole vector for
+    formats the stdlib can't decode) is the DETERMINISTIC FAKE tier,
+    md5-derived values in [-1, 1] standing in for a vision encoder."""
     import hashlib
 
     out: list[float] = []
-    stats = _bmp_pixel_stats(content)
+    stats = _bmp_pixel_stats(content) or _png_pixel_stats(content)
     if stats:
         out.extend(stats[:dim])
     for i in range(len(out), dim):
