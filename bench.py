@@ -350,7 +350,6 @@ def main() -> None:
         "skew_advisor_report",           # hot-key stats + salt fan-out
         "cube_returnflag_status",        # CUBE + GROUPING_ID one-pass
         "window_rank_functions_suite",   # ntile/percent_rank/cume_dist
-        "unpivot_part_metrics",          # wide->long melt + profile
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

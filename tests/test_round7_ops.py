@@ -100,20 +100,3 @@ def test_window_rank_quartiles_balanced(spark, sf_dir):
         ordered = sorted(qs, key=lambda r: r["quartile"])
         for lo, hi in zip(ordered, ordered[1:]):
             assert lo["max_cents"] <= hi["min_cents"] or lo["max_cents"] == hi["min_cents"]
-
-
-def test_unpivot_preserves_totals(spark, sf_dir):
-    from unstructured_data_pipeline_spark.queries import _cents, unpivot_part_metrics
-
-    p = _t(spark, sf_dir, "part")
-    n = p.count()
-    direct = p.agg(
-        F.sum(_cents(F.col("p_retailprice"))).alias("price"),
-        F.sum(F.col("p_size").cast("long")).alias("size"),
-    ).first()
-    out = {r["metric"]: r for r in unpivot_part_metrics(spark, sf_dir).collect()}
-    assert set(out) == {"retailprice_cents", "size_units"}
-    for r in out.values():
-        assert r["n_rows"] == n
-    assert out["retailprice_cents"]["sum_value"] == direct["price"]
-    assert out["size_units"]["sum_value"] == direct["size"]

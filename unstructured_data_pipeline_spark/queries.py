@@ -12290,54 +12290,6 @@ ORDER BY o_orderpriority, quartile
 """
 
 
-def unpivot_part_metrics(spark, sf_dir):
-    """The UNPIVOT / melt surface (`DataFrame.unpivot`, the inverse of
-    `pivot_event_values`): part's numeric columns fold into long
-    (metric, value) rows — the wide-to-long reshape every feature store
-    and profiling layer needs — then one grouped aggregate profiles each
-    metric.  Unpivot is a row-local projection (zero shuffle, fan-out =
-    number of measure columns, here 2x), so the reshape itself is free at
-    any scale; the profile is one |metrics|-group aggregation."""
-    p = _t(spark, sf_dir, "part").select(
-        "p_partkey",
-        _cents(F.col("p_retailprice")).alias("retailprice_cents"),
-        F.col("p_size").cast("long").alias("size_units"),
-    )
-    long = p.unpivot(
-        ids=["p_partkey"],
-        values=["retailprice_cents", "size_units"],
-        variableColumnName="metric",
-        valueColumnName="value",
-    )
-    return (
-        long.groupBy("metric")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-            F.sum("value").cast("long").alias("sum_value"),
-        )
-        .orderBy("metric")
-    )
-
-
-UNPIVOT_SQL = f"""
-WITH p AS (
-  SELECT p_partkey, {_c('p_retailprice')} AS retailprice_cents,
-         CAST(p_size AS BIGINT) AS size_units
-  FROM part
-),
-long AS (
-  UNPIVOT p ON retailprice_cents, size_units
-  INTO NAME metric VALUE value
-)
-SELECT metric, COUNT(*) AS n_rows,
-       MIN(value) AS min_value, MAX(value) AS max_value,
-       CAST(SUM(value) AS BIGINT) AS sum_value
-FROM long GROUP BY metric ORDER BY metric
-"""
-
-
 # ---------------------------------------------------------------------------
 # registry
 
@@ -12588,7 +12540,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         window_rank_functions_suite,
         WINDOW_RANK_SQL,
     ),
-    "unpivot_part_metrics": (unpivot_part_metrics, UNPIVOT_SQL),
 }
 
 # Rows-only demos retired from REGISTRY per VERDICT r3 #1: their hash-checked
