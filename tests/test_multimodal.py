@@ -241,3 +241,39 @@ def test_png_decoder_rejects_unsupported_shapes():
     assert _png_pixels(png) is None
     assert _png_pixels(b"\x89PNG\r\n\x1a\ntruncated") is None
     assert _png_pixels(b"not a png") is None
+
+
+def test_png_roundtrip_property_random_images():
+    """Property: ANY 8-bit image content through ANY filter type decodes
+    back to the exact raw scanlines (hypothesis-driven over sizes, channel
+    counts, pixel data, and filter choice)."""
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+
+    from unstructured_data_pipeline_spark.operators.multimodal import (
+        _png_pixels,
+        make_minimal_png,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 7),
+        gray=st.booleans(),
+        ft=st.integers(0, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, gray, ft, seed):
+        import random
+
+        rng = random.Random(seed)
+        ch = 1 if gray else 3
+        rows = [bytes(rng.randrange(256) for _ in range(w * ch)) for _ in range(h)]
+        png = make_minimal_png(w, h, rows=rows, filter_type=ft)
+        decoded = _png_pixels(png)
+        assert decoded is not None
+        dw, dh, dch, raw = decoded
+        assert (dw, dh, dch) == (w, h, ch)
+        assert [raw[y * w * ch : (y + 1) * w * ch] for y in range(h)] == rows
+
+    check()
