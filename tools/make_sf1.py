@@ -45,6 +45,8 @@ STRIDE = 1_000_000_000
 
 VOWEL_ROTS = ["aeiou", "eioua", "iouae", "ouaei", "uaeio",
               "aeiou"[::-1], "eioua"[::-1], "iouae"[::-1], "ouaei"[::-1], "uaeio"[::-1]]
+CONS_ROTS = ["rstln", "stlnr", "tlnrs", "lnrst", "nrstl",
+             "rstln"[::-1], "stlnr"[::-1], "tlnrs"[::-1], "lnrst"[::-1], "nrstl"[::-1]]
 
 
 def shifted(df, r: int, key_cols: list[str]):
@@ -90,10 +92,20 @@ def main() -> None:
     for r in range(REPLICAS):
         d = shifted(docs, r, ["doc_id"])
         if r > 0:
+            # two independent rotation axes (vowels x consonants) give
+            # len(VOWEL_ROTS)^2 = 100 distinct transforms: without the
+            # second axis, replicas 10 apart were near-identical and an
+            # sf10 build degenerated into ~10-copy near-dup groups (4M+
+            # LSH pairs — a fixture artifact, not a corpus property)
+            cons = CONS_ROTS[(r // len(VOWEL_ROTS)) % len(CONS_ROTS)]
             d = d.withColumn(
                 "text",
                 F.concat(
-                    F.translate(F.col("text"), "aeiou", VOWEL_ROTS[r]),
+                    F.translate(
+                        F.col("text"),
+                        "aeiourstln",
+                        VOWEL_ROTS[r % len(VOWEL_ROTS)] + cons,
+                    ),
                     F.lit(f" rep{r}"),
                 ),
             ).withColumn("n_chars", F.length("text").cast("long"))
@@ -118,6 +130,17 @@ def main() -> None:
                     F.slice("embedding", k + 1, dim - k),
                     F.slice("embedding", 1, k),
                 ).cast("array<float>"),
+            )
+        if r >= dim:
+            # second decorrelation axis once rotations wrap (REPLICAS can
+            # exceed dim): whole-vector negation preserves norms and
+            # WITHIN-replica structure but flips the sign of any
+            # cross-replica cosine against an unflipped twin — without it
+            # replica r and r-dim were identical and near-dup/ANN outputs
+            # exploded at sf10
+            e = e.withColumn(
+                "embedding",
+                F.transform("embedding", lambda x: -x).cast("array<float>"),
             )
         parts.append(e)
     df = parts[0]
