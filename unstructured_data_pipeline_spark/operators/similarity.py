@@ -178,9 +178,17 @@ def embedding_near_dup_blocked(
     (:func:`embedding_near_dup`) must materialize |block|^2 join rows just
     to score them (measured ~2 s per 250 K pairs — higher-order-function
     lambdas are interpreted, not codegen'd), while here Arrow ships one row
-    per VECTOR and the O(|block|^2) work runs as a single BLAS call.
+    per VECTOR and the O(|block|^2) work runs as BLAS calls.
     Blocks (cluster / label / LSH-bucket ids) are assumed executor-memory
     sized — the same assumption the join variant needs to avoid skew.
+
+    The matmul runs in ROW STRIPS (strip x |block| at a time, ~32 MB per
+    strip) instead of one |block|^2 similarity matrix: the full matrix
+    plus ``triu_indices`` cost ~6.4 GB at a 20 k-vector block (the sf10
+    probe's regime, SCALE.md) and would cliff an executor long before the
+    arithmetic does.  Each output element is the same independent BLAS dot
+    product, so strip order changes nothing — pairs and cos values are
+    bit-identical to the single-matmul form.
     """
     schema = "a long, b long, cos double"
 
@@ -191,17 +199,29 @@ def embedding_near_dup_blocked(
         if len(pdf) < 2:
             return pd.DataFrame(columns=["a", "b", "cos"])
         ids = pdf[id_col].to_numpy()
+        n = len(ids)
         m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
-        sim = m @ m.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sim[iu, ju] >= threshold
-        ai, bi = ids[iu[keep]], ids[ju[keep]]
+        strip = max(1, 4_000_000 // n)  # ~32 MB of float64 per strip
+        cols = np.arange(n)
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, n, strip):
+            e = min(s + strip, n)
+            sim = m[s:e] @ m.T  # (e-s) x n
+            keep = (sim >= threshold) & (cols[None, :] > np.arange(s, e)[:, None])
+            li, j = np.nonzero(keep)
+            if len(li):
+                ai, bi = ids[li + s], ids[j]
+                out_a.append(np.minimum(ai, bi))
+                out_b.append(np.maximum(ai, bi))
+                out_c.append(sim[li, j])
+        if not out_a:
+            return pd.DataFrame(columns=["a", "b", "cos"])
         return pd.DataFrame(
             {
-                "a": np.minimum(ai, bi),
-                "b": np.maximum(ai, bi),
-                "cos": sim[iu[keep], ju[keep]],
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
             }
         )
 
