@@ -12583,6 +12583,11 @@ _R7_CHANGED = [
     "equidepth_histogram_orders",
     # ADVICE r6: NULL-stats + zero-file guards in operators/zonemaps.py
     "zonemap_pruning_report",
+    # r7 sf10 probe fix: strip-chunked BLAS kernel in
+    # similarity.embedding_near_dup_blocked (bit-identical output, 11x at
+    # sf10; re-verify its two registry consumers first anyway)
+    "dedup_embedding_cosine",
+    "semdedup_report",
 ]
 
 
