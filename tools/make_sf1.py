@@ -56,17 +56,18 @@ def shifted(df, r: int, key_cols: list[str]):
     return out
 
 
-def main() -> None:
-    spark = get_spark(app_name="make-sf1", shuffle_partitions=32)
-    spark.sparkContext.setLogLevel("ERROR")
-    os.makedirs(OUT, exist_ok=True)
+def build(spark, src: str, out: str, replicas: int) -> None:
+    """Write the scaled fixture (see module docstring).  Split from main()
+    so tests can drive it against the session fixture (one JVM) with a
+    tiny REPLICAS count."""
+    os.makedirs(out, exist_ok=True)
     t_all = time.perf_counter()
 
-    rd = lambda t: spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))  # noqa: E731
+    rd = lambda t: spark.read.parquet(os.path.join(src, f"{t}.parquet"))  # noqa: E731
 
     # fixed-cardinality dims: copy through
     for t in ("region", "nation"):
-        rd(t).write.mode("overwrite").parquet(os.path.join(OUT, f"{t}.parquet"))
+        rd(t).write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
 
     plans = {
         "customer": ["c_custkey"],
@@ -78,18 +79,18 @@ def main() -> None:
     }
     for t, keys in plans.items():
         base = rd(t)
-        parts = [shifted(base, r, keys) for r in range(REPLICAS)]
+        parts = [shifted(base, r, keys) for r in range(replicas)]
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        df.write.mode("overwrite").parquet(os.path.join(OUT, f"{t}.parquet"))
+        df.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
         print(f"# {t}: written", file=sys.stderr)
 
     # documents: per-replica vowel rotation + tag token breaks verbatim
     # near-duplication across replicas (see module docstring)
     docs = rd("documents")
     parts = []
-    for r in range(REPLICAS):
+    for r in range(replicas):
         d = shifted(docs, r, ["doc_id"])
         if r > 0:
             # two independent rotation axes (vowels x consonants) give
@@ -113,14 +114,14 @@ def main() -> None:
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
-    df.write.mode("overwrite").parquet(os.path.join(OUT, "documents.parquet"))
+    df.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
     print("# documents: written", file=sys.stderr)
 
     # embeddings: cyclic vector rotation per replica (norm-preserving)
     emb = rd("embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
     parts = []
-    for r in range(REPLICAS):
+    for r in range(replicas):
         e = shifted(emb, r, ["vec_id"])
         k = r % dim
         if k:
@@ -146,13 +147,19 @@ def main() -> None:
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
-    df.write.mode("overwrite").parquet(os.path.join(OUT, "embeddings.parquet"))
+    df.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
     print("# embeddings: written", file=sys.stderr)
 
     for t in list(plans) + ["documents", "embeddings", "region", "nation"]:
-        n = spark.read.parquet(os.path.join(OUT, f"{t}.parquet")).count()
+        n = spark.read.parquet(os.path.join(out, f"{t}.parquet")).count()
         print(f"# {t}: {n} rows", file=sys.stderr)
     print(f"# total {time.perf_counter() - t_all:.1f}s", file=sys.stderr)
+
+
+def main() -> None:
+    spark = get_spark(app_name="make-sf1", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark, SRC, OUT, REPLICAS)
     spark.stop()
 
 
