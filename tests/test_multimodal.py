@@ -243,6 +243,42 @@ def test_png_decoder_rejects_unsupported_shapes():
     assert _png_pixels(b"not a png") is None
 
 
+def test_png_decoder_rejects_zero_height_geometry():
+    """A WELL-FORMED PNG declaring height=0 with a valid empty IDAT used
+    to decode to a zero-pixel image and crash `_png_pixel_stats` with
+    ZeroDivisionError inside the featurization UDF instead of degrading
+    to the fake tier (ADVICE r7) — degenerate geometry must return None."""
+    import struct
+    import zlib
+
+    from unstructured_data_pipeline_spark.operators.multimodal import (
+        _feature_vector,
+        _png_pixel_stats,
+        _png_pixels,
+    )
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    for w, h in [(4, 0), (0, 4), (0, 0)]:
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * ((3 * w + 1) * h)))
+            + chunk(b"IEND", b"")
+        )
+        assert _png_pixels(png) is None, (w, h)
+        assert _png_pixel_stats(png) is None, (w, h)
+        # the full featurization path must not raise either
+        assert len(_feature_vector(png)) == 8
+
+
 def test_png_roundtrip_property_random_images():
     """Property: ANY 8-bit image content through ANY filter type decodes
     back to the exact raw scanlines (hypothesis-driven over sizes, channel

@@ -197,7 +197,11 @@ def _png_pixels(content: bytes) -> tuple[int, int, int, bytes] | None:
         ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
         raw = zlib.decompress(idat)
         stride = w * ch
-        if len(raw) != (stride + 1) * h or not stride:
+        # `not h` matters: a well-formed PNG declaring height=0 with an
+        # empty IDAT passes the length check (0 == 0) and would surface a
+        # zero-pixel image, dividing `_png_pixel_stats` by zero instead of
+        # degrading to the fake tier (ADVICE r7).
+        if len(raw) != (stride + 1) * h or not stride or not h:
             return None
         out = bytearray(stride * h)
         for y in range(h):

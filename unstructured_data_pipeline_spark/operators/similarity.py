@@ -187,8 +187,12 @@ def embedding_near_dup_blocked(
     plus ``triu_indices`` cost ~6.4 GB at a 20 k-vector block (the sf10
     probe's regime, SCALE.md) and would cliff an executor long before the
     arithmetic does.  Each output element is the same independent BLAS dot
-    product, so strip order changes nothing — pairs and cos values are
-    bit-identical to the single-matmul form.
+    product, so strip order changes nothing semantically — the pair set is
+    identical to the single-matmul form up to floating-point accumulation
+    order (measured: cosines can differ by 1 ULP between gemm shapes, so a
+    pair sitting EXACTLY on the threshold could in principle flip;
+    registry consumers round to 6 decimals after the gate, and fixtures
+    keep planted pairs ~0.1 away from the threshold, ADVICE r7).
     """
     schema = "a long, b long, cos double"
 

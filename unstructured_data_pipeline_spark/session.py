@@ -17,6 +17,30 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Driver-heap default: min(48g, ~40% of MemTotal), floor 2g.
+
+    48g is right for the 128 GiB bench sandbox (local mode runs driver +
+    all executor threads in ONE JVM and the 200-query marathon dies on the
+    1g PySpark default), but a blanket 48g can fail JVM launch outright on
+    smaller hosts or strict vm.overcommit (ADVICE r7) — so the default now
+    scales with the machine.  ``SPARK_GRAFT_DRIVER_MEM`` still overrides,
+    and a cluster submit's ``--driver-memory`` bypasses this entirely.
+    """
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(48, (total_gib * 2) // 5))}g"
+    except (OSError, ValueError, IndexError):
+        pass
+    return "4g"  # unknown platform: conservative, still > the 1g default
+
+
 def get_spark(
     app_name: str = "unstructured-data-pipeline-spark",
     master: str | None = None,
@@ -44,7 +68,7 @@ def get_spark(
         # sandbox for Python workers + page cache.  Takes effect only at JVM
         # launch (builder-time), which is exactly where this is applied; a
         # cluster submit with --driver-memory overrides it via extra_conf.
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        "spark.driver.memory": _default_driver_mem(),
         # pin ANSI on: the driver's vanilla session runs Spark 4 ANSI-mode
         # defaults, so our sessions must match (element_at/cast/div-by-zero
         # all change behavior between modes)
