@@ -72,3 +72,80 @@ def test_no_oracle_outputs_hugeint_or_decimal():
             if any(b in str(ctype).upper() for b in banned):
                 offenders.append((name, col, ctype))
     assert not offenders, f"oracles with unsafe output column types: {offenders}"
+
+
+# ---------------------------------------------------------------------------
+# Registry-duplication audit (VERDICT r7 Next #4): round 7's
+# `unpivot_part_metrics` incident re-bound an existing `*_SQL` oracle
+# constant, silently clobbering ANOTHER entry's oracle; the full sweep
+# caught it after the fact — these close the bug class before any sweep.
+
+# Entries that INTENTIONALLY share one oracle: two independent Spark
+# implementations hash-gated against the same SQL.  Any other sharing is
+# a clobbered/copy-pasted oracle.
+TWIN_GROUPS = {
+    frozenset({"history_documents_current", "history_documents_sparksql"}),
+    frozenset({"dedup_ngram_jaccard", "dedup_ngram_jaccard_prefix"}),
+    frozenset({"variant_props_extract", "variant_native_extract"}),
+}
+
+
+def test_no_two_registry_entries_share_a_function_object():
+    seen: dict[int, str] = {}
+    for name, (fn, _) in Q.REGISTRY.items():
+        assert id(fn) not in seen, (
+            f"{name} and {seen[id(fn)]} are bound to the SAME query function"
+        )
+        seen[id(fn)] = name
+
+
+def test_oracle_sql_sharing_is_exactly_the_declared_twins():
+    by_sql: dict[str, list[str]] = {}
+    for name, (_, sql) in Q.REGISTRY.items():
+        if sql is not None:
+            by_sql.setdefault(sql, []).append(name)
+    groups = {frozenset(v) for v in by_sql.values() if len(v) > 1}
+    assert groups == TWIN_GROUPS, (
+        f"unexpected oracle sharing: {sorted(map(sorted, groups ^ TWIN_GROUPS))}"
+    )
+
+
+def test_no_sql_constant_is_assigned_twice_at_module_top_level():
+    """The exact `unpivot_part_metrics` failure shape: a second top-level
+    `FOO_SQL = ...` assignment silently replaces the first, so the OLDER
+    entry's oracle changes without its code changing.  Parse the module
+    source and reject any repeated top-level *_SQL binding."""
+    import ast
+    import collections
+    import inspect
+
+    tree = ast.parse(inspect.getsource(Q))
+    counts = collections.Counter()
+    for node in tree.body:
+        targets = []
+        if isinstance(node, ast.Assign):
+            targets = node.targets
+        elif isinstance(node, (ast.AnnAssign, ast.AugAssign)):
+            targets = [node.target]
+        for t in targets:
+            if isinstance(t, ast.Name) and t.id.endswith("_SQL"):
+                counts[t.id] += 1
+    rebound = {k: v for k, v in counts.items() if v > 1}
+    assert not rebound, f"*_SQL constants assigned more than once: {rebound}"
+
+
+def test_every_public_sql_constant_is_bound_to_a_registry_entry():
+    """A public *_SQL constant no registry entry references is either dead
+    code or evidence an entry lost its oracle (the other half of the
+    clobber incident).  Private `_*_SQL` building blocks are composed into
+    larger oracles via f-strings and are exempt."""
+    registry_sqls = {sql for _, sql in Q.REGISTRY.values() if sql is not None}
+    orphans = [
+        k
+        for k, v in vars(Q).items()
+        if k.endswith("_SQL")
+        and not k.startswith("_")
+        and isinstance(v, str)
+        and v not in registry_sqls
+    ]
+    assert not orphans, f"public *_SQL constants unused by the registry: {orphans}"

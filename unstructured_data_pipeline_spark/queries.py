@@ -12315,6 +12315,244 @@ ORDER BY o_orderpriority, quartile
 
 
 # ---------------------------------------------------------------------------
+# round 8: executed GDPR lifecycle (real deletes on disk) + sampled triangles
+
+
+def gdpr_erasure_lifecycle(spark, sf_dir):
+    """Right-to-be-forgotten erasure EXECUTED through the real table layer
+    (VERDICT r7 Next #3 — the falsifiable sibling of the
+    `gdpr_erasure_cascade` planning query): the four fixture tables are
+    copied into scratch `ParquetTable` warehouses, the cascade runs as
+    ACTUAL deletes — merge-on-read `delete_keys_mor` for lineitem (its
+    delete set is a key frontier, not a predicate: the order keys of the
+    erased customers, read FROM THE ON-DISK orders table while it is
+    still intact), copy-on-write `delete_where` for the three
+    predicate-addressable tables — and every reported number, including
+    the orphan audit, is computed from WHAT LANDED ON DISK afterwards.
+    Orphans anti-join each surviving child table against its surviving
+    parent table (`orders∖customer`, `lineitem∖orders`,
+    `events∖customer`), so a nonzero count is genuinely reachable: skip
+    any one delete, reorder the lineitem delete after the orders delete,
+    or fumble the MOR tombstone keys, and the corresponding row flips.
+    Scale shape: each COW delete is one table rewrite (the Delta/Iceberg
+    cost), the MOR delete is O(|frontier|) tombstone keys, and only
+    per-table scalar counts reach the driver."""
+    import shutil
+    import tempfile
+
+    from unstructured_data_pipeline_spark.operators.dml import ParquetTable
+
+    root = tempfile.mkdtemp(prefix="udp_gdpr_")
+    try:
+        tables = {}
+        for name, df in [
+            ("customer", _t(spark, sf_dir, "customer")),
+            ("orders", _t(spark, sf_dir, "orders")),
+            ("lineitem", _t(spark, sf_dir, "lineitem")),
+            ("events", _events(spark, sf_dir)),
+        ]:
+            t = ParquetTable(spark, root, name, df.schema)
+            t.append(df)
+            tables[name] = t
+        before = {n: tables[n].read().count() for n in tables}
+
+        # children first: the lineitem frontier must come from the
+        # on-disk orders table BEFORE the parent rows are erased
+        # (delete_keys_mor materializes the tombstone keys eagerly)
+        frontier = (
+            tables["orders"]
+            .read()
+            .filter(F.col("o_custkey") % 97 == 0)
+            .select(F.col("o_orderkey").alias("l_orderkey"))
+        )
+        tables["lineitem"].delete_keys_mor(frontier, ["l_orderkey"])
+        tables["orders"].delete_where(F.col("o_custkey") % 97 == 0)
+        tables["events"].delete_where(F.col("user_id") % 97 == 0)
+        tables["customer"].delete_where(F.col("c_custkey") % 97 == 0)
+
+        after = {n: tables[n].read().count() for n in tables}
+        keep_c = tables["customer"].read().select(F.col("c_custkey").alias("ck"))
+        keep_o = tables["orders"].read()
+        orphans = {
+            "customer": 0,
+            "orders": keep_o.join(
+                keep_c, keep_o["o_custkey"] == F.col("ck"), "left_anti"
+            ).count(),
+            "lineitem": tables["lineitem"]
+            .read()
+            .join(
+                keep_o.select("o_orderkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+                "left_anti",
+            )
+            .count(),
+            "events": tables["events"]
+            .read()
+            .join(keep_c, F.col("user_id") == F.col("ck"), "left_anti")
+            .count(),
+        }
+        rows = [
+            (n, int(before[n]), int(before[n] - after[n]), int(after[n]), int(orphans[n]))
+            for n in ["customer", "orders", "lineitem", "events"]
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "table_name string, n_before bigint, n_erased bigint,"
+        " n_after bigint, n_orphans_after bigint",
+    ).orderBy("table_name")
+
+
+GDPR_LIFECYCLE_SQL = """
+WITH del_o AS (SELECT o_orderkey FROM orders WHERE o_custkey % 97 = 0),
+keep_c AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0),
+keep_o AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey % 97 <> 0),
+keep_l AS (SELECT l_orderkey FROM lineitem
+           WHERE NOT EXISTS (SELECT 1 FROM del_o WHERE del_o.o_orderkey = l_orderkey)),
+keep_e AS (SELECT user_id FROM events WHERE user_id % 97 <> 0)
+SELECT * FROM (
+  SELECT 'customer' AS table_name,
+         (SELECT COUNT(*) FROM customer) AS n_before,
+         (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM keep_c)
+           AS n_erased,
+         (SELECT COUNT(*) FROM keep_c) AS n_after,
+         0 AS n_orphans_after
+  UNION ALL
+  SELECT 'orders',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM keep_o),
+         (SELECT COUNT(*) FROM keep_o),
+         (SELECT COUNT(*) FROM keep_o WHERE NOT EXISTS
+            (SELECT 1 FROM keep_c WHERE keep_c.c_custkey = keep_o.o_custkey))
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM keep_l),
+         (SELECT COUNT(*) FROM keep_l),
+         (SELECT COUNT(*) FROM keep_l WHERE NOT EXISTS
+            (SELECT 1 FROM keep_o WHERE keep_o.o_orderkey = keep_l.l_orderkey))
+  UNION ALL
+  SELECT 'events',
+         (SELECT COUNT(*) FROM events),
+         (SELECT COUNT(*) FROM events) - (SELECT COUNT(*) FROM keep_e),
+         (SELECT COUNT(*) FROM keep_e),
+         (SELECT COUNT(*) FROM keep_e WHERE NOT EXISTS
+            (SELECT 1 FROM keep_c WHERE keep_c.c_custkey = keep_e.user_id))
+) ORDER BY table_name
+"""
+
+
+def triangle_count_sampled(spark, sf_dir):
+    """DOULION edge-sampled triangle counting (Tsourakakis et al., KDD'09)
+    — the corpus-scale tier for `triangle_count_copurchase`, whose exact
+    wedge join is the one operator whose growth ACCELERATES per decade
+    (2.8x -> 4.9x, SCALE.md; VERDICT r7 Next #5).  Each edge of the same
+    support>=2 co-purchase graph survives with p = 1/2, decided by its own
+    md5 (deterministic, engine-independent — the same sampler contract as
+    `deterministic_sample_orders`), so the wedge join runs on ~p^2 of the
+    wedges and each triangle survives with p^3; the unbiased estimate is
+    sampled_count / p^3 = 8x, exact integer arithmetic in both engines.
+    The Spark side enumerates by COMPACT-FORWARD degree orientation (hub
+    fan-out bounded), the DuckDB oracle by canonical id order — two
+    strategies, one answer on the same sampled edge set."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= 2)
+        .select("u", "v")
+    )
+    n_edges_total = edges.count()
+    # per-edge coin flip: first md5 hex digit of "u-v" < '8'  ->  p = 8/16
+    edges = edges.filter(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "-", F.col("u").cast("string"), F.col("v").cast("string")
+                )
+            ),
+            1,
+            1,
+        )
+        < "8"
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("deg", "du")
+        .join(
+            deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"),
+            "v",
+        )
+    )
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = e.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lo_first, F.struct("du", "u"))
+        .otherwise(F.struct(F.col("dv").alias("du"), F.col("v").alias("u")))
+        .alias("src_ord"),
+        F.when(lo_first, F.struct(F.col("dv").alias("du"), F.col("v").alias("u")))
+        .otherwise(F.struct("du", "u"))
+        .alias("dst_ord"),
+    )
+    o1 = o.select(
+        F.col("src").alias("p"), F.col("dst").alias("x"), F.col("dst_ord").alias("xo")
+    )
+    o2 = o.select(
+        F.col("src").alias("p"), F.col("dst").alias("y"), F.col("dst_ord").alias("yo")
+    )
+    wedges = o1.join(o2, "p").filter(F.col("xo") < F.col("yo"))
+    closing = o.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tri = wedges.join(closing, ["x", "y"], "left_semi").count()
+    return spark.createDataFrame(
+        [(int(n_edges_total), int(edges.count()), int(tri), int(8 * tri))],
+        "n_edges_total bigint, n_edges_sampled bigint,"
+        " n_triangles_sampled bigint, est_triangles bigint",
+    )
+
+
+TRIANGLE_SAMPLED_SQL = """
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+all_edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM baskets a JOIN baskets b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY u, v HAVING COUNT(*) >= 2
+),
+edges AS (
+  SELECT u, v FROM all_edges
+  WHERE substr(md5(CAST(u AS VARCHAR) || '-' || CAST(v AS VARCHAR)), 1, 1) < '8'
+),
+tri AS (
+  SELECT COUNT(*) AS n FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT (SELECT COUNT(*) FROM all_edges) AS n_edges_total,
+       (SELECT COUNT(*) FROM edges) AS n_edges_sampled,
+       tri.n AS n_triangles_sampled,
+       CAST(8 * tri.n AS BIGINT) AS est_triangles
+FROM tri
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -12473,7 +12711,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
     "q18_big_orders": (q18_big_orders, Q18_SQL),
     # round-5 additions (never driver-checked -> the computed freshness
-    # rotation surfaces them right behind _R7_CHANGED automatically)
+    # rotation surfaces them right behind _R8_CHANGED automatically)
     "dsir_importance_sample": (dsir_importance_sample, DSIR_SQL),
     "bm25_topk_contract": (bm25_topk_contract, BM25_SQL),
     "unimax_language_budgets": (unimax_language_budgets, UNIMAX_SQL),
@@ -12502,7 +12740,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "largest_remainder_allocation": (largest_remainder_allocation, LARGEST_REMAINDER_SQL),
     "twap_user_daily": (twap_user_daily, TWAP_SQL),
     # round-6 additions (never driver-checked -> the computed freshness
-    # rotation surfaces them right behind _R7_CHANGED automatically)
+    # rotation surfaces them right behind _R8_CHANGED automatically)
     "zonemap_pruning_report": (zonemap_pruning_report, ZONEMAP_SQL),
     "binary_quant_hamming_topk": (binary_quant_hamming_topk, BINARY_HAMMING_SQL),
     "theta_sketch_setops": (theta_sketch_setops, THETA_SETOPS_SQL),
@@ -12564,6 +12802,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         window_rank_functions_suite,
         WINDOW_RANK_SQL,
     ),
+    # round-8 additions (never driver-checked -> the computed freshness
+    # rotation surfaces them right behind _R8_CHANGED automatically)
+    "gdpr_erasure_lifecycle": (gdpr_erasure_lifecycle, GDPR_LIFECYCLE_SQL),
+    "triangle_count_sampled": (triangle_count_sampled, TRIANGLE_SAMPLED_SQL),
 }
 
 # Rows-only demos retired from REGISTRY per VERDICT r3 #1: their hash-checked
@@ -12592,26 +12834,11 @@ DEMOS = {
 # Entries past the ~50 budget simply wait; the computed order guarantees
 # they are the FRESHEST-evidence entries, never forgotten ones.
 
-_R7_CHANGED = [
-    # ADVICE r6: pseudonym() default width 16 -> 24 hex chars (96-bit
-    # tokens; birthday bound), oracle substr widened in lockstep
-    "pseudonymize_consistent_report",
-    # ADVICE r6: global_cc double (Python banker's round) -> integer
-    # global_cc_micro via floor div in BOTH engines
-    "triangle_count_copurchase",
-    # ADVICE r6: zero-denominator guards (greatest(tot,1)) mirrored in the
-    # SQL oracles; outputs unchanged on non-empty fixtures but both texts
-    # changed, so re-verify first
-    "drift_share_report",
-    "benford_first_digit_audit",
-    "equidepth_histogram_orders",
-    # ADVICE r6: NULL-stats + zero-file guards in operators/zonemaps.py
-    "zonemap_pruning_report",
-    # r7 sf10 probe fix: strip-chunked BLAS kernel in
-    # similarity.embedding_near_dup_blocked (bit-identical output, 11x at
-    # sf10; re-verify its two registry consumers first anyway)
-    "dedup_embedding_cosine",
-    "semdedup_report",
+_R8_CHANGED = [
+    # ADVICE r7 / VERDICT r7 #3: orphan audit de-circularized — both the
+    # Spark probe (anti-join vs SURVIVING parents) and the oracle (computed
+    # NOT EXISTS counts instead of hardcoded 0) changed
+    "gdpr_erasure_cascade",
 ]
 
 
@@ -12648,7 +12875,7 @@ def _latest_green_rounds() -> dict[str, int]:
 
 
 def _freshness_order(names: list[str]) -> list[str]:
-    changed = [n for n in _R7_CHANGED if n in names]
+    changed = [n for n in _R8_CHANGED if n in names]
     green = _latest_green_rounds()
     pos = {n: i for i, n in enumerate(names)}
     rest = sorted(
@@ -12658,7 +12885,7 @@ def _freshness_order(names: list[str]) -> list[str]:
     return changed + rest
 
 
-assert set(_R7_CHANGED) <= set(REGISTRY), sorted(set(_R7_CHANGED) - set(REGISTRY))
+assert set(_R8_CHANGED) <= set(REGISTRY), sorted(set(_R8_CHANGED) - set(REGISTRY))
 REGISTRY = {n: REGISTRY[n] for n in _freshness_order(list(REGISTRY))}
 
 
