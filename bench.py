@@ -350,6 +350,10 @@ def main() -> None:
         "skew_advisor_report",           # hot-key stats + salt fan-out
         "cube_returnflag_status",        # CUBE + GROUPING_ID one-pass
         "window_rank_functions_suite",   # ntile/percent_rank/cume_dist
+        # round-8 additions
+        "gdpr_erasure_lifecycle",        # executed cascade + on-disk orphan audit
+        "triangle_count_sampled",        # DOULION p=1/2 sampled triangles
+        "fingerprint_xxhash64",          # A/B: xxhash64 vs md5 k-gram hashing
     ]
 
     def _emb_neardup_expression(spark, sf_dir):
@@ -426,9 +430,36 @@ def main() -> None:
         )
         return adc
 
+    def _fingerprint_xxhash64(spark, sf_dir):
+        """doc_fingerprint_rolling with xxhash64 in place of md5 — the
+        SCALE.md-documented production hash swap, measured instead of
+        claimed (VERDICT r7 Next #7).  md5 stays the registry default
+        because it is the cross-engine parity hash (DuckDB has no
+        xxhash64); this bench-only A/B row quantifies what the swap buys.
+        Compare its EXTRA time against doc_fingerprint_rolling's
+        headline time at the same sf."""
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from unstructured_data_pipeline_spark.functions import text as TX
+        from unstructured_data_pipeline_spark.queries import _heavy
+
+        d = _heavy(spark, sf_dir, "documents")
+        u = d.select(
+            "doc_id",
+            F.greatest(F.length("text") - 7, F.lit(0)).cast("long").alias("n_grams"),
+            F.array_distinct(TX.rolling_kgrams("text", k=8)).alias("_u"),
+        )
+        return u.select(
+            "doc_id",
+            "n_grams",
+            F.size("_u").cast("long").alias("n_uniq_grams"),
+            F.array_min(F.transform("_u", lambda g: F.xxhash64(g))).alias("fp_min"),
+        )
+
     BENCH_ONLY = {
         "emb_neardup_expression": _emb_neardup_expression,
         "pq_subspace_recall": _pq_subspace_recall,
+        "fingerprint_xxhash64": _fingerprint_xxhash64,
     }
     for i, name in enumerate(EXTRA):
         if name in BENCH_ONLY:
