@@ -12029,10 +12029,13 @@ def gdpr_erasure_cascade(spark, sf_dir):
     whenever the source data carries dangling FKs or a delete predicate
     diverges between parent and child, not zero by construction (the r7
     probe semi-joined a keep set back against the very cohort it was
-    anti-joined on — tautological; ADVICE r7 / VERDICT r7 #3).  All
-    membership tests are semi/anti joins: the cohort is a broadcast-sized
-    key set, the order-key frontier stays distributed, and nothing beyond
-    per-table scalar counts ever reaches the driver.  The actual rewrite
+    anti-joined on — tautological; ADVICE r7 / VERDICT r7 #3).  Each
+    table's (before, erased, after) triple is ONE flag-join + aggregate
+    pass (r8: previously one .count() job per statistic = 3 scans per
+    table); orphan probes are anti-joins; the cohort is a broadcast-sized
+    key set, the order-key frontier stays distributed (AQE picks its join
+    side), and nothing beyond per-table scalar counts ever reaches the
+    driver.  The actual rewrite
     path (COW/MOR delete + atomic publish) is `operators/dml.py`;
     `gdpr_erasure_lifecycle` executes it and audits what lands ON DISK;
     this is the planning/verification query in front of it."""
@@ -12046,53 +12049,70 @@ def gdpr_erasure_cascade(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     ev = _events(spark, sf_dir)
 
-    del_orders = orders.join(
+    def audit_counts(df, key_col: str, erased_keys, kname: str, bcast: bool):
+        """(n_before, n_erased, n_after) in ONE pass: flag join against
+        the (distinct-keyed) erase set, then a single aggregate — the r8
+        rewrite of one .count() job per statistic, which scanned each
+        table three times for a three-number row (4x the scan work a
+        100 TB audit needs).  ``bcast`` only for the subject cohort (a
+        bounded key set); the order-key frontier scales with the data and
+        is left to AQE's join selection."""
+        hit = erased_keys.select(F.col(kname).alias("_ek")).withColumn(
+            "_hit", F.lit(1)
+        )
+        if bcast:
+            hit = F.broadcast(hit)
+        row = (
+            df.join(hit, df[key_col] == F.col("_ek"), "left")
+            .agg(
+                F.count(F.lit(1)).alias("b"),
+                F.coalesce(F.sum("_hit"), F.lit(0)).alias("d"),
+            )
+            .collect()[0]
+        )
+        return int(row["b"]), int(row["d"]), int(row["b"] - row["d"])
+
+    del_order_keys = orders.join(
         F.broadcast(cohort), orders["o_custkey"] == cohort["k"], "left_semi"
-    )
-    keep_orders = orders.join(
-        F.broadcast(cohort), orders["o_custkey"] == cohort["k"], "left_anti"
-    )
-    del_li = li.join(
-        del_orders.select("o_orderkey"),
-        li["l_orderkey"] == del_orders["o_orderkey"],
-        "left_semi",
-    )
-    keep_li = li.join(
-        del_orders.select("o_orderkey"),
-        li["l_orderkey"] == del_orders["o_orderkey"],
-        "left_anti",
-    )
-    del_ev = ev.join(
-        F.broadcast(cohort), ev["user_id"] == cohort["k"], "left_semi"
-    )
-    keep_cust = cust.join(
-        F.broadcast(cohort), cust["c_custkey"] == cohort["k"], "left_anti"
-    )
-    keep_ev = ev.join(
-        F.broadcast(cohort), ev["user_id"] == cohort["k"], "left_anti"
-    )
+    ).select(F.col("o_orderkey").alias("k"))
+
+    c_b, c_d, c_a = audit_counts(cust, "c_custkey", cohort, "k", bcast=True)
+    o_b, o_d, o_a = audit_counts(orders, "o_custkey", cohort, "k", bcast=True)
+    l_b, l_d, l_a = audit_counts(li, "l_orderkey", del_order_keys, "k", bcast=False)
+    e_b, e_d, e_a = audit_counts(ev, "user_id", cohort, "k", bcast=True)
 
     # post-erasure orphans: surviving facts whose parent row is absent
     # from the SURVIVING parent table — independent lineages on each side
     # of the anti-join, so a nonzero count is genuinely reachable
-    keep_cust_keys = keep_cust.select(F.col("c_custkey").alias("ck"))
+    keep_cust_keys = cust.join(
+        F.broadcast(cohort), cust["c_custkey"] == cohort["k"], "left_anti"
+    ).select(F.col("c_custkey").alias("ck"))
+    keep_orders = orders.join(
+        F.broadcast(cohort), orders["o_custkey"] == cohort["k"], "left_anti"
+    )
     orphan_orders = keep_orders.join(
         keep_cust_keys, keep_orders["o_custkey"] == F.col("ck"), "left_anti"
     ).count()
+    keep_li = li.join(
+        del_order_keys, li["l_orderkey"] == F.col("k"), "left_anti"
+    )
     orphan_li = keep_li.join(
         keep_orders.select("o_orderkey"),
         keep_li["l_orderkey"] == keep_orders["o_orderkey"],
         "left_anti",
     ).count()
+    keep_ev = ev.join(
+        F.broadcast(cohort), ev["user_id"] == cohort["k"], "left_anti"
+    )
     orphan_ev = keep_ev.join(
         keep_cust_keys, keep_ev["user_id"] == F.col("ck"), "left_anti"
     ).count()
 
     rows = [
-        ("customer", cust.count(), cohort.count(), keep_cust.count(), 0),
-        ("orders", orders.count(), del_orders.count(), keep_orders.count(), orphan_orders),
-        ("lineitem", li.count(), del_li.count(), keep_li.count(), orphan_li),
-        ("events", ev.count(), del_ev.count(), keep_ev.count(), orphan_ev),
+        ("customer", c_b, c_d, c_a, 0),
+        ("orders", o_b, o_d, o_a, orphan_orders),
+        ("lineitem", l_b, l_d, l_a, orphan_li),
+        ("events", e_b, e_d, e_a, orphan_ev),
     ]
     return spark.createDataFrame(
         [(t, int(b), int(d), int(a), int(o)) for t, b, d, a, o in rows],
