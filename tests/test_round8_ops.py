@@ -78,6 +78,55 @@ def test_gdpr_lifecycle_orphan_audit_catches_a_skipped_delete(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def test_gdpr_lifecycle_orphan_audit_catches_wrong_delete_order(spark, sf_dir):
+    """The lifecycle docstring claims reordering the lineitem delete
+    AFTER the orders delete flips the audit: the MOR frontier is then
+    computed from the already-erased orders table, comes back empty, and
+    every line item of an erased order survives as an orphan.  Prove it."""
+    root = tempfile.mkdtemp(prefix="udp_gdpr_order_")
+    try:
+        orders_src = _t(spark, sf_dir, "orders")
+        li_src = _t(spark, sf_dir, "lineitem")
+        to = ParquetTable(spark, root, "orders", orders_src.schema)
+        to.append(orders_src)
+        tl = ParquetTable(spark, root, "lineitem", li_src.schema)
+        tl.append(li_src)
+
+        n_li_of_erased = (
+            tl.read()
+            .join(
+                to.read().filter(F.col("o_custkey") % 97 == 0).select("o_orderkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+                "left_semi",
+            )
+            .count()
+        )
+        assert n_li_of_erased > 0
+
+        # WRONG order: parent first, THEN compute the frontier from disk
+        to.delete_where(F.col("o_custkey") % 97 == 0)
+        frontier = (
+            to.read()
+            .filter(F.col("o_custkey") % 97 == 0)
+            .select(F.col("o_orderkey").alias("l_orderkey"))
+        )
+        assert frontier.count() == 0  # the erased parents are gone
+        tl.delete_keys_mor(frontier, ["l_orderkey"])  # tombstones nothing
+
+        orphan_li = (
+            tl.read()
+            .join(
+                to.read().select("o_orderkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+                "left_anti",
+            )
+            .count()
+        )
+        assert orphan_li == n_li_of_erased  # the audit catches the reorder
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_gdpr_cascade_orphans_catch_a_planted_dangling_fk(spark, tmp_path):
     """The de-circularized planning probe anti-joins surviving children
     against SURVIVING parents, so a dangling FK in the source data — an
