@@ -869,3 +869,36 @@ def test_bench_compact_line_survives_tail_capture():
     finally:
         bench.STATE.clear()
         bench.STATE.update(saved)
+
+
+def test_default_driver_mem_env_override_and_bounds(monkeypatch):
+    """ADVICE r7: the 48g driver-heap default must scale with the host.
+    Pin the contract: env var wins verbatim; the meminfo path is
+    min(48g, 40% MemTotal) with a 2g floor; an unreadable platform falls
+    back to a conservative 4g."""
+    from unstructured_data_pipeline_spark import session as S
+
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "7g")
+    assert S._default_driver_mem() == "7g"
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM")
+
+    def fake_meminfo(kib):
+        import io
+
+        return lambda *a, **k: io.StringIO(f"MemTotal:       {kib} kB\n")
+
+    # 128 GiB sandbox -> capped at 48g (the bench sweet spot, unchanged)
+    monkeypatch.setattr("builtins.open", fake_meminfo(128 * 1024 * 1024))
+    assert S._default_driver_mem() == "48g"
+    # 32 GiB host -> 40% = 12g
+    monkeypatch.setattr("builtins.open", fake_meminfo(32 * 1024 * 1024))
+    assert S._default_driver_mem() == "12g"
+    # 4 GiB host -> floor of 2g, never below
+    monkeypatch.setattr("builtins.open", fake_meminfo(4 * 1024 * 1024))
+    assert S._default_driver_mem() == "2g"
+
+    def raise_oserror(*a, **k):
+        raise OSError("no /proc on this platform")
+
+    monkeypatch.setattr("builtins.open", raise_oserror)
+    assert S._default_driver_mem() == "4g"
