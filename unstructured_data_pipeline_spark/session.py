@@ -13,6 +13,7 @@ The engine targets multi-executor clusters reading ~100 TB; locally we run
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
@@ -41,6 +42,26 @@ def _default_driver_mem() -> str:
     return "4g"  # unknown platform: conservative, still > the 1g default
 
 
+_MEM_LOGGED = False
+
+
+def _log_driver_mem_once(mem: str) -> None:
+    """One stderr line naming the chosen driver-heap default (ADVICE r8):
+    on a platform without /proc/meminfo the fallback is a flat 4g, which
+    can silently undersize the marathon workload — make the choice visible
+    in bench/test output instead of discoverable only via Spark UI."""
+    global _MEM_LOGGED
+    if _MEM_LOGGED:
+        return
+    _MEM_LOGGED = True
+    src = (
+        "env SPARK_GRAFT_DRIVER_MEM"
+        if os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+        else "host-scaled default"
+    )
+    print(f"# spark.driver.memory={mem} ({src})", file=sys.stderr)
+
+
 def get_spark(
     app_name: str = "unstructured-data-pipeline-spark",
     master: str | None = None,
@@ -60,6 +81,8 @@ def get_spark(
     if master:
         builder = builder.master(master)
 
+    _chosen_mem = _default_driver_mem()
+    _log_driver_mem_once(_chosen_mem)
     defaults = {
         # Local mode runs driver + all executor threads in ONE JVM; PySpark's
         # default heap is ~1g, which is the prime suspect for the recurring
@@ -68,7 +91,7 @@ def get_spark(
         # sandbox for Python workers + page cache.  Takes effect only at JVM
         # launch (builder-time), which is exactly where this is applied; a
         # cluster submit with --driver-memory overrides it via extra_conf.
-        "spark.driver.memory": _default_driver_mem(),
+        "spark.driver.memory": _chosen_mem,
         # pin ANSI on: the driver's vanilla session runs Spark 4 ANSI-mode
         # defaults, so our sessions must match (element_at/cast/div-by-zero
         # all change behavior between modes)
