@@ -12660,6 +12660,108 @@ FROM tri
 
 
 # ---------------------------------------------------------------------------
+# round 9: the stream-stream interval join driven end-to-end (VERDICT r8 #3
+# — the last unit-only streaming surface gets driver evidence)
+
+
+def streaming_interval_join_attribution(spark, sf_dir):
+    """Watermark-bounded stream-stream interval join driven END-TO-END
+    through Structured Streaming (VERDICT r8 #3): the fixture's view and
+    purchase events are landed as two file streams, joined by
+    `streaming.joins.interval_attribution_join` — inner join on user with
+    the time-range condition `view.ts <= purchase.ts <= view.ts + 1h`,
+    watermarks on BOTH sides so Spark bounds the join state to the
+    in-flight horizon (the only plan shape Spark accepts in append mode,
+    and the only one that survives 100 TB: state is O(horizon), never the
+    full history) — drained with trigger(availableNow) into parquet, and
+    the LANDED files are aggregated into a per-user attribution report.
+    The batch twin of the same join is SQL-expressible, so the entry
+    carries a full DuckDB oracle: purchases sum in integer cents, each
+    (view, purchase) pair counted exactly once, per-pair semantics
+    identical in both engines (micros arithmetic; 1 h = 3.6e9 us).
+
+    Reference parity: the reference's upload loop correlates ONE stream
+    against static tables (`app/Auto-Magic Document AI.py` upload
+    tracking); stream x stream attribution is the continuous-pipeline
+    extension of that surface."""
+    import shutil
+    import tempfile
+
+    from unstructured_data_pipeline_spark.streaming.joins import (
+        interval_attribution_join,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.timestamp_micros(F.col("ts")).alias("ts"),
+        "event_type",
+        _cents(F.col("value")).alias("value"),
+    )
+    root = tempfile.mkdtemp(prefix="udp_sjoin_")
+    try:
+        v_dir = os.path.join(root, "views")
+        p_dir = os.path.join(root, "purchases")
+        out_dir = os.path.join(root, "attributed")
+        views_src = ev.filter(F.col("event_type") == "view").select(
+            "user_id", "ts"
+        )
+        purchases_src = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value"
+        )
+        # one file per side -> one availableNow micro-batch: the complete
+        # interval join lands (no cross-batch late-arrival drops), so the
+        # streaming result equals the batch twin bit-for-bit — the same
+        # replay-determinism contract streaming_intake_eav uses
+        views_src.coalesce(1).write.parquet(v_dir)
+        purchases_src.coalesce(1).write.parquet(p_dir)
+        views = spark.readStream.schema(views_src.schema).parquet(v_dir)
+        purchases = spark.readStream.schema(purchases_src.schema).parquet(
+            p_dir
+        )
+        joined = interval_attribution_join(
+            views, purchases, horizon="1 hour", watermark="2 hours"
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(out_dir)
+            .groupBy(F.col("v_user").alias("user_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_attributed"),
+                F.sum("p_value").cast("long").alias("sum_value_cents"),
+            )
+            .orderBy("user_id")
+            .cache()
+        )
+        out.count()  # materialize before the temp dir is removed
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+STREAM_INTERVAL_JOIN_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, {_c('value')} AS cents, event_type
+  FROM events
+),
+v AS (SELECT user_id, us FROM ev WHERE event_type = 'view'),
+p AS (SELECT user_id, us, cents FROM ev WHERE event_type = 'purchase')
+SELECT v.user_id AS user_id,
+       COUNT(*) AS n_attributed,
+       CAST(SUM(p.cents) AS BIGINT) AS sum_value_cents
+FROM v JOIN p ON p.user_id = v.user_id
+             AND p.us >= v.us AND p.us <= v.us + 3600000000
+GROUP BY v.user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -12818,7 +12920,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
     "q18_big_orders": (q18_big_orders, Q18_SQL),
     # round-5 additions (never driver-checked -> the computed freshness
-    # rotation surfaces them right behind _R8_CHANGED automatically)
+    # rotation surfaces them right behind _R9_CHANGED automatically)
     "dsir_importance_sample": (dsir_importance_sample, DSIR_SQL),
     "bm25_topk_contract": (bm25_topk_contract, BM25_SQL),
     "unimax_language_budgets": (unimax_language_budgets, UNIMAX_SQL),
@@ -12847,7 +12949,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "largest_remainder_allocation": (largest_remainder_allocation, LARGEST_REMAINDER_SQL),
     "twap_user_daily": (twap_user_daily, TWAP_SQL),
     # round-6 additions (never driver-checked -> the computed freshness
-    # rotation surfaces them right behind _R8_CHANGED automatically)
+    # rotation surfaces them right behind _R9_CHANGED automatically)
     "zonemap_pruning_report": (zonemap_pruning_report, ZONEMAP_SQL),
     "binary_quant_hamming_topk": (binary_quant_hamming_topk, BINARY_HAMMING_SQL),
     "theta_sketch_setops": (theta_sketch_setops, THETA_SETOPS_SQL),
@@ -12910,9 +13012,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         WINDOW_RANK_SQL,
     ),
     # round-8 additions (never driver-checked -> the computed freshness
-    # rotation surfaces them right behind _R8_CHANGED automatically)
+    # rotation surfaces them right behind _R9_CHANGED automatically)
     "gdpr_erasure_lifecycle": (gdpr_erasure_lifecycle, GDPR_LIFECYCLE_SQL),
     "triangle_count_sampled": (triangle_count_sampled, TRIANGLE_SAMPLED_SQL),
+    # round-9 additions (never driver-checked -> the computed freshness
+    # rotation surfaces them right behind _R9_CHANGED automatically)
+    "streaming_interval_join_attribution": (
+        streaming_interval_join_attribution,
+        STREAM_INTERVAL_JOIN_SQL,
+    ),
 }
 
 # Rows-only demos retired from REGISTRY per VERDICT r3 #1: their hash-checked
@@ -12941,14 +13049,17 @@ DEMOS = {
 # Entries past the ~50 budget simply wait; the computed order guarantees
 # they are the FRESHEST-evidence entries, never forgotten ones.
 
-_R8_CHANGED = [
-    # ADVICE r7 / VERDICT r7 #3: orphan audit de-circularized — both the
-    # Spark probe (anti-join vs SURVIVING parents) and the oracle (computed
-    # NOT EXISTS counts instead of hardcoded 0) changed
+_R9_CHANGED = [
+    # ADVICE r8 / VERDICT r8 #5: deletes derived from the collected cohort
+    # key set (not per-table %97 predicates), audit phase rewritten to one
+    # flag-join aggregate per table, oracle rewritten to cohort NOT EXISTS
+    "gdpr_erasure_lifecycle",
+    # ADVICE r8: audit_counts now distincts the erase key set — identical
+    # output on PK-keyed callers, re-verify first anyway
     "gdpr_erasure_cascade",
-    # r8 sf10 probe fix: support-filtered edge set persisted (it feeds 4
-    # consumers; the 60 M-row basket self-join re-ran per consumer and
-    # dominated the wall) — identical output, re-verify first anyway
+    # ADVICE r8: persisted edge-set lifetimes wrapped in try/finally —
+    # identical output, re-verify first anyway
+    "triangle_count_sampled",
     "triangle_count_copurchase",
 ]
 
@@ -12986,7 +13097,7 @@ def _latest_green_rounds() -> dict[str, int]:
 
 
 def _freshness_order(names: list[str]) -> list[str]:
-    changed = [n for n in _R8_CHANGED if n in names]
+    changed = [n for n in _R9_CHANGED if n in names]
     green = _latest_green_rounds()
     pos = {n: i for i, n in enumerate(names)}
     rest = sorted(
@@ -12996,7 +13107,7 @@ def _freshness_order(names: list[str]) -> list[str]:
     return changed + rest
 
 
-assert set(_R8_CHANGED) <= set(REGISTRY), sorted(set(_R8_CHANGED) - set(REGISTRY))
+assert set(_R9_CHANGED) <= set(REGISTRY), sorted(set(_R9_CHANGED) - set(REGISTRY))
 REGISTRY = {n: REGISTRY[n] for n in _freshness_order(list(REGISTRY))}
 
 
