@@ -1,0 +1,104 @@
+"""Unit tests for the round-9 changes: cohort-derived GDPR lifecycle
+deletes (ADVICE r8 — the predicate form silently assumed every
+events.user_id with %97==0 exists in customer) and the end-to-end
+streaming interval-join entry's batch-equivalence contract.  Registry
+hash-gate parity is covered by test_oracle_parity; these pin what the
+gate can't see."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from unstructured_data_pipeline_spark.queries import (
+    gdpr_erasure_cascade,
+    gdpr_erasure_lifecycle,
+    streaming_interval_join_attribution,
+)
+
+
+def test_gdpr_lifecycle_matches_cascade_on_non_customer_user_ids(spark, tmp_path):
+    """The exact fixture shape ADVICE r8 flagged: events carries user_ids
+    with %97==0 that do NOT exist in customer (388) and non-customer
+    user_ids that aren't cohort members (999).  The cohort-derived
+    lifecycle must (a) NOT erase the non-customer %97 event — only real
+    erasure subjects drive deletes — and (b) still land exactly the counts
+    the planning cascade predicts, including both surviving non-customer
+    events surfacing as orphans."""
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (97, "subject")], "c_custkey long, c_name string"
+    ).write.parquet(os.path.join(d, "customer.parquet"))
+    spark.createDataFrame(
+        [(10, 1), (11, 97)], "o_orderkey long, o_custkey long"
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        [(10, 5), (11, 6)], "l_orderkey long, l_partkey long"
+    ).write.parquet(os.path.join(d, "lineitem.parquet"))
+    # user 97: cohort member (erase).  user 388 = 4*97: %97==0 but NOT a
+    # customer — the old predicate delete would have erased it; the
+    # cohort delete must keep it (and audit it as an orphan).  user 999:
+    # plain dangling FK, also a surviving orphan.  user 1: clean keep.
+    spark.createDataFrame(
+        [
+            (97, "2024-01-01 00:00:00"),
+            (388, "2024-01-01 01:00:00"),
+            (999, "2024-01-01 02:00:00"),
+            (1, "2024-01-01 03:00:00"),
+        ],
+        "user_id long, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts")).write.parquet(
+        os.path.join(d, "events.parquet")
+    )
+
+    disk = {r["table_name"]: r for r in gdpr_erasure_lifecycle(spark, d).collect()}
+    assert disk["events"]["n_before"] == 4
+    assert disk["events"]["n_erased"] == 1  # user 97 only — NOT user 388
+    assert disk["events"]["n_after"] == 3
+    assert disk["events"]["n_orphans_after"] == 2  # users 388 and 999
+
+    plan = {r["table_name"]: r for r in gdpr_erasure_cascade(spark, d).collect()}
+    for t in plan:
+        for col in ["n_before", "n_erased", "n_after", "n_orphans_after"]:
+            assert plan[t][col] == disk[t][col], (t, col)
+
+
+def test_streaming_interval_join_equals_batch_twin(spark, sf_dir):
+    """The landed streaming result must equal the batch interval join of
+    the same inputs — replay determinism is the contract that makes the
+    entry oracle-gateable (one file per side -> one availableNow batch ->
+    no cross-batch watermark drops)."""
+    from unstructured_data_pipeline_spark.queries import _cents, _events
+
+    got = {
+        r["user_id"]: (r["n_attributed"], r["sum_value_cents"])
+        for r in streaming_interval_join_attribution(spark, sf_dir).collect()
+    }
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_type", _cents(F.col("value")).alias("cents")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("v_us")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("p_us"), "cents"
+    )
+    want = {
+        r["vu"]: (r["n"], r["s"])
+        for r in (
+            v.join(
+                p,
+                (F.col("vu") == F.col("pu"))
+                & (F.col("p_us") >= F.col("v_us"))
+                & (F.col("p_us") <= F.col("v_us") + 3_600_000_000),
+            )
+            .groupBy("vu")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").cast("long").alias("s"),
+            )
+            .collect()
+        )
+    }
+    assert got == want and len(got) > 0
