@@ -380,6 +380,8 @@ def main() -> None:
         "gdpr_erasure_lifecycle",        # executed cascade + on-disk orphan audit
         "triangle_count_sampled",        # DOULION p=1/2 sampled triangles
         "fingerprint_xxhash64",          # A/B: xxhash64 vs md5 k-gram hashing
+        # round-9 additions
+        "streaming_interval_join_attribution",  # stream-stream interval join e2e
     ]
 
     def _emb_neardup_expression(spark, sf_dir):
