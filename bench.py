@@ -201,9 +201,14 @@ def main() -> None:
     cold = STATE["cold"]
     extra = STATE["extra"]
     errors = STATE["errors"]
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # trailing sf<number> of the dir name; handles both /testdata/sf0.1 and
+    # the synthetic .testdata-sf10 probe fixtures (whose old .replace parse
+    # landed "sf": null in probe artifacts)
+    import re
+
+    m = re.search(r"sf([\d.]+)$", os.path.basename(sf_dir.rstrip("/")))
     try:
-        STATE["sf"] = float(sf) if sf else None
+        STATE["sf"] = float(m.group(1)) if m else None
     except ValueError:
         STATE["sf"] = None
 
