@@ -64,6 +64,43 @@ def test_gdpr_lifecycle_matches_cascade_on_non_customer_user_ids(spark, tmp_path
             assert plan[t][col] == disk[t][col], (t, col)
 
 
+def test_gdpr_cascade_audit_survives_duplicate_parent_rows(spark, tmp_path):
+    """ADVICE r8: audit_counts is only safe if the erase key set is
+    distinct-keyed — a duplicated customer row would put its key into the
+    cohort twice and (pre-fix) fan out every flag join, double-counting
+    n_before AND n_erased.  Plant exactly that fixture and assert the
+    counts stay row-accurate."""
+    d = str(tmp_path)
+    # customer 97 appears TWICE (a dirty upstream load) -> cohort key 97
+    # is duplicated before the distinct()
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (97, "dup1"), (97, "dup2")],
+        "c_custkey long, c_name string",
+    ).write.parquet(os.path.join(d, "customer.parquet"))
+    spark.createDataFrame(
+        [(10, 1), (11, 97), (12, 2)], "o_orderkey long, o_custkey long"
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        [(10, 5), (11, 6), (12, 7)], "l_orderkey long, l_partkey long"
+    ).write.parquet(os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame(
+        [(97, "2024-01-01 00:00:00"), (1, "2024-01-01 01:00:00")],
+        "user_id long, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts")).write.parquet(
+        os.path.join(d, "events.parquet")
+    )
+    rows = {r["table_name"]: r for r in gdpr_erasure_cascade(spark, d).collect()}
+    # without the distinct, the duplicated cohort key would fan the flag
+    # join: customer n_before 4 -> 6, orders n_before 3 -> 4, etc.
+    assert rows["customer"]["n_before"] == 4
+    assert rows["customer"]["n_erased"] == 2  # both dup rows erased
+    assert rows["orders"]["n_before"] == 3
+    assert rows["orders"]["n_erased"] == 1
+    assert rows["lineitem"]["n_erased"] == 1
+    assert rows["events"]["n_before"] == 2
+    assert rows["events"]["n_erased"] == 1
+
+
 def test_streaming_interval_join_equals_batch_twin(spark, sf_dir):
     """The landed streaming result must equal the batch interval join of
     the same inputs — replay determinism is the contract that makes the
