@@ -12383,10 +12383,11 @@ def gdpr_erasure_lifecycle(spark, sf_dir):
 
     Scale shape: each COW delete is one table rewrite (the Delta/Iceberg
     cost), the MOR delete is O(|frontier|) tombstone keys, the audit is
-    ONE action per table per phase (VERDICT r8 #5: a count before, a
-    single flag-join aggregate after that returns n_after and the orphan
-    count together — not one scan per statistic), and only per-table
-    scalars reach the driver."""
+    ONE action per table per phase (VERDICT r8 #5: a count before — the
+    customer count's aggregate also carries the cohort key collection —
+    and a single flag-join aggregate after that returns n_after and the
+    orphan count together, not one scan per statistic), and only
+    per-table scalars plus the bounded subject list reach the driver."""
     import shutil
     import tempfile
 
@@ -12424,18 +12425,30 @@ def gdpr_erasure_lifecycle(spark, sf_dir):
             t = ParquetTable(spark, root, name, df.schema)
             t.append(df)
             tables[name] = t
-        before = {n: tables[n].read().count() for n in tables}
-
-        # the erasure subjects: collected once from the on-disk customer
-        # table while it is intact, then driving every downstream delete
-        cohort_keys = sorted(
-            r["c_custkey"]
-            for r in tables["customer"]
+        # before phase: ONE action per table — customer's action also
+        # collects the erasure subjects (the cohort key list that drives
+        # every downstream delete) inside the same aggregate, so reading
+        # the intact customer table stays a single pass
+        c_row = (
+            tables["customer"]
             .read()
-            .filter(F.col("c_custkey") % 97 == 0)
-            .select("c_custkey")
-            .collect()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("c_custkey") % 97 == 0, F.col("c_custkey")
+                        )
+                    )
+                ).alias("ks"),
+            )
+            .collect()[0]
         )
+        before = {
+            n: tables[n].read().count() for n in ("orders", "lineitem", "events")
+        }
+        before["customer"] = int(c_row["n"])
+        cohort_keys = list(c_row["ks"])
 
         # children first: the lineitem frontier must come from the
         # on-disk orders table BEFORE the parent rows are erased
