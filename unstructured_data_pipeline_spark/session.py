@@ -45,20 +45,15 @@ def _default_driver_mem() -> str:
 _MEM_LOGGED = False
 
 
-def _log_driver_mem_once(mem: str) -> None:
-    """One stderr line naming the chosen driver-heap default (ADVICE r8):
-    on a platform without /proc/meminfo the fallback is a flat 4g, which
-    can silently undersize the marathon workload — make the choice visible
-    in bench/test output instead of discoverable only via Spark UI."""
+def _log_driver_mem_once(mem: str, src: str) -> None:
+    """One stderr line naming the chosen driver heap (ADVICE r8): on a
+    platform without /proc/meminfo the fallback is a flat 4g, which can
+    silently undersize the marathon workload — make the choice visible in
+    bench/test output instead of discoverable only via Spark UI."""
     global _MEM_LOGGED
     if _MEM_LOGGED:
         return
     _MEM_LOGGED = True
-    src = (
-        "env SPARK_GRAFT_DRIVER_MEM"
-        if os.environ.get("SPARK_GRAFT_DRIVER_MEM")
-        else "host-scaled default"
-    )
     print(f"# spark.driver.memory={mem} ({src})", file=sys.stderr)
 
 
@@ -81,8 +76,6 @@ def get_spark(
     if master:
         builder = builder.master(master)
 
-    _chosen_mem = _default_driver_mem()
-    _log_driver_mem_once(_chosen_mem)
     defaults = {
         # Local mode runs driver + all executor threads in ONE JVM; PySpark's
         # default heap is ~1g, which is the prime suspect for the recurring
@@ -91,7 +84,7 @@ def get_spark(
         # sandbox for Python workers + page cache.  Takes effect only at JVM
         # launch (builder-time), which is exactly where this is applied; a
         # cluster submit with --driver-memory overrides it via extra_conf.
-        "spark.driver.memory": _chosen_mem,
+        "spark.driver.memory": _default_driver_mem(),
         # pin ANSI on: the driver's vanilla session runs Spark 4 ANSI-mode
         # defaults, so our sessions must match (element_at/cast/div-by-zero
         # all change behavior between modes)
@@ -111,6 +104,14 @@ def get_spark(
     }
     if extra_conf:
         defaults.update(extra_conf)
+    _log_driver_mem_once(
+        defaults["spark.driver.memory"],
+        "caller extra_conf"
+        if extra_conf and "spark.driver.memory" in extra_conf
+        else "env SPARK_GRAFT_DRIVER_MEM"
+        if os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+        else "host-scaled default",
+    )
     for k, v in defaults.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
