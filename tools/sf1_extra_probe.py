@@ -49,6 +49,14 @@ DEFAULT_OPS = [
 
 SCALES = [("sf0.1", "/root/testdata/sf0.1"), ("sf1", "/root/repo/.testdata-sf1")]
 
+# opt-in third decade: SPARK_GRAFT_PROBE_SF10=1 appends the sf10 fixture
+# (tools/make_sf1.py OUT=.testdata-sf10), extending the per-op growth
+# series to 100x the bench scale
+import os
+
+if os.environ.get("SPARK_GRAFT_PROBE_SF10"):
+    SCALES.append(("sf10", "/root/repo/.testdata-sf10"))
+
 
 def main() -> None:
     ops = sys.argv[1:] or DEFAULT_OPS
@@ -75,6 +83,11 @@ def main() -> None:
             "ratio": round(r["sf1"] / r["sf0.1"], 2)
             if "sf1" in r and r.get("sf0.1")
             else None,
+            **(
+                {"ratio_sf10": round(r["sf10"] / r["sf0.1"], 2)}
+                if "sf10" in r and r.get("sf0.1")
+                else {}
+            ),
         }
         for name, r in results.items()
     }
