@@ -387,6 +387,7 @@ def main() -> None:
         "fingerprint_xxhash64",          # A/B: xxhash64 vs md5 k-gram hashing
         # round-9 additions
         "streaming_interval_join_attribution",  # stream-stream interval join e2e
+        "pipeline_flaky_transport_recovery",    # C4 retry recovery, oracle-gated
     ]
 
     def _emb_neardup_expression(spark, sf_dir):

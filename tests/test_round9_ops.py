@@ -18,6 +18,52 @@ from unstructured_data_pipeline_spark.queries import (
 )
 
 
+def test_flaky_transport_fails_without_retry_and_recovers_with_it():
+    """The C4 oracle row is only meaningful if the transport actually
+    fails: find a payload whose first attempt raises, prove a
+    max_attempts=1 adapter surfaces the failure, and that the default
+    retrying adapter returns exactly the stub answer for the same text."""
+    import pytest
+
+    from unstructured_data_pipeline_spark.ai.backends import (
+        DeterministicStubBackend,
+    )
+    from unstructured_data_pipeline_spark.ai.remote import (
+        FlakyStubTransport,
+        RemoteBackendAdapter,
+        RetryableError,
+        no_sleep,
+    )
+
+    # find a text the transport's md5 coin plants a failure for (~half do)
+    flaky_text = next(
+        t
+        for t in (f"customer invoice {i}" for i in range(64))
+        if _first_attempt_fails(FlakyStubTransport(), t)
+    )
+    no_retry = RemoteBackendAdapter(
+        FlakyStubTransport(), max_attempts=1, sleep=no_sleep
+    )
+    with pytest.raises(RetryableError):
+        no_retry.classify(flaky_text)
+
+    retrying = RemoteBackendAdapter(FlakyStubTransport(), sleep=no_sleep)
+    assert retrying.classify(flaky_text) == DeterministicStubBackend().classify(
+        flaky_text
+    )
+
+
+def _first_attempt_fails(transport, text: str) -> bool:
+    from unstructured_data_pipeline_spark.ai.remote import RetryableError
+    from unstructured_data_pipeline_spark.functions.variant import canonical_json
+
+    try:
+        transport("classify", canonical_json({"text": text}))
+        return False
+    except RetryableError:
+        return True
+
+
 def test_gdpr_lifecycle_matches_cascade_on_non_customer_user_ids(spark, tmp_path):
     """The exact fixture shape ADVICE r8 flagged: events carries user_ids
     with %97==0 that do NOT exist in customer (388) and non-customer

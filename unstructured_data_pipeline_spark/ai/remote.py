@@ -71,6 +71,58 @@ def retry_with_backoff(
     return deco
 
 
+def no_sleep(_: float) -> None:
+    """Picklable no-op sleep for deterministic/testing retry wiring —
+    lambdas can't cross the executor pickle boundary."""
+    return None
+
+
+class FlakyStubTransport:
+    """Deterministic in-memory 'remote endpoint' with planted first-attempt
+    failures — the transport that makes retry/backoff (C4) an ORACLE-
+    VERIFIABLE property instead of a unit-only one.
+
+    Every op is served from ``DeterministicStubBackend`` (whose semantics
+    have exact ANSI-SQL mirrors), but the FIRST attempt for roughly half
+    of all distinct payloads (md5 coin on the call key) raises
+    ``RetryableError``.  Attempt memory is per process — the driver and
+    each executor worker carry their own map (keyed by payload md5, so
+    memory stays O(#distinct calls) hashes, never texts) — so
+    ``retry_with_backoff``'s second attempt succeeds in-process and the
+    end-to-end pipeline output must equal the clean stub path exactly,
+    on any partitioning.  An adapter with ``max_attempts=1`` over the
+    same transport fails outright (unit-pinned), proving the recovery is
+    the retry's doing.
+    """
+
+    def __init__(self) -> None:
+        self._stub = DeterministicStubBackend()
+        self._attempts: dict[str, int] = {}
+
+    def __call__(self, op: str, payload: str) -> str:
+        import hashlib
+
+        key = hashlib.md5((op + "|" + payload).encode("utf-8")).hexdigest()
+        n = self._attempts.get(key, 0)
+        self._attempts[key] = n + 1
+        if n == 0 and key[0] < "8":
+            raise RetryableError("503 transient (planted first-attempt failure)")
+        data = json.loads(payload)
+        if op == "classify":
+            return canonical_json({"class_name": self._stub.classify(data["text"])})
+        if op == "extract":
+            return canonical_json(self._stub.extract(data["text"], data["prompts"]))
+        if op == "summarize":
+            return canonical_json({"summary": self._stub.summarize(data["text"])})
+        if op == "generate_prompts":
+            return canonical_json(self._stub.generate_prompts(data["class_name"]))
+        if op == "ocr":
+            return canonical_json(
+                {"content": self._stub.ocr(bytes.fromhex(data["content_hex"]))}
+            )
+        raise ValueError(f"unknown transport op: {op}")
+
+
 class RemoteBackendAdapter:
     """``DocumentAIBackend`` over an injected transport with retry/backoff.
 

@@ -141,9 +141,13 @@ eav AS (
 """
 
 
-def _docs_pipeline_eav(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents fixture -> stub classify+extract -> EAV (deterministic
-    columns only — timestamps dropped for oracle comparison)."""
+def _docs_pipeline_eav(
+    spark: SparkSession, sf_dir: str, backend=None
+) -> DataFrame:
+    """documents fixture -> classify+extract -> EAV (deterministic columns
+    only — timestamps dropped for oracle comparison).  ``backend`` defaults
+    to the stub; `pipeline_flaky_transport_recovery` injects the retrying
+    remote adapter over a fault-planted transport."""
     from unstructured_data_pipeline_spark.pipelines.batch import run_document_pipeline
 
     docs = _heavy(spark, sf_dir, "documents").select(
@@ -153,7 +157,7 @@ def _docs_pipeline_eav(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "text",
     )
-    out = run_document_pipeline(docs, with_ocr=False)
+    out = run_document_pipeline(docs, backend=backend, with_ocr=False)
     return out.extracted_fields.select(
         "file_ref", "file_url", "class_name", "field_name", "field_value"
     )
@@ -12774,6 +12778,46 @@ GROUP BY v.user_id ORDER BY user_id
 """
 
 
+def pipeline_flaky_transport_recovery(spark, sf_dir):
+    """Retry/backoff (C4) as an oracle-verified property: the SAME
+    classify+extract pipeline as `pipeline_extract_eav`, but every AI call
+    crosses `ai.remote.RemoteBackendAdapter` over a `FlakyStubTransport`
+    that raises a transient 503 on the FIRST attempt for ~half of all
+    distinct payloads (per-payload md5 coin, per-process attempt memory).
+    `retry_with_backoff` absorbs every failure in-process on the executor
+    that hit it — no driver coordination (the reference's fixed-count
+    retry decorator, `app/Auto-Magic Document AI.py:464-470`, runs
+    client-side the same way) — so the per-class/field EAV rollup must
+    hash-match the CLEAN stub semantics the DuckDB oracle computes.  A
+    max_attempts=1 adapter over the same transport fails outright
+    (unit-pinned, tests/test_round9_ops.py), proving the green row is the
+    retry's doing, not a benign transport."""
+    from unstructured_data_pipeline_spark.ai.remote import (
+        FlakyStubTransport,
+        RemoteBackendAdapter,
+        no_sleep,
+    )
+
+    backend = RemoteBackendAdapter(FlakyStubTransport(), sleep=no_sleep)
+    eav = _docs_pipeline_eav(spark, sf_dir, backend=backend)
+    return (
+        eav.groupBy("class_name", "field_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("field_value").alias("n_distinct_values"),
+        )
+        .orderBy("class_name", "field_name")
+    )
+
+
+FLAKY_RECOVERY_SQL = (
+    _EAV_SQL
+    + "SELECT class_name, field_name, COUNT(*) AS n_rows, "
+    "COUNT(DISTINCT field_value) AS n_distinct_values FROM eav "
+    "GROUP BY class_name, field_name ORDER BY class_name, field_name"
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -13033,6 +13077,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "streaming_interval_join_attribution": (
         streaming_interval_join_attribution,
         STREAM_INTERVAL_JOIN_SQL,
+    ),
+    "pipeline_flaky_transport_recovery": (
+        pipeline_flaky_transport_recovery,
+        FLAKY_RECOVERY_SQL,
     ),
 }
 
