@@ -218,10 +218,22 @@ def main() -> None:
     # (SPARK_GRAFT_HEADLINE_ONLY) default to a single warm run to keep the
     # sf1/sf10 tables comparable with prior rounds and affordable;
     # SPARK_GRAFT_HEADLINE_RUNS overrides either default.
-    n_runs = int(
-        os.environ.get("SPARK_GRAFT_HEADLINE_RUNS")
-        or (1 if os.environ.get("SPARK_GRAFT_HEADLINE_ONLY") else 3)
-    )
+    # ADVICE r9: clamp to >=1 and survive a non-numeric env value — a 0 or
+    # garbage SPARK_GRAFT_HEADLINE_RUNS must not crash the whole bench via an
+    # empty median list / ValueError outside the per-query try block.
+    try:
+        n_runs = int(
+            os.environ.get("SPARK_GRAFT_HEADLINE_RUNS")
+            or (1 if os.environ.get("SPARK_GRAFT_HEADLINE_ONLY") else 3)
+        )
+    except ValueError:
+        print(
+            "# SPARK_GRAFT_HEADLINE_RUNS is not an integer: "
+            f"{os.environ['SPARK_GRAFT_HEADLINE_RUNS']!r}; using 1",
+            file=sys.stderr,
+        )
+        n_runs = 1
+    n_runs = max(1, n_runs)
     runs = STATE["headline_runs"]
     for name in HEADLINE:
         fn, _ = REGISTRY[name]

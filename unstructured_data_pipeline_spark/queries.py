@@ -12746,7 +12746,7 @@ def streaming_interval_join_attribution(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
-        out = (
+        agg = (
             spark.read.parquet(out_dir)
             .groupBy(F.col("v_user").alias("user_id"))
             .agg(
@@ -12754,12 +12754,16 @@ def streaming_interval_join_attribution(spark, sf_dir):
                 F.sum("p_value").cast("long").alias("sum_value_cents"),
             )
             .orderBy("user_id")
-            .cache()
         )
-        out.count()  # materialize before the temp dir is removed
+        # ADVICE r9: the output is a small per-user aggregate, so rebuild it
+        # as a local-relation DataFrame instead of caching a lineage rooted in
+        # the about-to-be-deleted temp dir — no dependence on cache residency
+        # (a lost cached block would otherwise FileNotFoundException), and no
+        # leaked cached frame per bench invocation.
+        out = spark.createDataFrame(agg.collect(), schema=agg.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return out
+    return out.orderBy("user_id")
 
 
 STREAM_INTERVAL_JOIN_SQL = f"""
@@ -12977,7 +12981,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
     "q18_big_orders": (q18_big_orders, Q18_SQL),
     # round-5 additions (never driver-checked -> the computed freshness
-    # rotation surfaces them right behind _R9_CHANGED automatically)
+    # rotation surfaces them right behind _R10_CHANGED automatically)
     "dsir_importance_sample": (dsir_importance_sample, DSIR_SQL),
     "bm25_topk_contract": (bm25_topk_contract, BM25_SQL),
     "unimax_language_budgets": (unimax_language_budgets, UNIMAX_SQL),
@@ -13006,7 +13010,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "largest_remainder_allocation": (largest_remainder_allocation, LARGEST_REMAINDER_SQL),
     "twap_user_daily": (twap_user_daily, TWAP_SQL),
     # round-6 additions (never driver-checked -> the computed freshness
-    # rotation surfaces them right behind _R9_CHANGED automatically)
+    # rotation surfaces them right behind _R10_CHANGED automatically)
     "zonemap_pruning_report": (zonemap_pruning_report, ZONEMAP_SQL),
     "binary_quant_hamming_topk": (binary_quant_hamming_topk, BINARY_HAMMING_SQL),
     "theta_sketch_setops": (theta_sketch_setops, THETA_SETOPS_SQL),
@@ -13069,11 +13073,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         WINDOW_RANK_SQL,
     ),
     # round-8 additions (never driver-checked -> the computed freshness
-    # rotation surfaces them right behind _R9_CHANGED automatically)
+    # rotation surfaces them right behind _R10_CHANGED automatically)
     "gdpr_erasure_lifecycle": (gdpr_erasure_lifecycle, GDPR_LIFECYCLE_SQL),
     "triangle_count_sampled": (triangle_count_sampled, TRIANGLE_SAMPLED_SQL),
     # round-9 additions (never driver-checked -> the computed freshness
-    # rotation surfaces them right behind _R9_CHANGED automatically)
+    # rotation surfaces them right behind _R10_CHANGED automatically)
     "streaming_interval_join_attribution": (
         streaming_interval_join_attribution,
         STREAM_INTERVAL_JOIN_SQL,
@@ -13110,18 +13114,11 @@ DEMOS = {
 # Entries past the ~50 budget simply wait; the computed order guarantees
 # they are the FRESHEST-evidence entries, never forgotten ones.
 
-_R9_CHANGED = [
-    # ADVICE r8 / VERDICT r8 #5: deletes derived from the collected cohort
-    # key set (not per-table %97 predicates), audit phase rewritten to one
-    # flag-join aggregate per table, oracle rewritten to cohort NOT EXISTS
-    "gdpr_erasure_lifecycle",
-    # ADVICE r8: audit_counts now distincts the erase key set — identical
-    # output on PK-keyed callers, re-verify first anyway
-    "gdpr_erasure_cascade",
-    # ADVICE r8: persisted edge-set lifetimes wrapped in try/finally —
-    # identical output, re-verify first anyway
-    "triangle_count_sampled",
-    "triangle_count_copurchase",
+_R10_CHANGED = [
+    # ADVICE r9: result rebuilt as a local-relation DataFrame (collect +
+    # createDataFrame) instead of a cached lineage rooted in the deleted
+    # temp dir — identical output, re-verify first anyway
+    "streaming_interval_join_attribution",
 ]
 
 
@@ -13158,7 +13155,7 @@ def _latest_green_rounds() -> dict[str, int]:
 
 
 def _freshness_order(names: list[str]) -> list[str]:
-    changed = [n for n in _R9_CHANGED if n in names]
+    changed = [n for n in _R10_CHANGED if n in names]
     green = _latest_green_rounds()
     pos = {n: i for i, n in enumerate(names)}
     rest = sorted(
@@ -13168,7 +13165,7 @@ def _freshness_order(names: list[str]) -> list[str]:
     return changed + rest
 
 
-assert set(_R9_CHANGED) <= set(REGISTRY), sorted(set(_R9_CHANGED) - set(REGISTRY))
+assert set(_R10_CHANGED) <= set(REGISTRY), sorted(set(_R10_CHANGED) - set(REGISTRY))
 REGISTRY = {n: REGISTRY[n] for n in _freshness_order(list(REGISTRY))}
 
 

@@ -104,14 +104,26 @@ def get_spark(
     }
     if extra_conf:
         defaults.update(extra_conf)
-    _log_driver_mem_once(
-        defaults["spark.driver.memory"],
+    src = (
         "caller extra_conf"
         if extra_conf and "spark.driver.memory" in extra_conf
         else "env SPARK_GRAFT_DRIVER_MEM"
         if os.environ.get("SPARK_GRAFT_DRIVER_MEM")
-        else "host-scaled default",
+        else "host-scaled default"
     )
     for k, v in defaults.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # ADVICE r9: spark.driver.memory only takes effect at JVM launch, so when
+    # getOrCreate() attaches to an already-running session the requested value
+    # may never have been applied.  Log the EFFECTIVE value read back from the
+    # live session; flag a mismatch with the requested one explicitly.
+    requested = defaults["spark.driver.memory"]
+    try:
+        effective = spark.conf.get("spark.driver.memory")
+    except Exception:
+        effective = requested
+    if effective != requested:
+        src = f"pre-existing JVM; {requested} requested via {src}"
+    _log_driver_mem_once(effective, src)
+    return spark
