@@ -35,6 +35,11 @@ class PipelineOutputs:
     processed: DataFrame  # documents_processed shape
     extracted_fields: DataFrame  # EAV shape
     ocr: DataFrame  # document_ocr shape
+    # C6 (metadata/result caching, `app.py:89-199` @st.cache_data): when
+    # run_document_pipeline(cache_intermediate=True) persisted the shared
+    # classify+extract stage, this is that frame — persist_pipeline_outputs*
+    # unpersists it after the multi-sink write so nothing leaks.
+    cached: DataFrame | None = None
 
 
 def _make_classify_extract(backend: DocumentAIBackend, prompts_map: dict[str, str]):
@@ -82,6 +87,7 @@ def run_document_pipeline(
     text_col: str = "text",
     url_col: str | None = "file_url",
     with_ocr: bool = True,
+    cache_intermediate: bool = False,
 ) -> PipelineOutputs:
     """Classify -> (seed prompts) -> extract -> explode EAV -> OCR+summary.
 
@@ -90,6 +96,17 @@ def run_document_pipeline(
     ``prompts`` (class_name, prompts JSON) overrides per-class schemas —
     missing classes are auto-generated (AI5), matching the reference's
     seed-if-unseen behavior.
+
+    ``cache_intermediate`` is C6 (the reference memoizes re-read results
+    with ``@st.cache_data``, `app.py:89-199`): `processed` and
+    `extracted_fields` both descend from the classify+extract pandas-UDF
+    stage, so a multi-sink consumer (persist_pipeline_outputs writes three
+    tables = three actions) re-runs the expensive AI stage once per sink
+    unless it is persisted.  True persists that shared stage
+    (MEMORY_AND_DISK — spill-safe at scale) and hands the handle back via
+    ``PipelineOutputs.cached`` for the writer to unpersist.  Default False:
+    a single-consumer caller (e.g. the EAV-only analytics queries) would pay
+    the materialization for nothing.
     """
     b = backend or DeterministicStubBackend()
     udfs = make_udfs(b)
@@ -138,6 +155,8 @@ def run_document_pipeline(
         F.col("_ce.class_name").alias("class_name"),
         F.col("_ce.extraction_result").alias("extraction_result"),
     )
+    if cache_intermediate:
+        extracted = extracted.persist()
 
     processed = extracted.select(
         "file_url",
@@ -178,7 +197,12 @@ def run_document_pipeline(
             [], "file_name string, file_ref string, ocr string, summary string, processed_at timestamp_ntz"
         )
 
-    return PipelineOutputs(processed=processed, extracted_fields=eav, ocr=ocr)
+    return PipelineOutputs(
+        processed=processed,
+        extracted_fields=eav,
+        ocr=ocr,
+        cached=extracted if cache_intermediate else None,
+    )
 
 
 def persist_pipeline_outputs(
@@ -188,12 +212,16 @@ def persist_pipeline_outputs(
 ) -> None:
     """The four persistence steps (`app.py:523-554`): three appends + the
     NEW_UPLOADS processed=TRUE upsert."""
-    tables["documents_processed"].append(outputs.processed)
-    tables["documents_extracted_fields"].append(outputs.extracted_fields)
-    tables["document_ocr"].append(outputs.ocr)
-    if uploads is not None and "new_uploads" in tables:
-        done = uploads.withColumn("processed", F.lit(True))
-        tables["new_uploads"].upsert(done, ["file_name"])
+    try:
+        tables["documents_processed"].append(outputs.processed)
+        tables["documents_extracted_fields"].append(outputs.extracted_fields)
+        tables["document_ocr"].append(outputs.ocr)
+        if uploads is not None and "new_uploads" in tables:
+            done = uploads.withColumn("processed", F.lit(True))
+            tables["new_uploads"].upsert(done, ["file_name"])
+    finally:
+        if outputs.cached is not None:
+            outputs.cached.unpersist()
 
 
 def persist_pipeline_outputs_idempotent(
@@ -212,11 +240,15 @@ def persist_pipeline_outputs_idempotent(
     e.g. an ingest-date or a stable hash bucket of the document key —
     each batch rewrites only its touched partitions (O(touched+batch));
     Delta/Iceberg MERGE remains the multi-writer production swap-in."""
-    tables["documents_processed"].upsert(outputs.processed, ["file_ref"])
-    tables["documents_extracted_fields"].upsert(
-        outputs.extracted_fields, ["file_ref", "field_name"]
-    )
-    tables["document_ocr"].upsert(outputs.ocr, ["file_name"])
-    if uploads is not None and "new_uploads" in tables:
-        done = uploads.withColumn("processed", F.lit(True))
-        tables["new_uploads"].upsert(done, ["file_name"])
+    try:
+        tables["documents_processed"].upsert(outputs.processed, ["file_ref"])
+        tables["documents_extracted_fields"].upsert(
+            outputs.extracted_fields, ["file_ref", "field_name"]
+        )
+        tables["document_ocr"].upsert(outputs.ocr, ["file_name"])
+        if uploads is not None and "new_uploads" in tables:
+            done = uploads.withColumn("processed", F.lit(True))
+            tables["new_uploads"].upsert(done, ["file_name"])
+    finally:
+        if outputs.cached is not None:
+            outputs.cached.unpersist()

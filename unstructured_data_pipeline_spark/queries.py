@@ -13119,6 +13119,10 @@ _R10_CHANGED = [
     # createDataFrame) instead of a cached lineage rooted in the deleted
     # temp dir — identical output, re-verify first anyway
     "streaming_interval_join_attribution",
+    # VERDICT r9 #3 (C6): intake's foreachBatch now runs the pipeline with
+    # cache_intermediate=True (shared classify+extract stage persisted per
+    # micro-batch, unpersisted by the writer) — identical output, re-verify
+    "streaming_intake_eav",
 ]
 
 
