@@ -8,7 +8,8 @@ value-hash -> CORRECTNESS_r{N}.json).
 The real implementations live in ``unstructured_data_pipeline_spark``; the
 query registry (one entry per operator from SURVEY.md section 2 plus the
 training-data-pipeline extensions) is
-``unstructured_data_pipeline_spark/queries.py``.
+``unstructured_data_pipeline_spark/queries/`` (a package since round 10;
+registry + freshness rotation live in its ``__init__.py``).
 """
 
 from __future__ import annotations
