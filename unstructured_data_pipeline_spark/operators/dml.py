@@ -17,9 +17,11 @@ Scale notes: the anti-join is a shuffle on the key — unavoidable for a
 key-matched merge — but the small side (a batch of new uploads / prompt
 edits) broadcasts, so at 100 TB the target is never shuffled: plan is
 BroadcastHashJoin(LeftAnti) over a straight scan.  ``ParquetTable`` gives
-the durable form with atomic-enough overwrite for single-writer pipelines
-(concurrent writers are out of scope — the reference has no concurrency
-control either).
+the durable form with atomic pointer-commit overwrite; single-writer by
+default (the reference has no concurrency control either), with an
+opt-in optimistic multi-writer protocol (``transact``/``commit_rewrite``,
+Delta-style O_EXCL version claims) for pipelines where several jobs
+mutate one table.
 """
 
 from __future__ import annotations
@@ -29,6 +31,21 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed the version this rewrite targeted: the
+    rewrite was computed against a stale snapshot.  Retry from the new
+    snapshot (``ParquetTable.transact`` does exactly that)."""
+
+    def __init__(self, table: str, base_version: str, target_version: str):
+        super().__init__(
+            f"table {table}: version {target_version} was committed by "
+            f"another writer; rewrite based on {base_version} is stale"
+        )
+        self.table = table
+        self.base_version = base_version
+        self.target_version = target_version
 
 
 def _key_cond(keys: list[str]):
@@ -268,20 +285,40 @@ class ParquetTable:
             (
                 d
                 for d in os.listdir(self.path)
-                if d.startswith("v-") and int(d[2:]) <= cur_n
+                # isdir BEFORE the int parse: OCC marker FILES are named
+                # v-XXXXXXXX.commit / .claim and must neither crash the
+                # parse nor count as snapshots
+                if d.startswith("v-")
+                and os.path.isdir(os.path.join(self.path, d))
+                and int(d[2:]) <= cur_n
             ),
             key=lambda d: int(d[2:]),
             reverse=True,
         )
         keep = set(published[: self.retain])
         for d in os.listdir(self.path):
-            if d.startswith("v-") and d not in keep:
-                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+            full = os.path.join(self.path, d)
+            if d.startswith("v-") and os.path.isdir(full) and d not in keep:
+                shutil.rmtree(full, ignore_errors=True)
+            # a dropped (or legacy-GC-orphaned) snapshot's OCC markers go
+            # with its dir, or latest_committed() would have to re-filter
+            # them forever
+            if (d.endswith(".commit") or d.endswith(".claim")) and d.startswith(
+                "v-"
+            ):
+                mv = d.rsplit(".", 1)[0]
+                # never touch markers ABOVE the published version — they
+                # may be another writer's in-flight claim
+                if mv not in keep and int(mv[2:]) <= cur_n:
+                    try:
+                        os.unlink(full)
+                    except OSError:
+                        pass
             # merge-on-read tombstones ride their snapshot's lifetime: a
             # dropped snapshot's tombstones go with it (rewrites fold them
             # into the successor via read(), so nothing is lost)
             if d.startswith("tombstones-") and d[len("tombstones-"):] not in keep:
-                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+                shutil.rmtree(full, ignore_errors=True)
 
     # -- CREATE TABLE IF NOT EXISTS (`app.py:38-81`) ------------------------
     def ensure(self) -> "ParquetTable":
@@ -436,7 +473,12 @@ class ParquetTable:
     def versions(self) -> list[str]:
         """Retained snapshot names, oldest first (last == CURRENT)."""
         return sorted(
-            (d for d in os.listdir(self.path) if d.startswith("v-")),
+            (
+                d
+                for d in os.listdir(self.path)
+                # dirs only: OCC marker FILES are named v-XXXXXXXX.commit
+                if d.startswith("v-") and os.path.isdir(os.path.join(self.path, d))
+            ),
             key=lambda d: int(d[2:]),
         )
 
@@ -565,6 +607,239 @@ class ParquetTable:
             target_files = max(1, size // max_bytes + 1)
         self._replace(df.coalesce(int(target_files)))
         return len(glob.glob(os.path.join(self.data_dir(), "*.parquet")))
+
+    # -- optimistic multi-writer concurrency (OCC) ---------------------------
+    #
+    # The classic Delta-style optimistic protocol, expressed with the two
+    # atomic primitives a POSIX filesystem gives us (O_CREAT|O_EXCL create
+    # and same-dir rename):
+    #
+    #   1. read the latest COMMITTED snapshot N (its base);
+    #   2. stage the full rewritten table into stage-<uuid>/;
+    #   3. claim version N+1 by O_EXCL-creating v-XXXXXXXX.claim — exactly
+    #      one writer per version number can win this, so commits serialize
+    #      without a coordinator (Delta's "mutual exclusion on the log
+    #      entry", here on the claim file);
+    #   4. rename the staging dir to v-XXXXXXXX (atomic: the snapshot
+    #      appears complete or not at all);
+    #   5. O_EXCL-create v-XXXXXXXX.commit — only now is the version
+    #      COMMITTED and visible to latest_committed();
+    #   6. advance the CURRENT pointer monotonically (never backwards, so
+    #      a slow winner of version N can't clobber the already-published
+    #      N+1) and GC snapshots below the retention window.
+    #
+    # A writer that loses the claim race had computed its rewrite against a
+    # stale snapshot: it raises CommitConflictError and transact() retries
+    # the whole read-rewrite-commit loop from the NEW snapshot — i.e. the
+    # lost-update anomaly is impossible, at the cost of recomputing the
+    # loser's work (the optimistic trade, same as Delta/Iceberg).  Size
+    # ``retain`` to cover writer lag: a base snapshot GC'd mid-rewrite
+    # surfaces as retention aging, which transact() also retries.
+    #
+    # Scope: OCC writers coordinate with each other.  Mixing transact()
+    # with the legacy single-writer mutations (upsert/delete_where/...)
+    # CONCURRENTLY is unsupported (sequential mixing is fine — both sides
+    # see the other's versions); the legacy path stays the default because
+    # the reference's own tables are single-writer.  On an object store the
+    # claim's O_EXCL becomes a conditional PUT (If-None-Match), same shape.
+
+    def _commit_marker(self, version: str) -> str:
+        return os.path.join(self.path, f"{version}.commit")
+
+    def _claim_marker(self, version: str) -> str:
+        return os.path.join(self.path, f"{version}.claim")
+
+    def latest_committed(self) -> str | None:
+        """Newest version an OCC writer may base a rewrite on: the max of
+        the legacy pointer (legacy publishes write no markers) and every
+        marker-committed version whose snapshot dir still exists."""
+        best = self.current_version()
+        best_n = int(best[2:]) if best else 0
+        try:
+            entries = os.listdir(self.path)
+        except FileNotFoundError:
+            return best
+        for d in entries:
+            if d.endswith(".commit") and d.startswith("v-"):
+                v = d.rsplit(".", 1)[0]
+                if int(v[2:]) > best_n and os.path.isdir(
+                    os.path.join(self.path, v)
+                ):
+                    best, best_n = v, int(v[2:])
+        return best
+
+    def commit_rewrite(self, df: DataFrame, base_version: str) -> str:
+        """Commit ``df`` as the FULL table content of version base+1,
+        failing with :class:`CommitConflictError` if any other writer
+        committed base+1 first (the caller's snapshot is then stale).
+        Returns the committed version name."""
+        import shutil
+        import uuid
+
+        self.ensure()
+        stage = os.path.join(self.path, f"stage-{uuid.uuid4().hex[:12]}")
+        self._conform(df).write.mode("overwrite").parquet(stage)
+        target = f"v-{int(base_version[2:]) + 1:08d}"
+        try:
+            fd = os.open(
+                self._claim_marker(target),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise CommitConflictError(self.name, base_version, target) from None
+        try:
+            os.write(fd, base_version.encode())
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        if os.path.isdir(os.path.join(self.path, target)):
+            # the version dir pre-exists a fresh claim only when a LEGACY
+            # publish (which claims nothing) raced us — same staleness,
+            # same answer; our claim file stays (its number is burnt)
+            shutil.rmtree(stage, ignore_errors=True)
+            raise CommitConflictError(self.name, base_version, target)
+        os.rename(stage, os.path.join(self.path, target))
+        with open(self._commit_marker(target) + ".tmp", "w") as f:
+            f.write(base_version)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(self._commit_marker(target) + ".tmp", self._commit_marker(target))
+        self._occ_publish(target)
+        return target
+
+    def transact(self, rewrite, max_attempts: int = 5) -> str:
+        """Optimistic serializable rewrite: ``rewrite`` maps the latest
+        committed snapshot (a DataFrame, tombstones folded) to the full new
+        table content; on a version-race loss the loop re-reads and
+        recomputes from the winner's snapshot.  Returns the committed
+        version name; re-raises the last conflict after ``max_attempts``."""
+        import time
+
+        self.ensure()
+        last: Exception | None = None
+        for attempt in range(max_attempts):
+            if attempt:
+                time.sleep(0.02 * attempt)  # let the racing winner finish
+            base = self.latest_committed()
+            try:
+                out = rewrite(self.read_version(base))
+                return self.commit_rewrite(out, base)
+            except (CommitConflictError, FileNotFoundError) as e:
+                # FileNotFoundError: our base snapshot aged out of the
+                # retention window mid-flight — same staleness, retry
+                last = e
+            except Exception as e:
+                # the same aging can strike DURING the lazy stage write,
+                # surfacing as a JVM FileNotFoundException via Py4J rather
+                # than a Python FileNotFoundError — still just staleness
+                msg = str(e)
+                if (
+                    "FileNotFoundException" not in msg
+                    and "PATH_NOT_FOUND" not in msg
+                ):
+                    raise
+                last = e
+        assert last is not None
+        raise last
+
+    def _occ_publish(self, version: str) -> None:
+        """Monotonic CURRENT advance + below-window GC, serialized by a
+        tiny O_EXCL lock file (microsecond critical section; a crashed
+        holder's lock is stolen after 10 s).  Unlike the legacy
+        ``_publish`` this NEVER deletes dirs above the pointer — a
+        higher-numbered dir may be another writer's commit in flight."""
+        import shutil
+        import time
+
+        lock = self._pointer() + ".lock"
+        deadline = time.monotonic() + 30.0
+        while True:
+            try:
+                os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > 10.0:
+                        os.unlink(lock)
+                        continue
+                except OSError:
+                    continue  # holder released between the two calls
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"CURRENT lock on table {self.name} stuck"
+                    ) from None
+                time.sleep(0.005)
+        try:
+            cur = self.current_version()
+            if cur is None or int(version[2:]) > int(cur[2:]):
+                tmp = f"{self._pointer()}.tmp-{version}"
+                with open(tmp, "w") as f:
+                    f.write(version)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, self._pointer())
+                cur = version
+            # retention GC strictly below the keep window of the pointer
+            cur_n = int(cur[2:])
+            dirs = sorted(
+                (
+                    d
+                    for d in os.listdir(self.path)
+                    if d.startswith("v-")
+                    and os.path.isdir(os.path.join(self.path, d))
+                    and int(d[2:]) <= cur_n
+                ),
+                key=lambda d: int(d[2:]),
+                reverse=True,
+            )
+            keep = set(dirs[: self.retain])
+            for d in dirs[self.retain:]:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+                for marker in (self._commit_marker(d), self._claim_marker(d)):
+                    try:
+                        os.unlink(marker)
+                    except OSError:
+                        pass
+                shutil.rmtree(self._tombstone_dir(d), ignore_errors=True)
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
+
+    def recover_stale(self) -> list[str]:
+        """Crash cleanup, to run when NO writers are active: drop staging
+        dirs and claimed-but-never-committed versions (a writer that died
+        between claim and commit marker).  Returns what was removed."""
+        import shutil
+
+        removed = []
+        try:
+            entries = os.listdir(self.path)
+        except FileNotFoundError:
+            return removed
+        cur = self.current_version()
+        cur_n = int(cur[2:]) if cur else 0
+        for d in entries:
+            full = os.path.join(self.path, d)
+            if d.startswith("stage-") and os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(d)
+            elif d.endswith(".claim") and d.startswith("v-"):
+                v = d.rsplit(".", 1)[0]
+                if not os.path.exists(self._commit_marker(v)):
+                    # only versions ABOVE the pointer can be crashed OCC
+                    # commits; at or below it the dir is a LIVE legacy
+                    # snapshot that merely burnt this claim's number —
+                    # drop just the stale claim file, never the data
+                    vdir = os.path.join(self.path, v)
+                    if int(v[2:]) > cur_n and os.path.isdir(vdir):
+                        shutil.rmtree(vdir, ignore_errors=True)
+                        removed.append(v)
+                    os.unlink(full)
+                    removed.append(d)
+        return removed
 
 
 class PartitionedParquetTable(ParquetTable):
