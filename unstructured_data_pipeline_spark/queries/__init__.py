@@ -335,6 +335,18 @@ _R10_CHANGED = [
     # cache_intermediate=True (shared classify+extract stage persisted per
     # micro-batch, unpersisted by the writer) — identical output, re-verify
     "streaming_intake_eav",
+    # r10 OCC addition hardened ParquetTable._publish GC + versions()
+    # (marker-file isdir filters) — paths every table publish executes, so
+    # the table-lifecycle entries re-verify first even though outputs are
+    # bitwise-unchanged (the full 219 swept green post-change locally)
+    "dml_upsert_customers",
+    "dml_delete_append_lifecycle",
+    "merge_partitioned_lifecycle",
+    "table_time_travel_report",
+    "table_clone_report",
+    "schema_evolution_report",
+    "compaction_report",
+    "gdpr_erasure_lifecycle",
 ]
 
 
