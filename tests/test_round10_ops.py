@@ -223,3 +223,44 @@ def test_occ_then_legacy_sequential_mixing(spark, tmp_path):
         )
     )
     assert ("occ2", 3) in _rows(t)
+
+
+def test_occ_partitioned_table_keeps_hive_layout(spark, tmp_path):
+    """OCC commits on a PartitionedParquetTable must write hive partition
+    dirs (a flat snapshot would make the NEXT pruned merge find no
+    partitions to carry and silently degrade)."""
+    from pyspark.sql import types as T
+
+    from unstructured_data_pipeline_spark.operators.dml import (
+        PartitionedParquetTable,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("p", T.StringType()),
+            T.StructField("v", T.IntegerType()),
+        ]
+    )
+    t = PartitionedParquetTable(
+        spark, str(tmp_path), "pt", schema, partition_by=["p"], retain=2
+    ).ensure()
+    t.append(
+        spark.createDataFrame(
+            [("a", "x", 1), ("b", "y", 2), ("c", "z", 3)], schema
+        )
+    )
+    t.transact(
+        lambda df: df.unionByName(
+            df.sparkSession.createDataFrame([("d", "x", 4)], schema)
+        )
+    )
+    live = os.path.join(t.path, t.current_version())
+    subdirs = sorted(
+        d for d in os.listdir(live) if os.path.isdir(os.path.join(live, d))
+    )
+    assert subdirs == ["p=x", "p=y", "p=z"]  # hive layout preserved
+    # a pruned merge AFTER the OCC commit still carries untouched parts
+    t.upsert(spark.createDataFrame([("a", "x", 10)], schema), ["k"])
+    got = sorted((r.k, r.p, r.v) for r in t.read().collect())
+    assert got == [("a", "x", 10), ("b", "y", 2), ("c", "z", 3), ("d", "x", 4)]

@@ -643,6 +643,12 @@ class ParquetTable:
     # the reference's own tables are single-writer.  On an object store the
     # claim's O_EXCL becomes a conditional PUT (If-None-Match), same shape.
 
+    def _write_snapshot(self, df: DataFrame, path: str) -> None:
+        """Write ``df`` as a full snapshot at ``path`` in this table's
+        physical layout (overridden by the hive-partitioned subclass so
+        OCC commits keep the layout its pruned merges parse)."""
+        self._conform(df).write.mode("overwrite").parquet(path)
+
     def _commit_marker(self, version: str) -> str:
         return os.path.join(self.path, f"{version}.commit")
 
@@ -678,7 +684,7 @@ class ParquetTable:
 
         self.ensure()
         stage = os.path.join(self.path, f"stage-{uuid.uuid4().hex[:12]}")
-        self._conform(df).write.mode("overwrite").parquet(stage)
+        self._write_snapshot(df, stage)
         target = f"v-{int(base_version[2:]) + 1:08d}"
         try:
             fd = os.open(
@@ -964,6 +970,14 @@ class PartitionedParquetTable(ParquetTable):
         self._conform(df).write.partitionBy(*self.partition_by).mode(
             "append"
         ).parquet(self.data_dir())
+
+    def _write_snapshot(self, df: DataFrame, path: str) -> None:
+        # OCC commits must keep the hive layout: a flat snapshot would be
+        # readable but the NEXT pruned merge parses `pcol=value/` dirs to
+        # decide touched-vs-carried partitions and would find none
+        self._conform(df).write.partitionBy(*self.partition_by).mode(
+            "overwrite"
+        ).parquet(path)
 
     def _sibling(self, name: str) -> "PartitionedParquetTable":
         return PartitionedParquetTable(
