@@ -758,6 +758,8 @@ class ParquetTable:
         import shutil
         import time
 
+        import uuid
+
         lock = self._pointer() + ".lock"
         deadline = time.monotonic() + 30.0
         while True:
@@ -766,11 +768,20 @@ class ParquetTable:
                 break
             except FileExistsError:
                 try:
-                    if time.time() - os.path.getmtime(lock) > 10.0:
-                        os.unlink(lock)
-                        continue
+                    stale = time.time() - os.path.getmtime(lock) > 10.0
                 except OSError:
                     continue  # holder released between the two calls
+                if stale:
+                    # steal by ATOMIC rename-then-unlink: of two concurrent
+                    # stealers exactly one wins the rename, while a plain
+                    # unlink could remove the other stealer's FRESH lock
+                    try:
+                        grave = f"{lock}.stale-{uuid.uuid4().hex[:8]}"
+                        os.rename(lock, grave)
+                        os.unlink(grave)
+                    except OSError:
+                        pass
+                    continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(
                         f"CURRENT lock on table {self.name} stuck"
@@ -786,33 +797,37 @@ class ParquetTable:
                     os.fsync(f.fileno())
                 os.replace(tmp, self._pointer())
                 cur = version
-            # retention GC strictly below the keep window of the pointer
-            cur_n = int(cur[2:])
-            dirs = sorted(
-                (
-                    d
-                    for d in os.listdir(self.path)
-                    if d.startswith("v-")
-                    and os.path.isdir(os.path.join(self.path, d))
-                    and int(d[2:]) <= cur_n
-                ),
-                key=lambda d: int(d[2:]),
-                reverse=True,
-            )
-            keep = set(dirs[: self.retain])
-            for d in dirs[self.retain:]:
-                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
-                for marker in (self._commit_marker(d), self._claim_marker(d)):
-                    try:
-                        os.unlink(marker)
-                    except OSError:
-                        pass
-                shutil.rmtree(self._tombstone_dir(d), ignore_errors=True)
         finally:
             try:
                 os.unlink(lock)
             except OSError:
                 pass
+        # retention GC strictly below the keep window of the pointer —
+        # OUTSIDE the lock: a big snapshot's rmtree can outlast the steal
+        # timeout (stolen lock -> two writers in the critical section), and
+        # the GC is idempotent + safe to race (concurrent writers delete
+        # the same below-window dirs; ignore_errors absorbs the overlap),
+        # so only the pointer advance needs mutual exclusion
+        cur_n = int(cur[2:])
+        dirs = sorted(
+            (
+                d
+                for d in os.listdir(self.path)
+                if d.startswith("v-")
+                and os.path.isdir(os.path.join(self.path, d))
+                and int(d[2:]) <= cur_n
+            ),
+            key=lambda d: int(d[2:]),
+            reverse=True,
+        )
+        for d in dirs[self.retain:]:
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+            for marker in (self._commit_marker(d), self._claim_marker(d)):
+                try:
+                    os.unlink(marker)
+                except OSError:
+                    pass
+            shutil.rmtree(self._tombstone_dir(d), ignore_errors=True)
 
     def recover_stale(self) -> list[str]:
         """Crash cleanup, to run when NO writers are active: drop staging
