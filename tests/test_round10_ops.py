@@ -264,3 +264,18 @@ def test_occ_partitioned_table_keeps_hive_layout(spark, tmp_path):
     t.upsert(spark.createDataFrame([("a", "x", 10)], schema), ["k"])
     got = sorted((r.k, r.p, r.v) for r in t.read().collect())
     assert got == [("a", "x", 10), ("b", "y", 2), ("c", "z", 3), ("d", "x", 4)]
+
+
+def test_occ_transact_refuses_read_time_defaults(spark, tmp_path):
+    """read_version() shows snapshots as-stored (no ALTER-default
+    backfill), so transact() must refuse rather than commit stored NULLs
+    where read() shows the default."""
+    from pyspark.sql import types as T
+
+    t, schema = _make(spark, tmp_path)
+    t.add_column("grade", T.StringType(), default="unrated")
+    with pytest.raises(ValueError, match="read-time ALTER defaults"):
+        t.transact(lambda df: df)
+    # the legacy path still works and folds the default into storage
+    t.upsert(t.read(), ["k"])
+    assert [r.grade for r in t.read().collect()] == ["unrated"]

@@ -722,6 +722,17 @@ class ParquetTable:
         version name; re-raises the last conflict after ``max_attempts``."""
         import time
 
+        if self._defaults:
+            # read_version() shows a snapshot as-stored (no read-time
+            # DEFAULT backfill), so a rewrite would commit stored NULLs
+            # where read() shows the ALTER default — refuse loudly rather
+            # than silently materialize the wrong values
+            raise ValueError(
+                f"table {self.name} has read-time ALTER defaults "
+                f"({sorted(self._defaults)}); transact() would commit "
+                "their stored NULLs as data — fold the defaults with a "
+                "legacy rewrite (e.g. upsert of read()) first"
+            )
         self.ensure()
         last: Exception | None = None
         for attempt in range(max_attempts):
