@@ -276,6 +276,59 @@ def test_occ_transact_refuses_read_time_defaults(spark, tmp_path):
     t.add_column("grade", T.StringType(), default="unrated")
     with pytest.raises(ValueError, match="read-time ALTER defaults"):
         t.transact(lambda df: df)
-    # the legacy path still works and folds the default into storage
+    # the error's remediation must actually unblock: a legacy rewrite
+    # materializes the backfill into storage and SPENDS the defaults
     t.upsert(t.read(), ["k"])
+    assert t._defaults == {}  # cleared (and persisted via schema.json)
     assert [r.grade for r in t.read().collect()] == ["unrated"]
+    t.transact(lambda df: df)  # now permitted
+    assert [r.grade for r in t.read().collect()] == ["unrated"]
+
+
+def test_legacy_publish_cannot_destroy_committed_occ_version(spark, tmp_path):
+    """A raced/regressed legacy publish (e.g. a slow creator finishing
+    after an OCC commit) must neither hide nor GC a committed version:
+    current_version() derives truth from commit markers, and the legacy
+    GC skips marker-committed dirs above the published version."""
+    t, schema = _make(spark, tmp_path)
+    t.transact(
+        lambda df: df.unionByName(
+            df.sparkSession.createDataFrame([("occ", 1)], schema)
+        )
+    )
+    assert t.current_version() == "v-00000002"
+    t._publish("v-00000001")  # the destructive interleaving, replayed
+    assert t.current_version() == "v-00000002"  # markers beat the cache
+    assert ("occ", 1) in _rows(t)  # snapshot survived the legacy GC
+
+
+def test_pointer_behind_marker_heals_and_legacy_builds_on_it(spark, tmp_path):
+    """A writer that dies between its commit marker and the pointer
+    advance must not lose its commit: reads serve the marker, and a later
+    sequential legacy rewrite bases on it instead of overwriting it."""
+    t, schema = _make(spark, tmp_path, retain=2)
+    t.transact(
+        lambda df: df.unionByName(
+            df.sparkSession.createDataFrame([("occ", 1)], schema)
+        )
+    )
+    t._write_atomic(t._pointer(), "v-00000001")  # simulate the crash window
+    assert t.current_version() == "v-00000002"
+    t.upsert(spark.createDataFrame([("legacy", 2)], schema), ["k"])
+    assert t.current_version() == "v-00000003"  # built ON the OCC commit
+    assert _rows(t) == [("legacy", 2), ("occ", 1), ("seed", 0)]
+
+
+def test_burnt_claim_fails_fast_without_staging(spark, tmp_path):
+    """A claim left by a crashed writer must conflict BEFORE the expensive
+    staged table write, not after."""
+    t, schema = _make(spark, tmp_path)
+    base = t.latest_committed()
+    nxt = f"v-{int(base[2:]) + 1:08d}"
+    open(t._claim_marker(nxt), "w").close()  # burnt claim, no dir/marker
+    with pytest.raises(CommitConflictError):
+        t.commit_rewrite(t.read_version(base), base)
+    stages = [d for d in os.listdir(t.path) if d.startswith("stage-")]
+    assert stages == []  # failed fast: nothing was staged
+    t.recover_stale()
+    t.transact(lambda df: df)  # recovered: the number is claimable again

@@ -234,27 +234,58 @@ class ParquetTable:
         import json
 
         os.makedirs(self.path, exist_ok=True)
-        tmp = self._meta_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {"schema": self.schema.jsonValue(), "defaults": self._defaults},
-                f,
-            )
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._meta_path())
+        self._write_atomic(
+            self._meta_path(),
+            json.dumps(
+                {"schema": self.schema.jsonValue(), "defaults": self._defaults}
+            ),
+        )
 
     # -- version pointer ----------------------------------------------------
     def _pointer(self) -> str:
         return os.path.join(self.path, "CURRENT")
 
-    def current_version(self) -> str | None:
+    @staticmethod
+    def _write_atomic(path: str, text: str) -> None:
+        """The one copy of the temp-write + fsync + rename publish idiom
+        (pointer, schema.json, commit markers all commit through here)."""
+        tmp = f"{path}.tmp-{os.getpid()}-{id(text) & 0xFFFF:x}"
+        with open(tmp, "w") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)  # atomic on POSIX
+
+    def _pointer_version(self) -> str | None:
         try:
             with open(self._pointer()) as f:
                 v = f.read().strip()
             return v or None
         except FileNotFoundError:
             return None
+
+    def current_version(self) -> str | None:
+        """Newest committed version.  The CURRENT pointer is a CACHE: OCC
+        commit markers (append-only facts, written only after the snapshot
+        dir is complete) win when they are ahead — so a writer that died
+        between its commit marker and the pointer advance, or a transient
+        pointer regression from a raced legacy publish, never hides or
+        loses a committed snapshot.  Tables never touched by OCC have no
+        markers and read the pointer exactly as before."""
+        best = self._pointer_version()
+        best_n = int(best[2:]) if best else 0
+        try:
+            entries = os.listdir(self.path)
+        except FileNotFoundError:
+            return best
+        for d in entries:
+            if d.endswith(".commit") and d.startswith("v-"):
+                v = d.rsplit(".", 1)[0]
+                if int(v[2:]) > best_n and os.path.isdir(
+                    os.path.join(self.path, v)
+                ):
+                    best, best_n = v, int(v[2:])
+        return best
 
     def data_dir(self) -> str:
         v = self.current_version()
@@ -267,19 +298,30 @@ class ParquetTable:
         n = int(cur[2:]) if cur else 0
         return f"v-{n + 1:08d}"
 
-    def _publish(self, version: str) -> None:
-        os.makedirs(self.path, exist_ok=True)
-        tmp = self._pointer() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(version)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._pointer())  # atomic on POSIX
-        # GC: keep the newest `retain` published snapshots (numbered <= the
-        # just-published version); drop older snapshots and orphaned
-        # (crashed-before-publish) dirs numbered above it
+    def _drop_version(self, d: str) -> None:
+        """The one copy of snapshot deletion: dir + OCC markers +
+        merge-on-read tombstones go together (a marker outliving its dir
+        would haunt current_version(); a tombstone outliving its snapshot
+        is folded state nothing reads)."""
         import shutil
 
+        shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        for marker in (self._commit_marker(d), self._claim_marker(d)):
+            try:
+                os.unlink(marker)
+            except OSError:
+                pass
+        shutil.rmtree(self._tombstone_dir(d), ignore_errors=True)
+
+    def _publish(self, version: str) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        self._write_atomic(self._pointer(), version)
+        # GC: keep the newest `retain` published snapshots (numbered <= the
+        # just-published version); drop older snapshots and orphaned
+        # (crashed-before-publish) dirs numbered above it — EXCEPT dirs
+        # carrying an OCC commit marker above this version: those are
+        # another writer's committed (or in-flight-published) snapshots,
+        # not crash orphans, and current_version() serves them
         cur_n = int(version[2:])
         published = sorted(
             (
@@ -298,35 +340,82 @@ class ParquetTable:
         keep = set(published[: self.retain])
         for d in os.listdir(self.path):
             full = os.path.join(self.path, d)
-            if d.startswith("v-") and os.path.isdir(full) and d not in keep:
-                shutil.rmtree(full, ignore_errors=True)
-            # a dropped (or legacy-GC-orphaned) snapshot's OCC markers go
-            # with its dir, or latest_committed() would have to re-filter
-            # them forever
-            if (d.endswith(".commit") or d.endswith(".claim")) and d.startswith(
-                "v-"
+            if (
+                d.startswith("v-")
+                and os.path.isdir(full)
+                and d not in keep
+                and not (
+                    int(d[2:]) > cur_n
+                    and os.path.exists(self._commit_marker(d))
+                )
+            ):
+                self._drop_version(d)
+            # stale markers for versions at/below the published one whose
+            # dir is in the keep set stay; the rest went with _drop_version
+            elif (
+                (d.endswith(".commit") or d.endswith(".claim"))
+                and d.startswith("v-")
             ):
                 mv = d.rsplit(".", 1)[0]
                 # never touch markers ABOVE the published version — they
-                # may be another writer's in-flight claim
+                # may be another writer's in-flight claim or commit
                 if mv not in keep and int(mv[2:]) <= cur_n:
                     try:
                         os.unlink(full)
                     except OSError:
                         pass
-            # merge-on-read tombstones ride their snapshot's lifetime: a
-            # dropped snapshot's tombstones go with it (rewrites fold them
-            # into the successor via read(), so nothing is lost)
-            if d.startswith("tombstones-") and d[len("tombstones-"):] not in keep:
-                shutil.rmtree(full, ignore_errors=True)
+            elif d.startswith("tombstones-") and d[len("tombstones-"):] not in keep:
+                # merge-on-read tombstones ride their snapshot's lifetime
+                # (rewrites fold them into the successor via read())
+                if int(d[len("tombstones-v-"):]) <= cur_n:
+                    import shutil
+
+                    shutil.rmtree(full, ignore_errors=True)
 
     # -- CREATE TABLE IF NOT EXISTS (`app.py:38-81`) ------------------------
     def ensure(self) -> "ParquetTable":
-        if self.current_version() is None:
-            v = self._next_version()
-            empty = self.spark.createDataFrame([], self.schema)
-            empty.write.mode("overwrite").parquet(os.path.join(self.path, v))
-            self._publish(v)
+        """Concurrent-safe CREATE IF NOT EXISTS: creation commits through
+        the OCC claim protocol (one O_EXCL winner for v-00000001; losers
+        wait for the winner's publish), so two processes racing ensure()
+        on a fresh table can neither double-create nor — via the legacy
+        publish GC — destroy a version the other already committed."""
+        if self.current_version() is not None:
+            return self
+        import shutil
+        import time
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        stage = os.path.join(self.path, f"stage-{uuid.uuid4().hex[:12]}")
+        self._write_snapshot(self.spark.createDataFrame([], self.schema), stage)
+        target = "v-00000001"
+        try:
+            os.close(
+                os.open(
+                    self._claim_marker(target),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+            )
+        except FileExistsError:
+            # another creator won: wait for its publish, then proceed
+            shutil.rmtree(stage, ignore_errors=True)
+            deadline = time.monotonic() + 60.0
+            while self.current_version() is None:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"table {self.name}: creation claim exists but no "
+                        "version was published (crashed creator? run "
+                        "recover_stale() with writers stopped)"
+                    ) from None
+                time.sleep(0.01)
+            return self
+        if self.current_version() is not None:
+            # raced a legacy publish that claims nothing: table exists
+            shutil.rmtree(stage, ignore_errors=True)
+            return self
+        os.rename(stage, os.path.join(self.path, target))
+        self._write_atomic(self._commit_marker(target), "")
+        self._occ_publish(target)
         return self
 
     def read(self) -> DataFrame:
@@ -536,6 +625,13 @@ class ParquetTable:
         v = self._next_version()
         df.write.mode("overwrite").parquet(os.path.join(self.path, v))
         self._publish(v)
+        if self._defaults:
+            # every _replace caller derives df from read(), whose DEFAULT
+            # backfill is now materialized in storage — the read-time
+            # defaults are spent, and clearing them re-enables transact()
+            # (which refuses while they could mask stored NULLs)
+            self._defaults = {}
+            self._save_meta()
 
     def upsert(self, source: DataFrame, keys: list[str]) -> None:
         self._replace(upsert(self.read(), self._conform(source), keys))
@@ -656,36 +752,33 @@ class ParquetTable:
         return os.path.join(self.path, f"{version}.claim")
 
     def latest_committed(self) -> str | None:
-        """Newest version an OCC writer may base a rewrite on: the max of
-        the legacy pointer (legacy publishes write no markers) and every
-        marker-committed version whose snapshot dir still exists."""
-        best = self.current_version()
-        best_n = int(best[2:]) if best else 0
-        try:
-            entries = os.listdir(self.path)
-        except FileNotFoundError:
-            return best
-        for d in entries:
-            if d.endswith(".commit") and d.startswith("v-"):
-                v = d.rsplit(".", 1)[0]
-                if int(v[2:]) > best_n and os.path.isdir(
-                    os.path.join(self.path, v)
-                ):
-                    best, best_n = v, int(v[2:])
-        return best
+        """Newest version an OCC writer may base a rewrite on — since
+        current_version() itself consults the commit markers, this is the
+        same value under the OCC-facing name."""
+        return self.current_version()
 
     def commit_rewrite(self, df: DataFrame, base_version: str) -> str:
         """Commit ``df`` as the FULL table content of version base+1,
         failing with :class:`CommitConflictError` if any other writer
         committed base+1 first (the caller's snapshot is then stale).
-        Returns the committed version name."""
+        Returns the committed version name.
+
+        A claim file with no commit marker and no snapshot dir is a
+        writer that died mid-commit: it burns its version number and
+        conflicts every later writer until ``recover_stale()`` is run
+        (with writers stopped) — the documented crash-recovery step."""
         import shutil
         import uuid
 
         self.ensure()
+        target = f"v-{int(base_version[2:]) + 1:08d}"
+        if os.path.exists(self._claim_marker(target)):
+            # fail fast BEFORE the expensive staged write: the claim is
+            # already burnt (racing winner, or a crashed writer awaiting
+            # recover_stale); the O_EXCL below remains the authority
+            raise CommitConflictError(self.name, base_version, target)
         stage = os.path.join(self.path, f"stage-{uuid.uuid4().hex[:12]}")
         self._write_snapshot(df, stage)
-        target = f"v-{int(base_version[2:]) + 1:08d}"
         try:
             fd = os.open(
                 self._claim_marker(target),
@@ -706,11 +799,7 @@ class ParquetTable:
             shutil.rmtree(stage, ignore_errors=True)
             raise CommitConflictError(self.name, base_version, target)
         os.rename(stage, os.path.join(self.path, target))
-        with open(self._commit_marker(target) + ".tmp", "w") as f:
-            f.write(base_version)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(self._commit_marker(target) + ".tmp", self._commit_marker(target))
+        self._write_atomic(self._commit_marker(target), base_version)
         self._occ_publish(target)
         return target
 
@@ -742,19 +831,25 @@ class ParquetTable:
             try:
                 out = rewrite(self.read_version(base))
                 return self.commit_rewrite(out, base)
-            except (CommitConflictError, FileNotFoundError) as e:
-                # FileNotFoundError: our base snapshot aged out of the
-                # retention window mid-flight — same staleness, retry
+            except CommitConflictError as e:
                 last = e
             except Exception as e:
-                # the same aging can strike DURING the lazy stage write,
-                # surfacing as a JVM FileNotFoundException via Py4J rather
-                # than a Python FileNotFoundError — still just staleness
+                # base-snapshot retention aging mid-flight is also just
+                # staleness: as the Python FileNotFoundError read_version
+                # raises, or — when it strikes DURING the lazy stage
+                # write — as a JVM FileNotFoundException via Py4J.  Only
+                # errors naming THIS table's storage qualify; a missing
+                # path inside the caller's rewrite (their bug) re-raises
+                # untouched instead of burning max_attempts recomputes.
                 msg = str(e)
-                if (
-                    "FileNotFoundException" not in msg
-                    and "PATH_NOT_FOUND" not in msg
-                ):
+                retryable = f"of table {self.name} is not retained" in msg or (
+                    self.path in msg
+                    and (
+                        "FileNotFoundException" in msg
+                        or "PATH_NOT_FOUND" in msg
+                    )
+                )
+                if not retryable:
                     raise
                 last = e
         assert last is not None
@@ -765,10 +860,14 @@ class ParquetTable:
         tiny O_EXCL lock file (microsecond critical section; a crashed
         holder's lock is stolen after 10 s).  Unlike the legacy
         ``_publish`` this NEVER deletes dirs above the pointer — a
-        higher-numbered dir may be another writer's commit in flight."""
-        import shutil
-        import time
+        higher-numbered dir may be another writer's commit in flight.
 
+        The lock protects only the pointer CACHE: current_version()
+        derives truth from the commit markers, so even the residual
+        steal race (a stealer's staleness check vs a fresh acquirer)
+        can at worst leave the cache transiently behind — never hide or
+        lose a committed snapshot."""
+        import time
         import uuid
 
         lock = self._pointer() + ".lock"
@@ -799,14 +898,9 @@ class ParquetTable:
                     ) from None
                 time.sleep(0.005)
         try:
-            cur = self.current_version()
+            cur = self._pointer_version()
             if cur is None or int(version[2:]) > int(cur[2:]):
-                tmp = f"{self._pointer()}.tmp-{version}"
-                with open(tmp, "w") as f:
-                    f.write(version)
-                    f.flush()
-                    os.fsync(f.fileno())
-                os.replace(tmp, self._pointer())
+                self._write_atomic(self._pointer(), version)
                 cur = version
         finally:
             try:
@@ -832,13 +926,7 @@ class ParquetTable:
             reverse=True,
         )
         for d in dirs[self.retain:]:
-            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
-            for marker in (self._commit_marker(d), self._claim_marker(d)):
-                try:
-                    os.unlink(marker)
-                except OSError:
-                    pass
-            shutil.rmtree(self._tombstone_dir(d), ignore_errors=True)
+            self._drop_version(d)
 
     def recover_stale(self) -> list[str]:
         """Crash cleanup, to run when NO writers are active: drop staging
@@ -956,15 +1044,9 @@ class PartitionedParquetTable(ParquetTable):
     def _value_key(row: tuple) -> tuple:
         return tuple(None if v is None else str(v) for v in row)
 
-    def ensure(self) -> "PartitionedParquetTable":
-        if self.current_version() is None:
-            v = self._next_version()
-            empty = self.spark.createDataFrame([], self.schema)
-            empty.write.partitionBy(*self.partition_by).mode("overwrite").parquet(
-                os.path.join(self.path, v)
-            )
-            self._publish(v)
-        return self
+    # ensure() is inherited: the base class's claim-based creation writes
+    # the empty snapshot through _write_snapshot, which the override below
+    # keeps hive-partitioned.
 
     def read(self) -> DataFrame:
         self.ensure()
