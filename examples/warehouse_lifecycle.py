@@ -105,6 +105,36 @@ def main() -> None:
     print(f"retained snapshots: {vs}; AS-OF first retained: "
           f"{t.read_version(vs[0]).count()} rows")
 
+    # optimistic multi-writer commits (r10): two writers race from the
+    # same snapshot; the loser conflicts and transact() retries from the
+    # winner's — both updates land, lost-update impossible
+    from unstructured_data_pipeline_spark.operators.dml import (
+        CommitConflictError,
+    )
+
+    base = t.latest_committed()
+    stamp = lambda seg, v: t.read_version(base).withColumn(
+        "tier", F.when(F.col("c_mktsegment") == seg, F.lit(v)).otherwise(
+            F.col("tier")
+        )
+    )
+    t.commit_rewrite(stamp("BUILDING", "gold"), base)  # writer B wins
+    try:
+        t.commit_rewrite(stamp("MACHINERY", "silver"), base)  # stale base
+    except CommitConflictError as e:
+        print(f"occ conflict detected: {e}")
+    t.transact(  # writer A retries on the winner's snapshot
+        lambda df: df.withColumn(
+            "tier",
+            F.when(F.col("c_mktsegment") == "MACHINERY", F.lit("silver"))
+            .otherwise(F.col("tier")),
+        )
+    )
+    tiers = {r["tier"] for r in t.read().select("tier").distinct().collect()}
+    assert {"gold", "silver"} <= tiers  # both writers' effects persisted
+    print(f"occ multi-writer: both updates landed, version "
+          f"{t.current_version()}")
+
     shutil.rmtree(root, ignore_errors=True)
     print("warehouse lifecycle: complete")
     spark.stop()
