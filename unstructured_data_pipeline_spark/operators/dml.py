@@ -386,21 +386,46 @@ class ParquetTable:
         import uuid
 
         os.makedirs(self.path, exist_ok=True)
-        stage = os.path.join(self.path, f"stage-{uuid.uuid4().hex[:12]}")
-        self._write_snapshot(self.spark.createDataFrame([], self.schema), stage)
         target = "v-00000001"
-        try:
-            os.close(
-                os.open(
-                    self._claim_marker(target),
-                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+        deadline = time.monotonic() + self.claim_ttl + 60.0
+        while True:
+            if self.current_version() is not None:
+                return self
+            if not os.path.exists(self._claim_marker(target)):
+                # stage only when the claim looks winnable — fail-fast
+                # parity with commit_rewrite (ADVICE r10): racing losers
+                # shouldn't pay a full discarded snapshot write
+                stage = os.path.join(self.path, f"stage-{uuid.uuid4().hex[:12]}")
+                self._write_snapshot(
+                    self.spark.createDataFrame([], self.schema), stage
                 )
-            )
-        except FileExistsError:
-            # another creator won: wait for its publish, then proceed
-            shutil.rmtree(stage, ignore_errors=True)
-            deadline = time.monotonic() + 60.0
+                try:
+                    os.close(
+                        os.open(
+                            self._claim_marker(target),
+                            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                        )
+                    )
+                except FileExistsError:
+                    # another creator won the claim while we staged: fall
+                    # through to the wait loop below
+                    shutil.rmtree(stage, ignore_errors=True)
+                else:
+                    if self.current_version() is not None:
+                        # raced a legacy publish that claims nothing
+                        shutil.rmtree(stage, ignore_errors=True)
+                        return self
+                    os.rename(stage, os.path.join(self.path, target))
+                    self._write_atomic(self._commit_marker(target), "")
+                    self._occ_publish(target)
+                    return self
+            # a claim exists: wait for its publish; if the creator died
+            # mid-commit, reclaim its aged claim and retry creation
             while self.current_version() is None:
+                if not os.path.exists(self._claim_marker(target)):
+                    break  # reclaimed (here or elsewhere) — retry creation
+                if self._reclaim_dead_claim(target):
+                    break
                 if time.monotonic() > deadline:
                     raise TimeoutError(
                         f"table {self.name}: creation claim exists but no "
@@ -408,15 +433,6 @@ class ParquetTable:
                         "recover_stale() with writers stopped)"
                     ) from None
                 time.sleep(0.01)
-            return self
-        if self.current_version() is not None:
-            # raced a legacy publish that claims nothing: table exists
-            shutil.rmtree(stage, ignore_errors=True)
-            return self
-        os.rename(stage, os.path.join(self.path, target))
-        self._write_atomic(self._commit_marker(target), "")
-        self._occ_publish(target)
-        return self
 
     def read(self) -> DataFrame:
         self.ensure()
@@ -751,6 +767,47 @@ class ParquetTable:
     def _claim_marker(self, version: str) -> str:
         return os.path.join(self.path, f"{version}.claim")
 
+    # A claim with no snapshot dir, no commit marker, and an age beyond
+    # this TTL is a writer that died between claim creation and rename —
+    # that window is microseconds (write/fsync/close + isdir + rename), so
+    # 60 s leaves 6+ orders of magnitude of slack.  Age uses the claim
+    # file's mtime vs this process's wall clock: a same-filesystem-clock
+    # assumption, acceptable because a skew-induced FALSE NEGATIVE only
+    # delays reclamation and a false positive needs skew >> the TTL.
+    claim_ttl: float = 60.0
+
+    # How long a waiter watches one unchanged pointer-lock token (its own
+    # monotonic clock) before stealing the lock as crashed — see
+    # _occ_publish; the critical section it guards is microseconds.
+    lock_steal_after: float = 10.0
+
+    def _reclaim_dead_claim(self, version: str) -> bool:
+        """Reclaim ``version``'s claim if its writer demonstrably died
+        mid-commit (no dir, no marker, older than :attr:`claim_ttl`) so
+        ``transact()`` self-heals instead of wedging every later commit
+        until a manual ``recover_stale()`` (ADVICE r10).  Returns True if
+        the claim was removed and the caller may retry its O_EXCL."""
+        import time
+        import uuid
+
+        claim = self._claim_marker(version)
+        if os.path.isdir(os.path.join(self.path, version)):
+            return False  # snapshot landed: a real (or in-flight) commit
+        if os.path.exists(self._commit_marker(version)):
+            return False  # committed: the conflict is genuine staleness
+        try:
+            if time.time() - os.path.getmtime(claim) <= self.claim_ttl:
+                return False
+            # atomic rename-then-unlink: of two concurrent reclaimers
+            # exactly one wins; a plain unlink could remove the number's
+            # NEXT claimant's fresh claim
+            grave = f"{claim}.dead-{uuid.uuid4().hex[:8]}"
+            os.rename(claim, grave)
+            os.unlink(grave)
+        except OSError:
+            return False  # vanished or contended — treat as not ours
+        return True
+
     def latest_committed(self) -> str | None:
         """Newest version an OCC writer may base a rewrite on — since
         current_version() itself consults the commit markers, this is the
@@ -765,17 +822,33 @@ class ParquetTable:
 
         A claim file with no commit marker and no snapshot dir is a
         writer that died mid-commit: it burns its version number and
-        conflicts every later writer until ``recover_stale()`` is run
-        (with writers stopped) — the documented crash-recovery step."""
+        conflicts later writers until it ages past :attr:`claim_ttl`,
+        after which it is reclaimed automatically (so ``transact()``
+        self-heals); ``recover_stale()`` (with writers stopped) remains
+        the immediate manual path."""
         import shutil
         import uuid
 
+        if self._defaults:
+            # read_version() shows a snapshot as-stored (no read-time
+            # DEFAULT backfill), so a committed rewrite of one would land
+            # stored NULLs in a snapshot with no pre-alter epoch dirs —
+            # read()'s backfill silently stops applying.  Guarded HERE so
+            # every OCC commit path (transact() included) refuses loudly.
+            raise ValueError(
+                f"table {self.name} has read-time ALTER defaults "
+                f"({sorted(self._defaults)}); an OCC commit would write "
+                "their stored NULLs as data — fold the defaults with a "
+                "legacy rewrite (e.g. upsert of read()) first"
+            )
         self.ensure()
         target = f"v-{int(base_version[2:]) + 1:08d}"
-        if os.path.exists(self._claim_marker(target)):
+        if os.path.exists(self._claim_marker(target)) and not self._reclaim_dead_claim(
+            target
+        ):
             # fail fast BEFORE the expensive staged write: the claim is
             # already burnt (racing winner, or a crashed writer awaiting
-            # recover_stale); the O_EXCL below remains the authority
+            # reclamation); the O_EXCL below remains the authority
             raise CommitConflictError(self.name, base_version, target)
         stage = os.path.join(self.path, f"stage-{uuid.uuid4().hex[:12]}")
         self._write_snapshot(df, stage)
@@ -809,19 +882,9 @@ class ParquetTable:
         table content; on a version-race loss the loop re-reads and
         recomputes from the winner's snapshot.  Returns the committed
         version name; re-raises the last conflict after ``max_attempts``."""
+        import re
         import time
 
-        if self._defaults:
-            # read_version() shows a snapshot as-stored (no read-time
-            # DEFAULT backfill), so a rewrite would commit stored NULLs
-            # where read() shows the ALTER default — refuse loudly rather
-            # than silently materialize the wrong values
-            raise ValueError(
-                f"table {self.name} has read-time ALTER defaults "
-                f"({sorted(self._defaults)}); transact() would commit "
-                "their stored NULLs as data — fold the defaults with a "
-                "legacy rewrite (e.g. upsert of read()) first"
-            )
         self.ensure()
         last: Exception | None = None
         for attempt in range(max_attempts):
@@ -833,22 +896,25 @@ class ParquetTable:
                 return self.commit_rewrite(out, base)
             except CommitConflictError as e:
                 last = e
+            except FileNotFoundError as e:
+                # read_version()'s own retention-aging signal, matched by
+                # TYPE plus our OWN (format-stable) message — a caller's
+                # unrelated FileNotFoundError re-raises untouched
+                if f"of table {self.name} is not retained" not in str(e):
+                    raise
+                last = e
             except Exception as e:
-                # base-snapshot retention aging mid-flight is also just
-                # staleness: as the Python FileNotFoundError read_version
-                # raises, or — when it strikes DURING the lazy stage
-                # write — as a JVM FileNotFoundException via Py4J.  Only
-                # errors naming THIS table's storage qualify; a missing
-                # path inside the caller's rewrite (their bug) re-raises
-                # untouched instead of burning max_attempts recomputes.
+                # retention aging can also strike DURING the lazy stage
+                # write, surfacing as a JVM FileNotFoundException via
+                # Py4J.  Qualify only errors naming a retained-VERSION dir
+                # of THIS table (path + /v-XXXXXXXX) — a caller bug whose
+                # message merely mentions the table path, or a Spark
+                # message-format drift, must re-raise rather than burn
+                # max_attempts recomputes (ADVICE r10).
                 msg = str(e)
-                retryable = f"of table {self.name} is not retained" in msg or (
-                    self.path in msg
-                    and (
-                        "FileNotFoundException" in msg
-                        or "PATH_NOT_FOUND" in msg
-                    )
-                )
+                retryable = (
+                    "FileNotFoundException" in msg or "PATH_NOT_FOUND" in msg
+                ) and re.search(re.escape(self.path) + r"[/\\]v-\d{8}", msg)
                 if not retryable:
                     raise
                 last = e
@@ -872,16 +938,36 @@ class ParquetTable:
 
         lock = self._pointer() + ".lock"
         deadline = time.monotonic() + 30.0
+        # Staleness is WAITER-observed: each holder writes a unique token
+        # into the lock, and a waiter steals only after watching the SAME
+        # token persist >10 s of its OWN monotonic clock.  No wall-clock /
+        # mtime comparison anywhere, so NFS/container clock skew can
+        # neither cause a premature steal (two holders) nor a future-dated
+        # lock that never goes stale (ADVICE r10).
+        steal_after = self.lock_steal_after
+        seen_token: str | None = None
+        seen_at = 0.0
         while True:
             try:
-                os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                try:
+                    os.write(fd, uuid.uuid4().hex.encode())
+                finally:
+                    os.close(fd)
                 break
             except FileExistsError:
                 try:
-                    stale = time.time() - os.path.getmtime(lock) > 10.0
+                    with open(lock, "rb") as fh:
+                        holder = fh.read().decode("ascii", "replace")
                 except OSError:
+                    seen_token = None
                     continue  # holder released between the two calls
-                if stale:
+                if holder != seen_token:
+                    # new holder instance — restart the staleness clock
+                    # (an empty token is a holder caught between create
+                    # and write: microseconds, it resolves next poll)
+                    seen_token, seen_at = holder, time.monotonic()
+                elif time.monotonic() - seen_at > steal_after:
                     # steal by ATOMIC rename-then-unlink: of two concurrent
                     # stealers exactly one wins the rename, while a plain
                     # unlink could remove the other stealer's FRESH lock
@@ -891,6 +977,7 @@ class ParquetTable:
                         os.unlink(grave)
                     except OSError:
                         pass
+                    seen_token = None
                     continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(
