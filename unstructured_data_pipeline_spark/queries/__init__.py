@@ -21,14 +21,15 @@ from .streaming_media import AUDIO_FEATURES_SQL, CONT_ROLLUP_SQL, END_TO_END_DED
 from .tpch_headline import Q1_SQL, Q3_SQL, Q5_SQL, q1_pricing_summary, q3_top_revenue_orders, q5_region_volume
 from .tpch_shapes import ARGMAX_SQL, ARRAY_FUNCS_SQL, BOOL_BIT_SQL, CORR_STATS_SQL, DATETIME_SUITE_SQL, DET_SAMPLE_SQL, GROUPING_SETS_SQL, JSON_ROUNDTRIP_SQL, KEY_SKEW_SQL, LEAD_LAG_SQL, NULL_SEMANTICS_SQL, Q11_SQL, Q12_SQL, Q19_SQL, Q20_SQL, Q21_SQL, Q8_SQL, QUALITY_CLASSIFIER_SQL, RANGE_FRAME_SQL, RANGE_JOIN_SQL, REGEX_SUITE_SQL, SESSION_WINDOW_SQL, SKEW_SALTED_SQL, STRING_AGG_SQL, TRAINING_SHARD_SQL, UNPIVOT_SQL, argmax_latest_event, array_functions_suite, bool_bit_aggs, corr_stats_exact, datetime_functions_suite, deterministic_sample_orders, grouping_sets_order_stats, json_roundtrip_suite, key_skew_diagnosis, null_semantics_suite, q11_important_parts, q12_late_priority_counts, q19_disjunctive_revenue, q20_promo_part_suppliers, q21_waiting_suppliers, q8_market_share, quality_classifier_filter, range_join_views_before_purchase, regex_functions_suite, session_window_native, skew_salted_join_report, string_agg_region_nations, training_shard_manifest, unpivot_customer_metrics, window_lead_lag_ntile, window_range_frame_hour
 from .windows_scalars import DISTINCT_SOURCES_SQL, EVENT_SUMMARY_SQL, GLOBAL_ORDER_STATS_SQL, LATEST_EVENT_SQL, PIVOT_SQL, SCALAR_SUITE_SQL, TOP_USERS_SQL, UNION_LABELS_SQL, distinct_sources_by_lang, event_type_summary, global_order_stats, latest_event_per_user, pivot_event_values, scalar_functions_suite, top_users_per_event_type, union_distinct_labels
-from . import _common, tpch_headline, lookups_joins, windows_scalars, doc_pipeline, dedup_text, similarity_events, approx_rows_only, relational_breadth, streaming_media, tpch_shapes, curation, data_skipping_ann, ir_graph_analytics, gdpr_lifecycle, streaming_join
+from .occ_lifecycle import OCC_LIFECYCLE_SQL, occ_transact_lifecycle
+from . import _common, tpch_headline, lookups_joins, windows_scalars, doc_pipeline, dedup_text, similarity_events, approx_rows_only, relational_breadth, streaming_media, tpch_shapes, curation, data_skipping_ann, ir_graph_analytics, gdpr_lifecycle, streaming_join, occ_lifecycle
 
 # Re-create the pre-split flat-module surface exactly: every name each
 # topical module defines (including _helpers and SQL constants) is
 # reachable as unstructured_data_pipeline_spark.queries.<name>, in the
 # original definition order (later chunks win name collisions, as the
 # flat file's later definitions did).
-for _mod in (_common, tpch_headline, lookups_joins, windows_scalars, doc_pipeline, dedup_text, similarity_events, approx_rows_only, relational_breadth, streaming_media, tpch_shapes, curation, data_skipping_ann, ir_graph_analytics, gdpr_lifecycle, streaming_join):
+for _mod in (_common, tpch_headline, lookups_joins, windows_scalars, doc_pipeline, dedup_text, similarity_events, approx_rows_only, relational_breadth, streaming_media, tpch_shapes, curation, data_skipping_ann, ir_graph_analytics, gdpr_lifecycle, streaming_join, occ_lifecycle):
     globals().update(
         {_k: _v for _k, _v in vars(_mod).items() if not _k.startswith('__')}
     )
@@ -193,7 +194,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
     "q18_big_orders": (q18_big_orders, Q18_SQL),
     # round-5 additions (never driver-checked -> the computed freshness
-    # rotation surfaces them right behind _R10_CHANGED automatically)
+    # rotation surfaces them right behind the changed-this-round list automatically)
     "dsir_importance_sample": (dsir_importance_sample, DSIR_SQL),
     "bm25_topk_contract": (bm25_topk_contract, BM25_SQL),
     "unimax_language_budgets": (unimax_language_budgets, UNIMAX_SQL),
@@ -222,7 +223,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "largest_remainder_allocation": (largest_remainder_allocation, LARGEST_REMAINDER_SQL),
     "twap_user_daily": (twap_user_daily, TWAP_SQL),
     # round-6 additions (never driver-checked -> the computed freshness
-    # rotation surfaces them right behind _R10_CHANGED automatically)
+    # rotation surfaces them right behind the changed-this-round list automatically)
     "zonemap_pruning_report": (zonemap_pruning_report, ZONEMAP_SQL),
     "binary_quant_hamming_topk": (binary_quant_hamming_topk, BINARY_HAMMING_SQL),
     "theta_sketch_setops": (theta_sketch_setops, THETA_SETOPS_SQL),
@@ -285,11 +286,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         WINDOW_RANK_SQL,
     ),
     # round-8 additions (never driver-checked -> the computed freshness
-    # rotation surfaces them right behind _R10_CHANGED automatically)
+    # rotation surfaces them right behind the changed-this-round list automatically)
     "gdpr_erasure_lifecycle": (gdpr_erasure_lifecycle, GDPR_LIFECYCLE_SQL),
+    # round 11: OCC protocol lifecycle (VERDICT r10 #3 — the one r10
+    # component with unit/race evidence but no hash-gated driver row)
+    "occ_transact_lifecycle": (occ_transact_lifecycle, OCC_LIFECYCLE_SQL),
     "triangle_count_sampled": (triangle_count_sampled, TRIANGLE_SAMPLED_SQL),
     # round-9 additions (never driver-checked -> the computed freshness
-    # rotation surfaces them right behind _R10_CHANGED automatically)
+    # rotation surfaces them right behind the changed-this-round list automatically)
     "streaming_interval_join_attribution": (
         streaming_interval_join_attribution,
         STREAM_INTERVAL_JOIN_SQL,
@@ -326,20 +330,14 @@ DEMOS = {
 # Entries past the ~50 budget simply wait; the computed order guarantees
 # they are the FRESHEST-evidence entries, never forgotten ones.
 
-_R10_CHANGED = [
-    # ADVICE r9: result rebuilt as a local-relation DataFrame (collect +
-    # createDataFrame) instead of a cached lineage rooted in the deleted
-    # temp dir — identical output, re-verify first anyway
-    "streaming_interval_join_attribution",
-    # VERDICT r9 #3 (C6): intake's foreachBatch now runs the pipeline with
-    # cache_intermediate=True (shared classify+extract stage persisted per
-    # micro-batch, unpersisted by the writer) — identical output, re-verify
-    "streaming_intake_eav",
-    # r10 OCC addition hardened ParquetTable._publish GC + versions()
-    # (marker-file isdir filters) — paths every table publish executes, so
-    # the table-lifecycle entries re-verify first even though outputs are
-    # bitwise-unchanged (the full 219 swept green post-change locally)
-    "dml_upsert_customers",
+_R11_CHANGED = [
+    # round 11's net-new driver row: the OCC protocol lifecycle
+    "occ_transact_lifecycle",
+    # ADVICE r10 hardened the OCC layer (commit_rewrite defaults guard,
+    # narrowed transact retries, waiter-observed lock staleness, dead-claim
+    # self-heal, ensure fail-fast) — paths every ParquetTable lifecycle
+    # entry executes, so they re-verify first even though outputs are
+    # bitwise-unchanged (verified green in a vanilla session post-change)
     "dml_delete_append_lifecycle",
     "merge_partitioned_lifecycle",
     "table_time_travel_report",
@@ -347,6 +345,9 @@ _R10_CHANGED = [
     "schema_evolution_report",
     "compaction_report",
     "gdpr_erasure_lifecycle",
+    "mor_delete_lifecycle_report",
+    "warehouse_bootstrap_report",
+    "table_changes_stream_report",
 ]
 
 
@@ -389,7 +390,7 @@ def _latest_green_rounds() -> dict[str, int]:
 
 
 def _freshness_order(names: list[str]) -> list[str]:
-    changed = [n for n in _R10_CHANGED if n in names]
+    changed = [n for n in _R11_CHANGED if n in names]
     green = _latest_green_rounds()
     pos = {n: i for i, n in enumerate(names)}
     rest = sorted(
@@ -399,7 +400,7 @@ def _freshness_order(names: list[str]) -> list[str]:
     return changed + rest
 
 
-assert set(_R10_CHANGED) <= set(REGISTRY), sorted(set(_R10_CHANGED) - set(REGISTRY))
+assert set(_R11_CHANGED) <= set(REGISTRY), sorted(set(_R11_CHANGED) - set(REGISTRY))
 REGISTRY = {n: REGISTRY[n] for n in _freshness_order(list(REGISTRY))}
 
 
