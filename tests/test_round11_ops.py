@@ -298,3 +298,99 @@ def test_ensure_self_heals_dead_creation_claim(spark, tmp_path):
     t.ensure()
     assert t.current_version() == "v-00000001"
     assert t.read().count() == 0
+
+
+# -- round-11 post-review hardening ----------------------------------------
+
+
+def test_transact_retries_tombstone_retention_aging(spark, tmp_path):
+    """Retention GC drops a version's merge-on-read tombstone sidecar
+    together with its dir; a JVM error naming `tombstones-v-XXXXXXXX`
+    is the same staleness and must retry, not re-raise (review #1)."""
+    t, schema = _make(spark, tmp_path)
+    state = {"first": True}
+
+    def flaky(df):
+        if state["first"]:
+            state["first"] = False
+            raise RuntimeError(
+                f"java.io.FileNotFoundException: File {t.path}/"
+                "tombstones-v-00000001/part-0.parquet does not exist"
+            )
+        return df.unionByName(
+            df.sparkSession.createDataFrame([("tombstoned", 1)], schema)
+        )
+
+    t.transact(flaky, max_attempts=3)
+    assert ("tombstoned", 1) in _rows(t)
+
+
+def test_reclaim_race_exactly_one_winner(spark, tmp_path):
+    """N threads racing _reclaim_dead_claim on the same aged claim:
+    exactly one may win (the destructive step is serialized on the
+    pointer lock and re-verified under it — review #2)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t, _ = _make(spark, tmp_path)
+    nxt = f"v-{int(t.current_version()[2:]) + 1:08d}"
+    open(t._claim_marker(nxt), "w").close()
+    past = time.time() - 10 * ParquetTable.claim_ttl
+    os.utime(t._claim_marker(nxt), (past, past))
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        wins = list(ex.map(lambda _: t._reclaim_dead_claim(nxt), range(8)))
+    assert wins.count(True) == 1
+    assert not os.path.exists(t._claim_marker(nxt))
+
+
+def test_stalled_holder_release_spares_stealers_fresh_lock(spark, tmp_path):
+    """A holder that stalls past the steal window must NOT unlink the
+    lock on release once a stealer owns it (token mismatch) — the blind
+    unlink would readmit a third writer mid-critical-section (review #3)."""
+    t, _ = _make(spark, tmp_path)
+    lock, token = t._acquire_pointer_lock()
+    # simulate: waiter deemed us stale, stole, and re-acquired
+    with open(lock, "w") as fh:
+        fh.write("stealer-token")
+    t._release_pointer_lock(lock, token)
+    assert os.path.exists(lock)  # the stealer's lock survived our release
+    with open(lock) as fh:
+        assert fh.read() == "stealer-token"
+    os.unlink(lock)
+    # and the normal path still releases
+    lock, token = t._acquire_pointer_lock()
+    t._release_pointer_lock(lock, token)
+    assert not os.path.exists(lock)
+
+
+def test_unreadable_lock_times_out_instead_of_spinning(spark, tmp_path):
+    """A lock path that persistently exists but cannot be read as a file
+    (here: a directory) must end in TimeoutError after lock_timeout, not
+    an unbounded 100%-CPU spin (review #4)."""
+    t, _ = _make(spark, tmp_path)
+    lock = t._pointer() + ".lock"
+    os.makedirs(lock)  # O_EXCL -> FileExistsError; open() -> OSError forever
+    t.lock_timeout = 0.5
+    t.lock_steal_after = 10.0
+    try:
+        start = time.monotonic()
+        with pytest.raises(TimeoutError, match="stuck"):
+            t._acquire_pointer_lock()
+        assert time.monotonic() - start < 5.0
+    finally:
+        del t.lock_timeout
+        del t.lock_steal_after
+        os.rmdir(lock)
+
+
+def test_queries_surface_has_no_stdlib_leaks():
+    """The wildcard re-export loop must not surface stdlib modules from
+    any topical query module (review #5)."""
+    import types
+
+    from unstructured_data_pipeline_spark import queries as Q
+
+    for name in ("time", "shutil", "tempfile"):
+        leaked = getattr(Q, name, None)
+        assert not isinstance(leaked, types.ModuleType) or not getattr(
+            leaked, "__name__", ""
+        ) == name, f"queries.{name} leaks the stdlib module"

@@ -778,35 +778,138 @@ class ParquetTable:
 
     # How long a waiter watches one unchanged pointer-lock token (its own
     # monotonic clock) before stealing the lock as crashed — see
-    # _occ_publish; the critical section it guards is microseconds.
+    # _acquire_pointer_lock; the critical section it guards is
+    # microseconds.  lock_timeout bounds the whole wait (TimeoutError).
     lock_steal_after: float = 10.0
+    lock_timeout: float = 30.0
+
+    def _acquire_pointer_lock(self) -> tuple[str, str]:
+        """Acquire the table's pointer lock; returns ``(path, token)``
+        for :meth:`_release_pointer_lock`.
+
+        Staleness is WAITER-observed: each holder writes a unique token
+        into the lock, and a waiter steals only after watching the SAME
+        token persist > :attr:`lock_steal_after` seconds of its OWN
+        monotonic clock.  No wall-clock / mtime comparison anywhere, so
+        NFS/container clock skew can neither cause a premature steal
+        (two holders) nor a future-dated lock that never goes stale
+        (ADVICE r10).  Every non-acquiring branch — including a
+        persistently unreadable lock — falls through to the shared
+        deadline check and poll sleep, so the wait is bounded and never
+        busy-spins (round-11 review)."""
+        import time
+        import uuid
+
+        lock = self._pointer() + ".lock"
+        token = uuid.uuid4().hex
+        deadline = time.monotonic() + self.lock_timeout
+        steal_after = self.lock_steal_after
+        seen_token: str | None = None
+        seen_at = 0.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                try:
+                    os.write(fd, token.encode())
+                finally:
+                    os.close(fd)
+                return lock, token
+            except FileExistsError:
+                try:
+                    with open(lock, "rb") as fh:
+                        holder = fh.read().decode("ascii", "replace")
+                except OSError:
+                    # released between the two calls (likely acquirable
+                    # next poll) — or persistently unreadable, which the
+                    # deadline below turns into TimeoutError, not a spin
+                    holder = None
+                if holder is None:
+                    seen_token = None
+                elif holder != seen_token:
+                    # new holder instance — restart the staleness clock
+                    # (an empty token is a holder caught between create
+                    # and write: microseconds, it resolves next poll)
+                    seen_token, seen_at = holder, time.monotonic()
+                elif time.monotonic() - seen_at > steal_after:
+                    # steal by ATOMIC rename-then-unlink: of two concurrent
+                    # stealers exactly one wins the rename, while a plain
+                    # unlink could remove the other stealer's FRESH lock
+                    try:
+                        grave = f"{lock}.stale-{uuid.uuid4().hex[:8]}"
+                        os.rename(lock, grave)
+                        os.unlink(grave)
+                    except OSError:
+                        pass
+                    seen_token = None
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"CURRENT lock on table {self.name} stuck"
+                    ) from None
+                time.sleep(0.005)
+
+    def _release_pointer_lock(self, lock: str, token: str) -> None:
+        """Unlink the lock only if it still holds OUR token: after a
+        staleness steal the path holds the stealer's FRESH lock, which
+        the old blind unlink would have destroyed — readmitting a third
+        writer while the stealer is inside the critical section
+        (round-11 review).  The residual read-then-unlink window is
+        microseconds and, like the documented steal race, can at worst
+        leave the pointer CACHE transiently behind the markers."""
+        try:
+            with open(lock, "rb") as fh:
+                if fh.read().decode("ascii", "replace") != token:
+                    return  # stolen from us — the lock is someone else's
+        except OSError:
+            return  # already gone
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
 
     def _reclaim_dead_claim(self, version: str) -> bool:
         """Reclaim ``version``'s claim if its writer demonstrably died
         mid-commit (no dir, no marker, older than :attr:`claim_ttl`) so
         ``transact()`` self-heals instead of wedging every later commit
         until a manual ``recover_stale()`` (ADVICE r10).  Returns True if
-        the claim was removed and the caller may retry its O_EXCL."""
+        the claim was removed and the caller may retry its O_EXCL.
+
+        The destructive step is serialized on the pointer lock and the
+        age re-verified under it: between an unlocked age check and an
+        unlink, another reclaimer could remove the aged claim AND a new
+        claimant could land a FRESH one at the same path, so any
+        path-addressed removal outside the lock can destroy a live
+        writer's claim (round-11 review).  Under the lock a fresh claim
+        cannot appear (O_EXCL creation needs the path absent, and the
+        only removers — other reclaimers — are locked out), so a plain
+        unlink is safe."""
         import time
-        import uuid
 
         claim = self._claim_marker(version)
-        if os.path.isdir(os.path.join(self.path, version)):
-            return False  # snapshot landed: a real (or in-flight) commit
-        if os.path.exists(self._commit_marker(version)):
-            return False  # committed: the conflict is genuine staleness
+
+        def _dead() -> bool:
+            if os.path.isdir(os.path.join(self.path, version)):
+                return False  # snapshot landed: real (or in-flight) commit
+            if os.path.exists(self._commit_marker(version)):
+                return False  # committed: the conflict is genuine staleness
+            try:
+                return time.time() - os.path.getmtime(claim) > self.claim_ttl
+            except OSError:
+                return False  # vanished or contended — treat as not ours
+
+        if not _dead():
+            return False  # cheap unlocked pre-check keeps hot paths lock-free
+        lock, token = self._acquire_pointer_lock()
         try:
-            if time.time() - os.path.getmtime(claim) <= self.claim_ttl:
+            if not _dead():
                 return False
-            # atomic rename-then-unlink: of two concurrent reclaimers
-            # exactly one wins; a plain unlink could remove the number's
-            # NEXT claimant's fresh claim
-            grave = f"{claim}.dead-{uuid.uuid4().hex[:8]}"
-            os.rename(claim, grave)
-            os.unlink(grave)
-        except OSError:
-            return False  # vanished or contended — treat as not ours
-        return True
+            try:
+                os.unlink(claim)
+            except OSError:
+                return False
+            return True
+        finally:
+            self._release_pointer_lock(lock, token)
 
     def latest_committed(self) -> str | None:
         """Newest version an OCC writer may base a rewrite on — since
@@ -907,14 +1010,18 @@ class ParquetTable:
                 # retention aging can also strike DURING the lazy stage
                 # write, surfacing as a JVM FileNotFoundException via
                 # Py4J.  Qualify only errors naming a retained-VERSION dir
-                # of THIS table (path + /v-XXXXXXXX) — a caller bug whose
-                # message merely mentions the table path, or a Spark
-                # message-format drift, must re-raise rather than burn
-                # max_attempts recomputes (ADVICE r10).
+                # of THIS table — `v-XXXXXXXX/` or its merge-on-read
+                # tombstone sidecar `tombstones-v-XXXXXXXX/`, both GC'd
+                # together by _drop_version — a caller bug whose message
+                # merely mentions the table path, or a Spark message-format
+                # drift, must re-raise rather than burn max_attempts
+                # recomputes (ADVICE r10; tombstone form round-11 review).
                 msg = str(e)
                 retryable = (
                     "FileNotFoundException" in msg or "PATH_NOT_FOUND" in msg
-                ) and re.search(re.escape(self.path) + r"[/\\]v-\d{8}", msg)
+                ) and re.search(
+                    re.escape(self.path) + r"[/\\](?:tombstones-)?v-\d{8}", msg
+                )
                 if not retryable:
                     raise
                 last = e
@@ -933,67 +1040,14 @@ class ParquetTable:
         steal race (a stealer's staleness check vs a fresh acquirer)
         can at worst leave the cache transiently behind — never hide or
         lose a committed snapshot."""
-        import time
-        import uuid
-
-        lock = self._pointer() + ".lock"
-        deadline = time.monotonic() + 30.0
-        # Staleness is WAITER-observed: each holder writes a unique token
-        # into the lock, and a waiter steals only after watching the SAME
-        # token persist >10 s of its OWN monotonic clock.  No wall-clock /
-        # mtime comparison anywhere, so NFS/container clock skew can
-        # neither cause a premature steal (two holders) nor a future-dated
-        # lock that never goes stale (ADVICE r10).
-        steal_after = self.lock_steal_after
-        seen_token: str | None = None
-        seen_at = 0.0
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                try:
-                    os.write(fd, uuid.uuid4().hex.encode())
-                finally:
-                    os.close(fd)
-                break
-            except FileExistsError:
-                try:
-                    with open(lock, "rb") as fh:
-                        holder = fh.read().decode("ascii", "replace")
-                except OSError:
-                    seen_token = None
-                    continue  # holder released between the two calls
-                if holder != seen_token:
-                    # new holder instance — restart the staleness clock
-                    # (an empty token is a holder caught between create
-                    # and write: microseconds, it resolves next poll)
-                    seen_token, seen_at = holder, time.monotonic()
-                elif time.monotonic() - seen_at > steal_after:
-                    # steal by ATOMIC rename-then-unlink: of two concurrent
-                    # stealers exactly one wins the rename, while a plain
-                    # unlink could remove the other stealer's FRESH lock
-                    try:
-                        grave = f"{lock}.stale-{uuid.uuid4().hex[:8]}"
-                        os.rename(lock, grave)
-                        os.unlink(grave)
-                    except OSError:
-                        pass
-                    seen_token = None
-                    continue
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"CURRENT lock on table {self.name} stuck"
-                    ) from None
-                time.sleep(0.005)
+        lock, token = self._acquire_pointer_lock()
         try:
             cur = self._pointer_version()
             if cur is None or int(version[2:]) > int(cur[2:]):
                 self._write_atomic(self._pointer(), version)
                 cur = version
         finally:
-            try:
-                os.unlink(lock)
-            except OSError:
-                pass
+            self._release_pointer_lock(lock, token)
         # retention GC strictly below the keep window of the pointer —
         # OUTSIDE the lock: a big snapshot's rmtree can outlast the steal
         # timeout (stolen lock -> two writers in the critical section), and

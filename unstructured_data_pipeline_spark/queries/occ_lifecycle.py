@@ -26,11 +26,6 @@ aggregates reach the driver.
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
-import time
-
 from ._common import F, _c, _cents, _t
 
 OCC_SEGMENT = "BUILDING"
@@ -43,6 +38,14 @@ def occ_transact_lifecycle(spark, sf_dir):
     WITHOUT staging, then retries optimistically on top of the winner)
     -> an aged dead claim self-healed by transact() -> final read-back.
     Cites `operators/dml.py:806` (transact) per VERDICT r10 #3."""
+    # function-local stdlib imports: the package __init__ re-exports every
+    # module-level name, so module-level imports would leak onto the
+    # pinned flat surface (sibling-module convention)
+    import os
+    import shutil
+    import tempfile
+    import time
+
     from unstructured_data_pipeline_spark.operators.dml import (
         CommitConflictError,
         ParquetTable,
