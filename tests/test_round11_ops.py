@@ -197,15 +197,15 @@ def test_pointer_lock_token_change_resets_staleness_clock(spark, tmp_path):
 
 
 def test_transact_self_heals_aged_dead_claim(spark, tmp_path):
-    """A claim older than claim_ttl with no dir and no commit marker is a
-    crashed writer: transact() must reclaim it and commit WITHOUT a
-    manual recover_stale()."""
+    """A dir-less marker-less claim the reclaimer OBSERVES persist
+    unchanged for claim_ttl (its own monotonic clock — round-12
+    observed-persistence model) is a crashed writer: transact()'s retry
+    loop must reclaim it and commit WITHOUT a manual recover_stale()."""
     t, schema = _make(spark, tmp_path)
     base = t.latest_committed()
     nxt = f"v-{int(base[2:]) + 1:08d}"
     open(t._claim_marker(nxt), "w").close()
-    past = time.time() - 10 * ParquetTable.claim_ttl
-    os.utime(t._claim_marker(nxt), (past, past))
+    t.claim_ttl = 0.05  # observed window fits inside transact()'s sleeps
     t.transact(
         lambda df: df.unionByName(
             df.sparkSession.createDataFrame([("healed", 1)], schema)
@@ -240,15 +240,17 @@ def test_reclaim_never_touches_committed_or_inflight_claims(spark, tmp_path):
         )
     )
     v2 = t.current_version()
-    past = time.time() - 10 * ParquetTable.claim_ttl
-    os.utime(t._claim_marker(v2), (past, past))
+    t.claim_ttl = 0.0  # even a fully-observed claim must be spared
+    assert t._reclaim_dead_claim(v2) is False
+    time.sleep(0.01)
     assert t._reclaim_dead_claim(v2) is False
     assert os.path.exists(t._claim_marker(v2))
     # in-flight: dir exists, marker missing
     nxt = f"v-{int(v2[2:]) + 1:08d}"
     os.makedirs(os.path.join(t.path, nxt))
     open(t._claim_marker(nxt), "w").close()
-    os.utime(t._claim_marker(nxt), (past, past))
+    assert t._reclaim_dead_claim(nxt) is False
+    time.sleep(0.01)
     assert t._reclaim_dead_claim(nxt) is False
 
 
@@ -287,14 +289,14 @@ def test_ensure_loser_never_stages(spark, tmp_path):
 
 
 def test_ensure_self_heals_dead_creation_claim(spark, tmp_path):
-    """A creation claim whose writer died (aged, no dir, no marker) must
-    not wedge ensure(): it reclaims and creates."""
+    """A creation claim whose writer died (observed unchanged past
+    claim_ttl, no dir, no marker) must not wedge ensure(): its wait loop
+    observes, reclaims and creates."""
     schema = _schema()
     t = ParquetTable(spark, str(tmp_path), "heal11", schema)
     os.makedirs(t.path, exist_ok=True)
     open(t._claim_marker("v-00000001"), "w").close()
-    past = time.time() - 10 * ParquetTable.claim_ttl
-    os.utime(t._claim_marker("v-00000001"), (past, past))
+    t.claim_ttl = 0.1  # ensure()'s 10 ms poll loop supplies the observation
     t.ensure()
     assert t.current_version() == "v-00000001"
     assert t.read().count() == 0
@@ -334,8 +336,9 @@ def test_reclaim_race_exactly_one_winner(spark, tmp_path):
     t, _ = _make(spark, tmp_path)
     nxt = f"v-{int(t.current_version()[2:]) + 1:08d}"
     open(t._claim_marker(nxt), "w").close()
-    past = time.time() - 10 * ParquetTable.claim_ttl
-    os.utime(t._claim_marker(nxt), (past, past))
+    t.claim_ttl = 0.05
+    assert t._reclaim_dead_claim(nxt) is False  # first sighting: observe
+    time.sleep(0.12)
     with ThreadPoolExecutor(max_workers=8) as ex:
         wins = list(ex.map(lambda _: t._reclaim_dead_claim(nxt), range(8)))
     assert wins.count(True) == 1

