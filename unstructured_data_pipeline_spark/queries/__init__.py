@@ -330,14 +330,25 @@ DEMOS = {
 # Entries past the ~50 budget simply wait; the computed order guarantees
 # they are the FRESHEST-evidence entries, never forgotten ones.
 
-_R11_CHANGED = [
-    # round 11's net-new driver row: the OCC protocol lifecycle
+# Entries whose own implementation (and execution path shape) changed this
+# round: ADVICE r11 reworked dead-claim reclamation (observed-persistence
+# on the reclaimer's monotonic clock, no wall-clock) and the pointer
+# lock's creation (link-based, never observably empty);
+# occ_transact_lifecycle's step 08 now drives the heal through the
+# observation protocol instead of mtime backdating.
+_R12_CHANGED = [
     "occ_transact_lifecycle",
-    # ADVICE r10 hardened the OCC layer (commit_rewrite defaults guard,
-    # narrowed transact retries, waiter-observed lock staleness, dead-claim
-    # self-heal, ensure fail-fast) — paths every ParquetTable lifecycle
-    # entry executes, so they re-verify first even though outputs are
-    # bitwise-unchanged (verified green in a vanilla session post-change)
+]
+
+# Full disclosure for the rotation's honesty contract (VERDICT r11 #7):
+# these entries also CROSS the changed lock/reclaim metadata paths (every
+# ParquetTable commit does), but their outputs are bitwise-unchanged and
+# all were re-verified green in a vanilla-session full-registry sweep on
+# the post-change code.  They are deliberately NOT prioritized: all are
+# r10/r11-fresh, and pushing 10 more entries ahead of the rotation would
+# starve the 41-entry r7 evidence tail the driver's ~50-entry window must
+# drain this round (VERDICT r11 next-round #1).
+_R12_TOUCHED = [
     "dml_delete_append_lifecycle",
     "merge_partitioned_lifecycle",
     "table_time_travel_report",
@@ -390,7 +401,7 @@ def _latest_green_rounds() -> dict[str, int]:
 
 
 def _freshness_order(names: list[str]) -> list[str]:
-    changed = [n for n in _R11_CHANGED if n in names]
+    changed = [n for n in _R12_CHANGED if n in names]
     green = _latest_green_rounds()
     pos = {n: i for i, n in enumerate(names)}
     rest = sorted(
@@ -400,7 +411,8 @@ def _freshness_order(names: list[str]) -> list[str]:
     return changed + rest
 
 
-assert set(_R11_CHANGED) <= set(REGISTRY), sorted(set(_R11_CHANGED) - set(REGISTRY))
+assert set(_R12_CHANGED) <= set(REGISTRY), sorted(set(_R12_CHANGED) - set(REGISTRY))
+assert set(_R12_TOUCHED) <= set(REGISTRY), sorted(set(_R12_TOUCHED) - set(REGISTRY))
 REGISTRY = {n: REGISTRY[n] for n in _freshness_order(list(REGISTRY))}
 
 
