@@ -22,6 +22,7 @@ from .tpch_headline import Q1_SQL, Q3_SQL, Q5_SQL, q1_pricing_summary, q3_top_re
 from .tpch_shapes import ARGMAX_SQL, ARRAY_FUNCS_SQL, BOOL_BIT_SQL, CORR_STATS_SQL, DATETIME_SUITE_SQL, DET_SAMPLE_SQL, GROUPING_SETS_SQL, JSON_ROUNDTRIP_SQL, KEY_SKEW_SQL, LEAD_LAG_SQL, NULL_SEMANTICS_SQL, Q11_SQL, Q12_SQL, Q19_SQL, Q20_SQL, Q21_SQL, Q8_SQL, QUALITY_CLASSIFIER_SQL, RANGE_FRAME_SQL, RANGE_JOIN_SQL, REGEX_SUITE_SQL, SESSION_WINDOW_SQL, SKEW_SALTED_SQL, STRING_AGG_SQL, TRAINING_SHARD_SQL, UNPIVOT_SQL, argmax_latest_event, array_functions_suite, bool_bit_aggs, corr_stats_exact, datetime_functions_suite, deterministic_sample_orders, grouping_sets_order_stats, json_roundtrip_suite, key_skew_diagnosis, null_semantics_suite, q11_important_parts, q12_late_priority_counts, q19_disjunctive_revenue, q20_promo_part_suppliers, q21_waiting_suppliers, q8_market_share, quality_classifier_filter, range_join_views_before_purchase, regex_functions_suite, session_window_native, skew_salted_join_report, string_agg_region_nations, training_shard_manifest, unpivot_customer_metrics, window_lead_lag_ntile, window_range_frame_hour
 from .windows_scalars import DISTINCT_SOURCES_SQL, EVENT_SUMMARY_SQL, GLOBAL_ORDER_STATS_SQL, LATEST_EVENT_SQL, PIVOT_SQL, SCALAR_SUITE_SQL, TOP_USERS_SQL, UNION_LABELS_SQL, distinct_sources_by_lang, event_type_summary, global_order_stats, latest_event_per_user, pivot_event_values, scalar_functions_suite, top_users_per_event_type, union_distinct_labels
 from .occ_lifecycle import OCC_LIFECYCLE_SQL, occ_transact_lifecycle
+from .occ_partitioned import OCC_PARTITIONED_SQL, occ_partitioned_lifecycle
 from . import _common, tpch_headline, lookups_joins, windows_scalars, doc_pipeline, dedup_text, similarity_events, approx_rows_only, relational_breadth, streaming_media, tpch_shapes, curation, data_skipping_ann, ir_graph_analytics, gdpr_lifecycle, streaming_join, occ_lifecycle
 
 # Re-create the pre-split flat-module surface exactly: every name each
@@ -291,6 +292,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # round 11: OCC protocol lifecycle (VERDICT r10 #3 — the one r10
     # component with unit/race evidence but no hash-gated driver row)
     "occ_transact_lifecycle": (occ_transact_lifecycle, OCC_LIFECYCLE_SQL),
+    "occ_partitioned_lifecycle": (occ_partitioned_lifecycle, OCC_PARTITIONED_SQL),
     "triangle_count_sampled": (triangle_count_sampled, TRIANGLE_SAMPLED_SQL),
     # round-9 additions (never driver-checked -> the computed freshness
     # rotation surfaces them right behind the changed-this-round list automatically)
