@@ -91,7 +91,10 @@ def main():
         dt, n = run_variant(spark, sf_dir, False)
         b.append(round(dt, 3))
         pairs.add(("B", n))
-    med = lambda xs: sorted(xs)[len(xs) // 2]
+    def med(xs):
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
     out = {
         "probe": "ngram_jaccard_prefix_vs_exhaustive",
         "sf_dir": sf_dir,

@@ -197,9 +197,6 @@ class ParquetTable:
         self.name = name
         self.schema = schema
         self._defaults: dict = {}
-        # reclaimer-observed dead-claim sightings: claim path ->
-        # ((ino, mtime_ns), first_seen_monotonic) — see _reclaim_dead_claim
-        self._claim_seen: dict = {}
         self.path = os.path.join(root, name)
         # ALTER-ed schema/defaults persist in schema.json next to CURRENT;
         # a second instance opened on the same directory must see them
@@ -309,7 +306,11 @@ class ParquetTable:
         import shutil
 
         shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
-        for marker in (self._commit_marker(d), self._claim_marker(d)):
+        for marker in (
+            self._commit_marker(d),
+            self._claim_marker(d),
+            self._claim_marker(d) + ".obs",
+        ):
             try:
                 os.unlink(marker)
             except OSError:
@@ -356,10 +357,14 @@ class ParquetTable:
             # stale markers for versions at/below the published one whose
             # dir is in the keep set stay; the rest went with _drop_version
             elif (
-                (d.endswith(".commit") or d.endswith(".claim"))
+                (
+                    d.endswith(".commit")
+                    or d.endswith(".claim")
+                    or d.endswith(".claim.obs")
+                )
                 and d.startswith("v-")
             ):
-                mv = d.rsplit(".", 1)[0]
+                mv = d.rsplit(".", 2 if d.endswith(".claim.obs") else 1)[0]
                 # never touch markers ABOVE the published version — they
                 # may be another writer's in-flight claim or commit
                 if mv not in keep and int(mv[2:]) <= cur_n:
@@ -777,13 +782,15 @@ class ParquetTable:
     def _claim_marker(self, version: str) -> str:
         return os.path.join(self.path, f"{version}.claim")
 
-    # A claim with no snapshot dir and no commit marker that a reclaimer
-    # OBSERVES persist unchanged for this long (its own monotonic clock —
-    # no wall-clock/mtime comparison, see _reclaim_dead_claim) is a writer
-    # that died between claim creation and rename.  That live window is
-    # microseconds (write/fsync/close + isdir + rename), so 60 s leaves
-    # 6+ orders of magnitude of slack; the observation requirement means
-    # clock skew can never reclaim a live writer's claim.
+    # A claim with no snapshot dir and no commit marker that has been
+    # OBSERVED persist unchanged for this long — measured between two
+    # timestamps the FILESYSTEM itself stamped (the .obs sidecar's mtime
+    # vs a fresh probe file's mtime; no client clock anywhere, see
+    # _reclaim_dead_claim) — is a writer that died between claim creation
+    # and rename.  That live window is microseconds (write/fsync/close +
+    # isdir + rename), so 60 s leaves 6+ orders of magnitude of slack;
+    # the observation requirement means client-vs-server clock skew can
+    # never reclaim a live writer's claim.
     claim_ttl: float = 60.0
 
     # How long a waiter watches one unchanged pointer-lock token (its own
@@ -830,6 +837,17 @@ class ParquetTable:
                     os.link(tmp, lock)
                     return lock, token
                 except FileExistsError:
+                    # spurious EEXIST (NFS lost-reply retransmission, the
+                    # documented link(2) caveat): if OUR temp file now has
+                    # two links, the first transmission succeeded and we
+                    # DO hold the lock — without this check we'd watch our
+                    # own token "persist" and steal our own lock after
+                    # lock_steal_after (round-12 review)
+                    try:
+                        if os.stat(tmp).st_nlink == 2:
+                            return lock, token
+                    except OSError:
+                        pass
                     try:
                         with open(lock, "rb") as fh:
                             holder = fh.read().decode("ascii", "replace")
@@ -896,17 +914,24 @@ class ParquetTable:
         Returns True if the claim was removed and the caller may retry
         its O_EXCL.
 
-        Deadness is RECLAIMER-observed, mirroring the pointer lock's
-        waiter-observed staleness (ADVICE r11): the reclaimer must watch
-        the SAME claim file (identity = inode + mtime_ns) persist
-        dir-less and marker-less for > :attr:`claim_ttl` seconds of its
-        OWN monotonic clock.  No wall-clock-vs-mtime comparison anywhere,
-        so client/filesystem clock skew (NFS) can never age a LIVE
-        writer's fresh claim into reclamation; the cost is that each
-        reclaimer pays its own full observation window before healing —
-        exactly the lock-steal tradeoff.  First sighting returns False
-        and starts the clock; callers that need the heal (``ensure()``'s
-        wait loop, ``transact()``'s retry loop) poll through here.
+        Deadness is OBSERVED, never inferred from a client clock
+        (ADVICE r11): the first reclaimer to sight a dir-less
+        marker-less claim records its identity (inode + mtime_ns) in a
+        persistent ``.obs`` sidecar next to it; the claim is reclaimable
+        only once the SAME identity has persisted for > :attr:`claim_ttl`
+        as measured by comparing the sidecar's mtime against the mtime
+        of a freshly-created probe file — two timestamps stamped by the
+        SAME filesystem clock, so client-vs-server skew (NFS) can never
+        age a LIVE writer's fresh claim into reclamation.  Because the
+        sidecar lives on disk, the observation window survives process
+        restarts: a fleet of short-lived writers (one ParquetTable
+        instance per cron run) converges on the heal after ``claim_ttl``
+        just like a long-lived one (round-12 review — the in-memory
+        first-seen map never converged across instances).
+
+        First sighting returns False and starts the clock; callers that
+        need the heal (``ensure()``'s wait loop, ``transact()``'s retry
+        loop) poll through here.
 
         The destructive step is serialized on the pointer lock and both
         deadness AND identity re-verified under it: between an unlocked
@@ -916,9 +941,10 @@ class ParquetTable:
         appear (O_EXCL creation needs the path absent, and the only
         removers — other reclaimers — are locked out), so once identity
         matches the observed-dead file a plain unlink is safe."""
-        import time
+        import uuid
 
         claim = self._claim_marker(version)
+        obs = claim + ".obs"
 
         def _ident():
             """(ino, mtime_ns) of the claim if it is currently dir-less
@@ -933,30 +959,63 @@ class ParquetTable:
                 return None  # vanished or contended — treat as not ours
             return (st.st_ino, st.st_mtime_ns)
 
-        now = time.monotonic()
+        def _obs_read():
+            """(recorded identity, sidecar mtime_ns) or None."""
+            try:
+                with open(obs) as fh:
+                    ino_s, _, mt_s = fh.read().strip().partition(":")
+                return (int(ino_s), int(mt_s)), os.stat(obs).st_mtime_ns
+            except (OSError, ValueError):
+                return None
+
         ident = _ident()
         if ident is None:
-            self._claim_seen.pop(claim, None)
+            # resolved (or contended): drop a now-stale sidecar so a
+            # future claim at this path starts a fresh window
+            try:
+                os.unlink(obs)
+            except OSError:
+                pass
             return False
-        seen = self._claim_seen.get(claim)
+        seen = _obs_read()
         if seen is None or seen[0] != ident:
-            # first sighting of THIS claim instance — start the clock
-            self._claim_seen[claim] = (ident, now)
+            # first sighting of THIS claim instance — record it; the
+            # sidecar's own mtime is the filesystem-stamped epoch of the
+            # observation (concurrent first-sighters write identical
+            # content, so last-replace-wins is harmless)
+            self._write_atomic(obs, f"{ident[0]}:{ident[1]}")
             return False
-        if now - seen[1] <= self.claim_ttl:
+        # age = same-filesystem now (a fresh probe file's mtime) minus the
+        # sidecar's mtime — no client clock anywhere
+        probe = os.path.join(self.path, f".now-probe-{uuid.uuid4().hex[:12]}")
+        try:
+            with open(probe, "w"):
+                pass
+            now_ns = os.stat(probe).st_mtime_ns
+        except OSError:
+            return False
+        finally:
+            try:
+                os.unlink(probe)
+            except OSError:
+                pass
+        if now_ns - seen[1] <= self.claim_ttl * 1e9:
             return False  # observed, but not long enough yet
         lock, token = self._acquire_pointer_lock()
         try:
-            if _ident() != ident:
+            cur = _obs_read()
+            if _ident() != ident or cur is None or cur[0] != ident:
                 # replaced/resolved while we waited for the lock — the
                 # file there now (if any) is NOT the one we observed dead
-                self._claim_seen.pop(claim, None)
                 return False
             try:
                 os.unlink(claim)
             except OSError:
                 return False
-            self._claim_seen.pop(claim, None)
+            try:
+                os.unlink(obs)
+            except OSError:
+                pass
             return True
         finally:
             self._release_pointer_lock(lock, token)
@@ -1121,8 +1180,14 @@ class ParquetTable:
 
     def recover_stale(self) -> list[str]:
         """Crash cleanup, to run when NO writers are active: drop staging
-        dirs and claimed-but-never-committed versions (a writer that died
-        between claim and commit marker).  Returns what was removed."""
+        dirs, claimed-but-never-committed versions (a writer that died
+        between claim and commit marker), and every pointer-lock /
+        observation residue a crash can leave — the CURRENT.lock itself
+        (an empty or corrupt lock is unstealable by design, so with
+        writers stopped this is THE recovery path for it — round-12
+        review), ``.lock.tok-`` token temps, ``.lock.stale-`` steal
+        graves, ``.now-probe-`` age probes, and orphaned ``.claim.obs``
+        sidecars.  Returns what was removed."""
         import shutil
 
         removed = []
@@ -1137,9 +1202,26 @@ class ParquetTable:
             if d.startswith("stage-") and os.path.isdir(full):
                 shutil.rmtree(full, ignore_errors=True)
                 removed.append(d)
-            elif ".lock.tok-" in d:
-                # a pointer-lock holder that died between writing its token
-                # temp file and the unlink in _acquire_pointer_lock's finally
+            elif (
+                d == "CURRENT.lock"
+                or ".lock.tok-" in d
+                or ".lock.stale-" in d
+                or d.startswith(".now-probe-")
+            ):
+                # with writers stopped, any lock state is a dead holder's:
+                # the lock itself (incl. the unstealable empty/corrupt
+                # case), a crashed holder's token temp, a crashed
+                # stealer's grave, or a reclaimer's age probe
+                try:
+                    os.unlink(full)
+                    removed.append(d)
+                except OSError:
+                    pass
+            elif d.endswith(".claim.obs") and d.startswith("v-"):
+                # observation sidecar: meaningful only while its claim is
+                # live and unresolved — with writers stopped the claim is
+                # being removed below (or is already gone/committed), so
+                # the sidecar is residue either way
                 try:
                     os.unlink(full)
                     removed.append(d)
