@@ -408,12 +408,17 @@ class ParquetTable:
                     self.spark.createDataFrame([], self.schema), stage
                 )
                 try:
-                    os.close(
-                        os.open(
-                            self._claim_marker(target),
-                            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-                        )
+                    fd = os.open(
+                        self._claim_marker(target),
+                        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
                     )
+                    try:
+                        # unique cookie — same collision-proof reclamation
+                        # identity as commit_rewrite's claims (ADVICE r12)
+                        os.write(fd, f"create:{uuid.uuid4().hex}".encode())
+                        os.fsync(fd)
+                    finally:
+                        os.close(fd)
                 except FileExistsError:
                     # another creator won the claim while we staged: fall
                     # through to the wait loop below
@@ -829,8 +834,14 @@ class ParquetTable:
         seen_token: str | None = None
         seen_at = 0.0
         tmp = f"{lock}.tok-{token[:12]}"
+        # fsync BEFORE the link publishes the token: a kernel crash after
+        # link(2) but before the data hit disk could otherwise resurrect a
+        # published lock with EMPTY content — deliberately unstealable, so
+        # every writer would wedge until recover_stale() (ADVICE r12)
         with open(tmp, "w") as fh:
             fh.write(token)
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
             while True:
                 try:
@@ -916,8 +927,11 @@ class ParquetTable:
 
         Deadness is OBSERVED, never inferred from a client clock
         (ADVICE r11): the first reclaimer to sight a dir-less
-        marker-less claim records its identity (inode + mtime_ns) in a
-        persistent ``.obs`` sidecar next to it; the claim is reclaimable
+        marker-less claim records its identity (inode, mtime_ns, size,
+        and a digest of the claim's unique creation cookie — so neither
+        inode reuse nor a coarse-mtime quantum can alias two claim
+        instances, ADVICE r12) in a persistent ``.obs`` sidecar next to
+        it; the claim is reclaimable
         only once the SAME identity has persisted for > :attr:`claim_ttl`
         as measured by comparing the sidecar's mtime against the mtime
         of a freshly-created probe file — two timestamps stamped by the
@@ -947,24 +961,46 @@ class ParquetTable:
         obs = claim + ".obs"
 
         def _ident():
-            """(ino, mtime_ns) of the claim if it is currently dir-less
-            and marker-less, else None (not reclaimable right now)."""
+            """(ino, mtime_ns, size, content-digest) of the claim if it is
+            currently dir-less and marker-less, else None (not reclaimable
+            right now).  The digest covers the unique cookie every claim
+            this code writes carries (see ``commit_rewrite``/``ensure``),
+            so on filesystems with coarse mtime granularity (1 s NFSv3)
+            inode reuse within one timestamp quantum can no longer alias a
+            FRESH claim with a previously-observed dead one and inherit
+            its reclamation window (ADVICE r12).  A foreign zero-byte
+            claim still gets (ino, mtime_ns, 0, digest-of-empty) — the
+            pre-cookie behavior, with the documented quantum caveat."""
+            import hashlib
+
             if os.path.isdir(os.path.join(self.path, version)):
                 return None  # snapshot landed: real (or in-flight) commit
             if os.path.exists(self._commit_marker(version)):
                 return None  # committed: the conflict is genuine staleness
             try:
                 st = os.stat(claim)
+                with open(claim, "rb") as fh:
+                    body = fh.read(128)
             except OSError:
                 return None  # vanished or contended — treat as not ours
-            return (st.st_ino, st.st_mtime_ns)
+            return (
+                st.st_ino,
+                st.st_mtime_ns,
+                st.st_size,
+                hashlib.sha256(body).hexdigest()[:16],
+            )
 
         def _obs_read():
-            """(recorded identity, sidecar mtime_ns) or None."""
+            """(recorded identity, sidecar mtime_ns) or None.  A sidecar
+            in the pre-r13 ``ino:mtime`` format fails the JSON parse and
+            reads as no-observation — the safe direction (the window
+            merely restarts)."""
+            import json
+
             try:
                 with open(obs) as fh:
-                    ino_s, _, mt_s = fh.read().strip().partition(":")
-                return (int(ino_s), int(mt_s)), os.stat(obs).st_mtime_ns
+                    recorded = tuple(json.loads(fh.read()))
+                return recorded, os.stat(obs).st_mtime_ns
             except (OSError, ValueError):
                 return None
 
@@ -983,7 +1019,9 @@ class ParquetTable:
             # sidecar's own mtime is the filesystem-stamped epoch of the
             # observation (concurrent first-sighters write identical
             # content, so last-replace-wins is harmless)
-            self._write_atomic(obs, f"{ident[0]}:{ident[1]}")
+            import json
+
+            self._write_atomic(obs, json.dumps(ident))
             return False
         # age = same-filesystem now (a fresh probe file's mtime) minus the
         # sidecar's mtime — no client clock anywhere
@@ -1073,7 +1111,10 @@ class ParquetTable:
             shutil.rmtree(stage, ignore_errors=True)
             raise CommitConflictError(self.name, base_version, target) from None
         try:
-            os.write(fd, base_version.encode())
+            # base version + a unique cookie: the cookie makes the claim's
+            # reclamation identity collision-proof across inode/mtime-
+            # quantum reuse (see _reclaim_dead_claim._ident, ADVICE r12)
+            os.write(fd, f"{base_version}:{uuid.uuid4().hex}".encode())
             os.fsync(fd)
         finally:
             os.close(fd)
@@ -1186,8 +1227,11 @@ class ParquetTable:
         (an empty or corrupt lock is unstealable by design, so with
         writers stopped this is THE recovery path for it — round-12
         review), ``.lock.tok-`` token temps, ``.lock.stale-`` steal
-        graves, ``.now-probe-`` age probes, and orphaned ``.claim.obs``
-        sidecars.  Returns what was removed."""
+        graves, ``.now-probe-`` age probes, orphaned ``.claim.obs``
+        sidecars, and ``_write_atomic`` temp files (``*.tmp-*`` —
+        CURRENT/commit-marker/obs/schema.json publishes that crashed
+        between write and rename; ADVICE r12).  Returns what was
+        removed."""
         import shutil
 
         removed = []
@@ -1212,6 +1256,16 @@ class ParquetTable:
                 # the lock itself (incl. the unstealable empty/corrupt
                 # case), a crashed holder's token temp, a crashed
                 # stealer's grave, or a reclaimer's age probe
+                try:
+                    os.unlink(full)
+                    removed.append(d)
+                except OSError:
+                    pass
+            elif ".tmp-" in d and os.path.isfile(full):
+                # a crashed _write_atomic (temp written, rename never ran):
+                # with writers stopped every `<target>.tmp-<pid>-<tag>` is
+                # residue — the target either committed via an earlier
+                # rename or will be rewritten by the next publish
                 try:
                     os.unlink(full)
                     removed.append(d)

@@ -23,6 +23,7 @@ from .tpch_shapes import ARGMAX_SQL, ARRAY_FUNCS_SQL, BOOL_BIT_SQL, CORR_STATS_S
 from .windows_scalars import DISTINCT_SOURCES_SQL, EVENT_SUMMARY_SQL, GLOBAL_ORDER_STATS_SQL, LATEST_EVENT_SQL, PIVOT_SQL, SCALAR_SUITE_SQL, TOP_USERS_SQL, UNION_LABELS_SQL, distinct_sources_by_lang, event_type_summary, global_order_stats, latest_event_per_user, pivot_event_values, scalar_functions_suite, top_users_per_event_type, union_distinct_labels
 from .occ_lifecycle import OCC_LIFECYCLE_SQL, occ_transact_lifecycle
 from .occ_partitioned import OCC_PARTITIONED_SQL, occ_partitioned_lifecycle
+from .occ_recovery import OCC_RECOVERY_SQL, occ_recover_stale_lifecycle
 from . import _common, tpch_headline, lookups_joins, windows_scalars, doc_pipeline, dedup_text, similarity_events, approx_rows_only, relational_breadth, streaming_media, tpch_shapes, curation, data_skipping_ann, ir_graph_analytics, gdpr_lifecycle, streaming_join, occ_lifecycle
 
 # Re-create the pre-split flat-module surface exactly: every name each
@@ -293,6 +294,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # component with unit/race evidence but no hash-gated driver row)
     "occ_transact_lifecycle": (occ_transact_lifecycle, OCC_LIFECYCLE_SQL),
     "occ_partitioned_lifecycle": (occ_partitioned_lifecycle, OCC_PARTITIONED_SQL),
+    "occ_recover_stale_lifecycle": (occ_recover_stale_lifecycle, OCC_RECOVERY_SQL),
     "triangle_count_sampled": (triangle_count_sampled, TRIANGLE_SAMPLED_SQL),
     # round-9 additions (never driver-checked -> the computed freshness
     # rotation surfaces them right behind the changed-this-round list automatically)
@@ -333,24 +335,27 @@ DEMOS = {
 # they are the FRESHEST-evidence entries, never forgotten ones.
 
 # Entries whose own implementation (and execution path shape) changed this
-# round: ADVICE r11 reworked dead-claim reclamation (observed-persistence
-# on the reclaimer's monotonic clock, no wall-clock) and the pointer
-# lock's creation (link-based, never observably empty);
-# occ_transact_lifecycle's step 08 now drives the heal through the
-# observation protocol instead of mtime backdating.
-_R12_CHANGED = [
+# round: ADVICE r12 hardened the OCC metadata paths both lifecycle rows
+# drive (fsynced lock-token birth; cookie-digested claim reclamation
+# identity; try/finally scratch-dir cleanup; recover_stale's `.tmp-`
+# residue sweep), and the NEW occ_recover_stale_lifecycle executes the
+# recovery path end-to-end (VERDICT r12 next-round #6).
+_R13_CHANGED = [
+    "occ_recover_stale_lifecycle",
     "occ_transact_lifecycle",
+    "occ_partitioned_lifecycle",
 ]
 
-# Full disclosure for the rotation's honesty contract (VERDICT r11 #7):
-# these entries also CROSS the changed lock/reclaim metadata paths (every
-# ParquetTable commit does), but their outputs are bitwise-unchanged and
-# all were re-verified green in a vanilla-session full-registry sweep on
-# the post-change code.  They are deliberately NOT prioritized: all are
-# r10/r11-fresh, and pushing 10 more entries ahead of the rotation would
-# starve the 41-entry r7 evidence tail the driver's ~50-entry window must
-# drain this round (VERDICT r11 next-round #1).
-_R12_TOUCHED = [
+# Full disclosure for the rotation's honesty contract (VERDICT r11 #7,
+# r12-approved pattern): these entries also CROSS the changed claim/lock
+# metadata paths (every ParquetTable commit does), but their outputs are
+# bitwise-unchanged (claim content and .obs format are never query
+# output) and all are re-verified green in the round's full-registry
+# sweeps on the post-change code.  They are deliberately NOT prioritized:
+# all are r10/r11-fresh, and pushing 10 more entries ahead of the
+# rotation would starve the 37-entry r8 evidence tail the driver's
+# ~50-entry window must drain this round (VERDICT r12 next-round #1).
+_R13_TOUCHED = [
     "dml_delete_append_lifecycle",
     "merge_partitioned_lifecycle",
     "table_time_travel_report",
@@ -403,7 +408,7 @@ def _latest_green_rounds() -> dict[str, int]:
 
 
 def _freshness_order(names: list[str]) -> list[str]:
-    changed = [n for n in _R12_CHANGED if n in names]
+    changed = [n for n in _R13_CHANGED if n in names]
     green = _latest_green_rounds()
     pos = {n: i for i, n in enumerate(names)}
     rest = sorted(
@@ -413,8 +418,8 @@ def _freshness_order(names: list[str]) -> list[str]:
     return changed + rest
 
 
-assert set(_R12_CHANGED) <= set(REGISTRY), sorted(set(_R12_CHANGED) - set(REGISTRY))
-assert set(_R12_TOUCHED) <= set(REGISTRY), sorted(set(_R12_TOUCHED) - set(REGISTRY))
+assert set(_R13_CHANGED) <= set(REGISTRY), sorted(set(_R13_CHANGED) - set(REGISTRY))
+assert set(_R13_TOUCHED) <= set(REGISTRY), sorted(set(_R13_TOUCHED) - set(REGISTRY))
 REGISTRY = {n: REGISTRY[n] for n in _freshness_order(list(REGISTRY))}
 
 

@@ -57,86 +57,91 @@ def occ_transact_lifecycle(spark, sf_dir):
         .select("c_custkey", "c_acctbal", "c_mktsegment")
     )
     root = tempfile.mkdtemp(prefix="udp_occ_")
-    t = ParquetTable(spark, root, "occ_scratch", seed.schema, retain=3)
+    try:
+        t = ParquetTable(spark, root, "occ_scratch", seed.schema, retain=3)
 
-    def stats():
-        """(n_rows, sum_bal) of the CURRENT published snapshot — one
-        bounded-scalar aggregate per lifecycle step."""
-        row = t.read().agg(
-            F.count(F.lit(1)).alias("n"),
-            (F.coalesce(F.sum(_cents(F.col("c_acctbal"))), F.lit(0)) / 100.0).alias(
-                "s"
-            ),
-        ).collect()[0]
-        return int(row.n), float(row.s)
+        def stats():
+            """(n_rows, sum_bal) of the CURRENT published snapshot — one
+            bounded-scalar aggregate per lifecycle step."""
+            row = t.read().agg(
+                F.count(F.lit(1)).alias("n"),
+                (F.coalesce(F.sum(_cents(F.col("c_acctbal"))), F.lit(0)) / 100.0).alias(
+                    "s"
+                ),
+            ).collect()[0]
+            return int(row.n), float(row.s)
 
-    steps = []
+        steps = []
 
-    def record(step, version):
-        n, s = stats()
-        steps.append((step, version, n, len(t.versions()), s))
+        def record(step, version):
+            n, s = stats()
+            steps.append((step, version, n, len(t.versions()), s))
 
-    # 01: CREATE TABLE IF NOT EXISTS commits v-00000001 through the claim
-    t.ensure()
-    record("01_create", t.current_version())
+        # 01: CREATE TABLE IF NOT EXISTS commits v-00000001 through the claim
+        t.ensure()
+        record("01_create", t.current_version())
 
-    # 02: seed rows land via an OCC transact (not the legacy publish)
-    v = t.transact(lambda df: df.unionByName(seed))
-    record("02_seed", v)
+        # 02: seed rows land via an OCC transact (not the legacy publish)
+        v = t.transact(lambda df: df.unionByName(seed))
+        record("02_seed", v)
 
-    # 03/04: sequential serializable rewrites
-    v = t.transact(
-        lambda df: df.withColumn(
-            "c_acctbal",
-            F.when(
-                F.col("c_mktsegment") == OCC_SEGMENT, F.col("c_acctbal") + 100.0
-            ).otherwise(F.col("c_acctbal")),
+        # 03/04: sequential serializable rewrites
+        v = t.transact(
+            lambda df: df.withColumn(
+                "c_acctbal",
+                F.when(
+                    F.col("c_mktsegment") == OCC_SEGMENT, F.col("c_acctbal") + 100.0
+                ).otherwise(F.col("c_acctbal")),
+            )
         )
-    )
-    record("03_inc_building", v)
-    v = t.transact(lambda df: df.withColumn("c_acctbal", F.col("c_acctbal") + 10.0))
-    record("04_inc_all", v)
+        record("03_inc_building", v)
+        v = t.transact(lambda df: df.withColumn("c_acctbal", F.col("c_acctbal") + 10.0))
+        record("04_inc_all", v)
 
-    # 05/06/07: the raced pair — both writers compute from the same base;
-    # the +2 writer wins the claim, the +1 writer's direct commit_rewrite
-    # fail-fasts on the burnt claim (no stage- dir is ever created), then
-    # lands via transact() ON TOP of the winner (lost update impossible)
-    base = t.latest_committed()
-    winner = t.read_version(base).withColumn(
-        "c_acctbal", F.col("c_acctbal") + 2.0
-    )
-    loser = t.read_version(base).withColumn("c_acctbal", F.col("c_acctbal") + 1.0)
-    v = t.commit_rewrite(winner, base)
-    record("05_race_winner", v)
-    try:
-        t.commit_rewrite(loser, base)
-        conflict = "MISSED"  # would be a lost-update bug — oracle catches it
-    except CommitConflictError:
-        staged = [d for d in os.listdir(t.path) if d.startswith("stage-")]
-        conflict = f"conflict@{t.current_version()}" if not staged else "STAGED"
-    record("06_race_loser_conflict", conflict)
-    v = t.transact(lambda df: df.withColumn("c_acctbal", F.col("c_acctbal") + 1.0))
-    record("07_race_loser_retry", v)
+        # 05/06/07: the raced pair — both writers compute from the same base;
+        # the +2 writer wins the claim, the +1 writer's direct commit_rewrite
+        # fail-fasts on the burnt claim (no stage- dir is ever created), then
+        # lands via transact() ON TOP of the winner (lost update impossible)
+        base = t.latest_committed()
+        winner = t.read_version(base).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 2.0
+        )
+        loser = t.read_version(base).withColumn("c_acctbal", F.col("c_acctbal") + 1.0)
+        v = t.commit_rewrite(winner, base)
+        record("05_race_winner", v)
+        try:
+            t.commit_rewrite(loser, base)
+            conflict = "MISSED"  # would be a lost-update bug — oracle catches it
+        except CommitConflictError:
+            staged = [d for d in os.listdir(t.path) if d.startswith("stage-")]
+            conflict = f"conflict@{t.current_version()}" if not staged else "STAGED"
+        record("06_race_loser_conflict", conflict)
+        v = t.transact(lambda df: df.withColumn("c_acctbal", F.col("c_acctbal") + 1.0))
+        record("07_race_loser_retry", v)
 
-    # 08: a writer crashed between claim and rename — transact()'s retry
-    # loop must OBSERVE the dir-less marker-less claim persist unchanged
-    # for claim_ttl on its own monotonic clock (no mtime/wall-clock aging
-    # — ADVICE r11), then reclaim it and reuse its number.  A short
-    # instance window keeps the observed wait inside transact()'s retry
-    # sleeps (0.02+0.04+0.06+0.08 s ≫ 0.05 s).
-    dead = f"v-{int(t.current_version()[2:]) + 1:08d}"
-    open(t._claim_marker(dead), "w").close()
-    t.claim_ttl = 0.05
-    try:
-        v = t.transact(lambda df: df)
+        # 08: a writer crashed between claim and rename — transact()'s retry
+        # loop must OBSERVE the dir-less marker-less claim persist unchanged
+        # for claim_ttl on its own monotonic clock (no mtime/wall-clock aging
+        # — ADVICE r11), then reclaim it and reuse its number.  A short
+        # instance window keeps the observed wait inside transact()'s retry
+        # sleeps (0.02+0.04+0.06+0.08 s ≫ 0.05 s).
+        dead = f"v-{int(t.current_version()[2:]) + 1:08d}"
+        open(t._claim_marker(dead), "w").close()
+        t.claim_ttl = 0.05
+        try:
+            v = t.transact(lambda df: df)
+        finally:
+            t.claim_ttl = ParquetTable.claim_ttl
+        record("08_dead_claim_selfheal", v)
+
+        # 09: final read-back from the published snapshot
+        record("09_final", t.current_version())
+
     finally:
-        t.claim_ttl = ParquetTable.claim_ttl
-    record("08_dead_claim_selfheal", v)
-
-    # 09: final read-back from the published snapshot
-    record("09_final", t.current_version())
-
-    shutil.rmtree(root, ignore_errors=True)
+        # always runs — an exception mid-lifecycle must not leak the
+        # scratch dir (ADVICE r12); `steps` is a driver-local list, so
+        # the DataFrame built below never reads these files
+        shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         steps, "step string, version string, n_rows long, n_versions long, sum_bal double"
     ).orderBy("step")

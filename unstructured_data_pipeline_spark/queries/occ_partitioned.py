@@ -72,120 +72,125 @@ def occ_partitioned_lifecycle(spark, sf_dir):
         )
     )
     root = tempfile.mkdtemp(prefix="udp_occp_")
-    t = PartitionedParquetTable(
-        spark, root, "occ_part_scratch", seed.schema, ["seg"], retain=3
-    )
-
-    def stats():
-        """(n_rows, n_parts, sum_bal) of the CURRENT published snapshot."""
-        row = (
-            t.read()
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.countDistinct("seg").alias("p"),
-                (
-                    F.coalesce(F.sum(_cents(F.col("c_acctbal"))), F.lit(0))
-                    / 100.0
-                ).alias("s"),
-            )
-            .collect()[0]
-        )
-        return int(row.n), int(row.p), float(row.s)
-
-    steps = []
-
-    def record(step, version, n_parts=None):
-        n, p, s = stats()
-        steps.append(
-            (step, version, n, p if n_parts is None else n_parts,
-             len(t.versions()), s)
-        )
-
-    # 01: claim-protocol CREATE (inherited ensure(); empty hive snapshot)
-    t.ensure()
-    record("01_create", t.current_version())
-
-    # 02: seed rows land via an OCC transact — commit_rewrite stages
-    # through the partitioned _write_snapshot override
-    v = t.transact(lambda df: df.unionByName(seed))
-    record("02_seed_occ", v)
-
-    # 03: THE cad5e38 layout check, on disk: the OCC-committed version
-    # dir must hold one hive dir per populated segment (a flat snapshot
-    # here would silently degrade every later pruned merge)
-    vdir = os.path.join(t.path, t.current_version())
-    disk_parts = sum(
-        1
-        for d in os.listdir(vdir)
-        if d.startswith("seg=") and os.path.isdir(os.path.join(vdir, d))
-    )
-    record("03_layout_disk", t.current_version(), n_parts=disk_parts)
-
-    # 04: OCC rewrite targeting one partition's rows
-    v = t.transact(
-        lambda df: df.withColumn(
-            "c_acctbal",
-            F.when(
-                F.col("seg") == OCC_PART_SEGMENT, F.col("c_acctbal") + 100.0
-            ).otherwise(F.col("c_acctbal")),
-        )
-    )
-    record("04_occ_bump_s1", v)
-
-    # 05/06: raced pair from the same base — winner commits +2 on all,
-    # loser fail-fasts on the burnt claim WITHOUT staging
-    base = t.latest_committed()
-    winner = t.read_version(base).withColumn(
-        "c_acctbal", F.col("c_acctbal") + 2.0
-    )
-    loser = t.read_version(base).withColumn(
-        "c_acctbal", F.col("c_acctbal") + 1.0
-    )
-    v = t.commit_rewrite(winner, base)
-    record("05_race_winner", v)
     try:
-        t.commit_rewrite(loser, base)
-        conflict = "MISSED"  # lost-update bug — the oracle catches it
-    except CommitConflictError:
-        staged = [d for d in os.listdir(t.path) if d.startswith("stage-")]
-        conflict = f"conflict@{t.current_version()}" if not staged else "STAGED"
-    record("06_race_loser_conflict", conflict)
+        t = PartitionedParquetTable(
+            spark, root, "occ_part_scratch", seed.schema, ["seg"], retain=3
+        )
 
-    # 07: partition-pruned LEGACY merge on top of the OCC-committed
-    # snapshot — keys include the partition column, so the merge is
-    # statically partition-local (no complement scan); only seg=s1 is
-    # read and rewritten, the other three partitions are hardlink-carried
-    batch = (
-        t.read()
-        .filter(F.col("seg") == OCC_PART_SEGMENT)
-        .withColumn("c_acctbal", F.col("c_acctbal") + 1000.0)
-    )
-    t.upsert(batch, keys=["c_custkey", "seg"])
-    record("07_pruned_merge_after_occ", t.current_version())
+        def stats():
+            """(n_rows, n_parts, sum_bal) of the CURRENT published snapshot."""
+            row = (
+                t.read()
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.countDistinct("seg").alias("p"),
+                    (
+                        F.coalesce(F.sum(_cents(F.col("c_acctbal"))), F.lit(0))
+                        / 100.0
+                    ).alias("s"),
+                )
+                .collect()[0]
+            )
+            return int(row.n), int(row.p), float(row.s)
 
-    # 08: the metadata-only carry, on disk: partition dirs of the merged
-    # version whose parquet files are ALL hardlinks (st_nlink >= 2) are
-    # exactly the untouched partitions
-    vdir = os.path.join(t.path, t.current_version())
-    carried = 0
-    for d in os.listdir(vdir):
-        full = os.path.join(vdir, d)
-        if not (d.startswith("seg=") and os.path.isdir(full)):
-            continue
-        pq = [
-            os.path.join(b, f)
-            for b, _dirs, fs in os.walk(full)
-            for f in fs
-            if f.endswith(".parquet")
-        ]
-        if pq and all(os.stat(f).st_nlink >= 2 for f in pq):
-            carried += 1
-    record("08_carried_hardlinks", t.current_version(), n_parts=carried)
+        steps = []
 
-    # 09: final read-back from the published snapshot
-    record("09_final", t.current_version())
+        def record(step, version, n_parts=None):
+            n, p, s = stats()
+            steps.append(
+                (step, version, n, p if n_parts is None else n_parts,
+                 len(t.versions()), s)
+            )
 
-    shutil.rmtree(root, ignore_errors=True)
+        # 01: claim-protocol CREATE (inherited ensure(); empty hive snapshot)
+        t.ensure()
+        record("01_create", t.current_version())
+
+        # 02: seed rows land via an OCC transact — commit_rewrite stages
+        # through the partitioned _write_snapshot override
+        v = t.transact(lambda df: df.unionByName(seed))
+        record("02_seed_occ", v)
+
+        # 03: THE cad5e38 layout check, on disk: the OCC-committed version
+        # dir must hold one hive dir per populated segment (a flat snapshot
+        # here would silently degrade every later pruned merge)
+        vdir = os.path.join(t.path, t.current_version())
+        disk_parts = sum(
+            1
+            for d in os.listdir(vdir)
+            if d.startswith("seg=") and os.path.isdir(os.path.join(vdir, d))
+        )
+        record("03_layout_disk", t.current_version(), n_parts=disk_parts)
+
+        # 04: OCC rewrite targeting one partition's rows
+        v = t.transact(
+            lambda df: df.withColumn(
+                "c_acctbal",
+                F.when(
+                    F.col("seg") == OCC_PART_SEGMENT, F.col("c_acctbal") + 100.0
+                ).otherwise(F.col("c_acctbal")),
+            )
+        )
+        record("04_occ_bump_s1", v)
+
+        # 05/06: raced pair from the same base — winner commits +2 on all,
+        # loser fail-fasts on the burnt claim WITHOUT staging
+        base = t.latest_committed()
+        winner = t.read_version(base).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 2.0
+        )
+        loser = t.read_version(base).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 1.0
+        )
+        v = t.commit_rewrite(winner, base)
+        record("05_race_winner", v)
+        try:
+            t.commit_rewrite(loser, base)
+            conflict = "MISSED"  # lost-update bug — the oracle catches it
+        except CommitConflictError:
+            staged = [d for d in os.listdir(t.path) if d.startswith("stage-")]
+            conflict = f"conflict@{t.current_version()}" if not staged else "STAGED"
+        record("06_race_loser_conflict", conflict)
+
+        # 07: partition-pruned LEGACY merge on top of the OCC-committed
+        # snapshot — keys include the partition column, so the merge is
+        # statically partition-local (no complement scan); only seg=s1 is
+        # read and rewritten, the other three partitions are hardlink-carried
+        batch = (
+            t.read()
+            .filter(F.col("seg") == OCC_PART_SEGMENT)
+            .withColumn("c_acctbal", F.col("c_acctbal") + 1000.0)
+        )
+        t.upsert(batch, keys=["c_custkey", "seg"])
+        record("07_pruned_merge_after_occ", t.current_version())
+
+        # 08: the metadata-only carry, on disk: partition dirs of the merged
+        # version whose parquet files are ALL hardlinks (st_nlink >= 2) are
+        # exactly the untouched partitions
+        vdir = os.path.join(t.path, t.current_version())
+        carried = 0
+        for d in os.listdir(vdir):
+            full = os.path.join(vdir, d)
+            if not (d.startswith("seg=") and os.path.isdir(full)):
+                continue
+            pq = [
+                os.path.join(b, f)
+                for b, _dirs, fs in os.walk(full)
+                for f in fs
+                if f.endswith(".parquet")
+            ]
+            if pq and all(os.stat(f).st_nlink >= 2 for f in pq):
+                carried += 1
+        record("08_carried_hardlinks", t.current_version(), n_parts=carried)
+
+        # 09: final read-back from the published snapshot
+        record("09_final", t.current_version())
+
+    finally:
+        # always runs — an exception mid-lifecycle must not leak the
+        # scratch dir (ADVICE r12); `steps` is a driver-local list, so
+        # the DataFrame built below never reads these files
+        shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         steps,
         "step string, version string, n_rows long, n_parts long, "
