@@ -81,8 +81,8 @@ def test_flat_surface_reexported():
 
 
 def test_registry_is_complete_and_oracle_backed():
-    assert len(Q.REGISTRY) == 222
+    assert len(Q.REGISTRY) == 223
     assert set(Q.queries()) == set(Q.REGISTRY)
     # every entry is oracle-backed (None SQL entries are rows-only checks,
     # allowed but currently zero — update this pin if one is ever added)
-    assert len(Q.oracle_sql()) == 222
+    assert len(Q.oracle_sql()) == 223

@@ -52,12 +52,14 @@ def ocr_available() -> bool:
 
 
 def extract_image_text(content: bytes) -> str | None:
-    """Text from an image payload via the optional Pillow+pytesseract tier.
+    """Text from an image payload, tiered like ``ai/pdf.py``:
 
-    Returns ``None`` when the payload is not a recognized image, the OCR
-    libraries are absent, or the engine fails on the payload — the caller
-    decides the fallback (deterministic marker), keeping this hook pure and
-    exception-free.
+    1. Pillow+pytesseract when both are importable (free-form scans);
+    2. the stdlib glyph tier (:mod:`.glyph_ocr`) for machine-rendered
+       fixed-pitch text — REAL recognition, always available;
+    3. ``None`` — the payload is not a recognized image, or no tier can
+       read it — so the caller decides the fallback (deterministic
+       marker), keeping this hook pure and exception-free.
     """
     if sniff_image_format(content) is None:
         return None
@@ -65,13 +67,18 @@ def extract_image_text(content: bytes) -> str | None:
         import pytesseract
         from PIL import Image
     except ImportError:
-        return None
-    try:
-        with Image.open(io.BytesIO(content)) as img:
-            text = pytesseract.image_to_string(img)
-    except Exception:  # noqa: BLE001 — any engine failure -> marker fallback
-        return None
-    return text.strip() or None
+        pass
+    else:
+        try:
+            with Image.open(io.BytesIO(content)) as img:
+                text = pytesseract.image_to_string(img)
+            if text.strip():
+                return text.strip()
+        except Exception:  # noqa: BLE001 — engine failure -> next tier
+            pass
+    from unstructured_data_pipeline_spark.ai.glyph_ocr import recognize_text
+
+    return recognize_text(content)
 
 
 def make_minimal_bmp(

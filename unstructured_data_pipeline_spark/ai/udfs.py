@@ -77,6 +77,40 @@ def render_pdf_udf(text: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(T.BinaryType())
+def render_glyph_png_udf(
+    text: pd.Series, scale: pd.Series, invert: pd.Series, noise: pd.Series
+) -> pd.Series:
+    """Text -> fixed-pitch 5x7 glyph PNG bytes (Arrow-batched) at a
+    per-row pixel scale/polarity — the fixture renderer for the stdlib
+    glyph-OCR tier (ai/glyph_ocr.py; reference accepts jpg/png uploads,
+    `app.py:365`).  ``noise`` flips one pixel inside the first glyph's
+    top-left sample block; at scale >= 3 the majority vote provably
+    absorbs it, so the noisy bytes must still recognize exactly."""
+    from unstructured_data_pipeline_spark.ai.glyph_ocr import render_text_png
+    from unstructured_data_pipeline_spark.operators.multimodal import (
+        _png_pixels,
+        make_minimal_png,
+    )
+
+    def one(t: str | None, s, inv, nz) -> bytes:
+        png = render_text_png(t or "", scale=int(s), invert=bool(inv))
+        if nz:
+            w, h, _ch, raw = _png_pixels(png)
+            raw = bytearray(raw)
+            raw[int(s) * w + int(s)] ^= 0xFF
+            png = make_minimal_png(
+                width=w,
+                height=h,
+                rows=[bytes(raw[y * w : (y + 1) * w]) for y in range(h)],
+            )
+        return png
+
+    return pd.Series(
+        [one(t, s, i, z) for t, s, i, z in zip(text, scale, invert, noise)]
+    )
+
+
+@F.pandas_udf(T.BinaryType())
 def render_image_udf(text: pd.Series) -> pd.Series:
     """Text -> minimal solid-color BMP bytes (Arrow-batched), color seeded
     by the text's md5 — the image-branch fixture renderer for the AI3 path

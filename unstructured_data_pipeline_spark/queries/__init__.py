@@ -24,6 +24,7 @@ from .windows_scalars import DISTINCT_SOURCES_SQL, EVENT_SUMMARY_SQL, GLOBAL_ORD
 from .occ_lifecycle import OCC_LIFECYCLE_SQL, occ_transact_lifecycle
 from .occ_partitioned import OCC_PARTITIONED_SQL, occ_partitioned_lifecycle
 from .occ_recovery import OCC_RECOVERY_SQL, occ_recover_stale_lifecycle
+from .image_text import IMAGE_GLYPH_OCR_SQL, image_glyph_ocr_contract
 from . import _common, tpch_headline, lookups_joins, windows_scalars, doc_pipeline, dedup_text, similarity_events, approx_rows_only, relational_breadth, streaming_media, tpch_shapes, curation, data_skipping_ann, ir_graph_analytics, gdpr_lifecycle, streaming_join, occ_lifecycle
 
 # Re-create the pre-split flat-module surface exactly: every name each
@@ -295,6 +296,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "occ_transact_lifecycle": (occ_transact_lifecycle, OCC_LIFECYCLE_SQL),
     "occ_partitioned_lifecycle": (occ_partitioned_lifecycle, OCC_PARTITIONED_SQL),
     "occ_recover_stale_lifecycle": (occ_recover_stale_lifecycle, OCC_RECOVERY_SQL),
+    "image_glyph_ocr_contract": (image_glyph_ocr_contract, IMAGE_GLYPH_OCR_SQL),
     "triangle_count_sampled": (triangle_count_sampled, TRIANGLE_SAMPLED_SQL),
     # round-9 additions (never driver-checked -> the computed freshness
     # rotation surfaces them right behind the changed-this-round list automatically)
@@ -342,8 +344,14 @@ DEMOS = {
 # recovery path end-to-end (VERDICT r12 next-round #6).
 _R13_CHANGED = [
     "occ_recover_stale_lifecycle",
+    "image_glyph_ocr_contract",
     "occ_transact_lifecycle",
     "occ_partitioned_lifecycle",
+    # in the r8 stale tail anyway (no extra rotation cost), listed here
+    # because its execution path changed: the AI3 image branch now tries
+    # the stdlib glyph tier before the marker fallback (its fixture
+    # images are solid 4x4 BMPs, so its OUTPUT is bitwise-unchanged)
+    "pdf_ocr_roundtrip_contract",
 ]
 
 # Full disclosure for the rotation's honesty contract (VERDICT r11 #7,
