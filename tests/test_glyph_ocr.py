@@ -73,6 +73,21 @@ def test_non_grid_images_fall_back():
     assert G.recognize_text(b"not an image") is None
 
 
+def test_all_space_cells_read_as_none_not_empty(  # round-13 review #1
+):
+    """A grid-geometry image whose every cell reads as space must return
+    None (callers only fall back on None — an empty string would
+    silently replace the deterministic marker in the AI3 envelope)."""
+    # 13x9: valid s=1 geometry (two cells), one dark pixel in the top
+    # margin row passes the contrast gate but sits outside every sample
+    # block, so both cells match ' '
+    rows = [bytes([255] * 13) for _ in range(9)]
+    rows[0] = bytes([255, 255, 255, 0] + [255] * 9)
+    png = make_minimal_png(width=13, height=9, rows=rows)
+    assert G.recognize_text(png) is None
+    assert extract_image_text(png) is None
+
+
 def test_bmp_pixel_decode_matches_png():
     """_bmp_pixels: 24-bit bottom-up BMP of glyph pixels reads the same
     text as the PNG rendering."""

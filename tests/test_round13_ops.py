@@ -127,6 +127,27 @@ def test_same_inode_mtime_content_swap_restarts_window(spark, tmp_path):
         del t.claim_ttl
 
 
+def test_scalar_obs_sidecar_reads_as_no_observation(spark, tmp_path):
+    """A corrupt .obs sidecar holding a bare JSON scalar ('3') must read
+    as no-observation (window restarts), not crash _reclaim_dead_claim
+    with TypeError (round-13 review)."""
+    t, _ = _make(spark, tmp_path)
+    nxt = f"v-{int(t.current_version()[2:]) + 1:08d}"
+    claim = t._claim_marker(nxt)
+    with open(claim, "w") as fh:
+        fh.write("v-00000001:" + "c" * 32)
+    with open(claim + ".obs", "w") as fh:
+        fh.write("3")
+    assert t._reclaim_dead_claim(nxt) is False  # re-records, no crash
+    import json
+
+    with open(claim + ".obs") as fh:
+        recorded = json.loads(fh.read())
+    assert isinstance(recorded, list) and len(recorded) == 4
+    os.unlink(claim)
+    os.unlink(claim + ".obs")
+
+
 # -- 3. lifecycle scratch dirs never leak ----------------------------------
 
 

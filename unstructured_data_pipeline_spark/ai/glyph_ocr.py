@@ -23,9 +23,9 @@ geometry (scale, line count, text length) from the pixels, and its
 noise tolerance is regression-tested by flipping pixels.
 
 Pipeline: sniff (PNG/BMP) -> stdlib pixel decode (the REAL PNG
-inflate+unfilter in `operators/multimodal.py:_png_pixels`, plus the
-24-bit BMP reader here) -> grayscale threshold (Otsu-lite: midpoint of
-observed min/max, polarity auto-detected from the border) -> per-band
+inflate+unfilter and 24-bit BMP reader, both in
+`operators/multimodal.py`) -> grayscale threshold (Otsu-lite: midpoint
+of observed min/max, polarity auto-detected from the border) -> per-band
 per-cell 5x7 downsample by majority -> nearest-glyph match with a
 Hamming cut.
 """
@@ -147,39 +147,13 @@ def render_text_png(text: str, scale: int = 1, invert: bool = False) -> bytes:
 # decoding
 
 
-def _bmp_pixels(content: bytes) -> tuple[int, int, int, bytes] | None:
-    """24-bit uncompressed BMP -> (width, height, 1, grayscale top-down
-    rows) via stdlib struct — the BMP counterpart of the stdlib PNG
-    decode in ``operators/multimodal.py:_png_pixels``."""
-    import struct
-
-    try:
-        if content[:2] != b"BM":
-            return None
-        offset = struct.unpack("<I", content[10:14])[0]
-        w, h = struct.unpack("<ii", content[18:26])
-        bpp, comp = struct.unpack("<HI", content[28:34])
-        if bpp != 24 or comp or w <= 0 or h == 0:
-            return None
-        height, bottom_up = abs(h), h > 0
-        row_bytes = (w * 3 + 3) & ~3
-        if offset + row_bytes * height > len(content):
-            return None
-        out = bytearray(w * height)
-        for y in range(height):
-            src = offset + (height - 1 - y if bottom_up else y) * row_bytes
-            for x in range(w):
-                b, g, r = content[src + 3 * x : src + 3 * x + 3]
-                out[y * w + x] = (r + g + b) // 3
-        return w, height, 1, bytes(out)
-    except (struct.error, IndexError, ValueError):
-        return None
-
-
 def _gray_matrix(content: bytes) -> tuple[int, int, bytes] | None:
     """(width, height, grayscale bytes row-major) from a PNG or BMP
-    payload, else None."""
+    payload, else None.  Both decoders live in ``operators/multimodal.py``
+    (the one copy of each container's pixel logic — round-13 review);
+    this only collapses channels."""
     from unstructured_data_pipeline_spark.operators.multimodal import (
+        _bmp_pixels,
         _png_pixels,
     )
 
@@ -225,7 +199,10 @@ def recognize_text(content: bytes) -> str | None:
     for s in range(min(h // 9, (w - 1) // 6), 0, -1):
         if h % (9 * s) == 0 and (w - s) % (6 * s) == 0:
             text = _read_grid(gray, w, h, s, thresh, paper_is_light)
-            if text is not None:
+            # empty ("" — all cells read as space) is NOT a recognition:
+            # callers distinguish only None, and an empty content would
+            # silently replace the marker fallback (round-13 review)
+            if text:
                 return text
     return None
 

@@ -54,31 +54,35 @@ def ocr_available() -> bool:
 def extract_image_text(content: bytes) -> str | None:
     """Text from an image payload, tiered like ``ai/pdf.py``:
 
-    1. Pillow+pytesseract when both are importable (free-form scans);
-    2. the stdlib glyph tier (:mod:`.glyph_ocr`) for machine-rendered
-       fixed-pitch text — REAL recognition, always available;
+    1. the stdlib glyph tier (:mod:`.glyph_ocr`) for machine-rendered
+       fixed-pitch text — deterministic, always available, and
+       confident-or-None, so it goes FIRST: on a grid image pytesseract
+       would return approximate text and shadow the exact read,
+       diverging by installed library tier (round-13 review);
+    2. Pillow+pytesseract when both are importable (free-form scans the
+       glyph tier declines);
     3. ``None`` — the payload is not a recognized image, or no tier can
        read it — so the caller decides the fallback (deterministic
        marker), keeping this hook pure and exception-free.
     """
     if sniff_image_format(content) is None:
         return None
+    from unstructured_data_pipeline_spark.ai.glyph_ocr import recognize_text
+
+    text = recognize_text(content)
+    if text:
+        return text
     try:
         import pytesseract
         from PIL import Image
     except ImportError:
-        pass
-    else:
-        try:
-            with Image.open(io.BytesIO(content)) as img:
-                text = pytesseract.image_to_string(img)
-            if text.strip():
-                return text.strip()
-        except Exception:  # noqa: BLE001 — engine failure -> next tier
-            pass
-    from unstructured_data_pipeline_spark.ai.glyph_ocr import recognize_text
-
-    return recognize_text(content)
+        return None
+    try:
+        with Image.open(io.BytesIO(content)) as img:
+            scanned = pytesseract.image_to_string(img)
+    except Exception:  # noqa: BLE001 — any engine failure -> marker fallback
+        return None
+    return scanned.strip() or None
 
 
 def make_minimal_bmp(

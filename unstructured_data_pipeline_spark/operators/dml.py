@@ -1001,7 +1001,9 @@ class ParquetTable:
                 with open(obs) as fh:
                     recorded = tuple(json.loads(fh.read()))
                 return recorded, os.stat(obs).st_mtime_ns
-            except (OSError, ValueError):
+            except (OSError, ValueError, TypeError):
+                # TypeError: a JSON scalar ('3', 'null') is not iterable —
+                # same corrupt-sidecar treatment as a parse failure
                 return None
 
         ident = _ident()

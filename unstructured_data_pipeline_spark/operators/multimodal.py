@@ -123,10 +123,13 @@ def _decode_image(content: bytes, use_pillow: bool = True) -> tuple[str, int, in
     return mime, 64 + h[0] % 192, 64 + h[1] % 192
 
 
-def _bmp_pixel_stats(content: bytes) -> list[float] | None:
-    """REAL pixel statistics for uncompressed 24-bit BMP: per-channel means
-    in [0, 1] + grayscale std — the honest feature prefix for payloads the
-    stdlib can fully decode."""
+def _bmp_pixels(content: bytes) -> tuple[int, int, int, bytes] | None:
+    """REAL stdlib decode for uncompressed 24-bit BMP — the BMP
+    counterpart of :func:`_png_pixels`, and the ONE copy of the BMP
+    header/padding/orientation logic (round-13 review: the glyph-OCR
+    tier had grown a second copy).  Returns ``(width, height, 3,
+    top-down RGB scanline bytes)``: the default bottom-up row order is
+    flipped to top-down, negative height (already top-down) is kept."""
     import struct
 
     try:
@@ -138,28 +141,60 @@ def _bmp_pixel_stats(content: bytes) -> list[float] | None:
         (compression,) = struct.unpack("<I", content[30:34])
         if bpp != 24 or compression != 0 or w <= 0 or h == 0:
             return None
-        height = abs(h)
+        height, bottom_up = abs(h), h > 0
         row_bytes = (w * 3 + 3) & ~3  # rows pad to 4 bytes
         if offset + row_bytes * height > len(content):
             return None
-        sums = [0, 0, 0]
-        sq = 0.0
-        n = w * height
-        for row in range(height):
-            base = offset + row * row_bytes
+        out = bytearray(w * height * 3)
+        for y in range(height):
+            base = offset + (height - 1 - y if bottom_up else y) * row_bytes
+            o = y * w * 3
             for x in range(w):
                 b, g, r = content[base + 3 * x : base + 3 * x + 3]
-                sums[0] += r
-                sums[1] += g
-                sums[2] += b
-                gray = (r + g + b) / (3 * 255.0)
-                sq += gray * gray
-        mr, mg, mb = (s / (n * 255.0) for s in sums)
-        mean_gray = (sums[0] + sums[1] + sums[2]) / (3 * n * 255.0)
-        var = max(0.0, sq / n - mean_gray * mean_gray)
-        return [mr, mg, mb, var**0.5]
+                out[o + 3 * x] = r
+                out[o + 3 * x + 1] = g
+                out[o + 3 * x + 2] = b
+        return w, height, 3, bytes(out)
     except (struct.error, IndexError, ValueError):
         return None
+
+
+def _stats_from_decoded(
+    decoded: tuple[int, int, int, bytes] | None,
+) -> list[float] | None:
+    """Per-channel means in [0, 1] + grayscale std over decoded pixels —
+    the ONE copy of the stats reduction shared by the BMP and PNG stats
+    wrappers (gray/gray+alpha payloads replicate the luma across the RGB
+    slots; alpha never enters the statistics)."""
+    if decoded is None:
+        return None
+    w, h, ch, raw = decoded
+    color = 3 if ch >= 3 else 1
+    n = w * h
+    sums = [0, 0, 0]
+    sq = 0.0
+    for px in range(n):
+        base = px * ch
+        if color == 3:
+            r, g, b = raw[base], raw[base + 1], raw[base + 2]
+        else:
+            r = g = b = raw[base]
+        sums[0] += r
+        sums[1] += g
+        sums[2] += b
+        gray = (r + g + b) / (3 * 255.0)
+        sq += gray * gray
+    mr, mg, mb = (s / (n * 255.0) for s in sums)
+    mean_gray = (sums[0] + sums[1] + sums[2]) / (3 * n * 255.0)
+    var = max(0.0, sq / n - mean_gray * mean_gray)
+    return [mr, mg, mb, var**0.5]
+
+
+def _bmp_pixel_stats(content: bytes) -> list[float] | None:
+    """REAL pixel statistics for uncompressed 24-bit BMP: per-channel means
+    in [0, 1] + grayscale std — the honest feature prefix for payloads the
+    stdlib can fully decode."""
+    return _stats_from_decoded(_bmp_pixels(content))
 
 
 def _png_pixels(content: bytes) -> tuple[int, int, int, bytes] | None:
@@ -236,31 +271,8 @@ def _png_pixels(content: bytes) -> tuple[int, int, int, bytes] | None:
 def _png_pixel_stats(content: bytes) -> list[float] | None:
     """Per-channel means in [0, 1] + grayscale std from the REAL stdlib
     PNG decode (:func:`_png_pixels`) — the same feature prefix shape as
-    :func:`_bmp_pixel_stats`.  Gray/gray+alpha payloads replicate the luma
-    across the RGB slots; alpha never enters the statistics."""
-    decoded = _png_pixels(content)
-    if decoded is None:
-        return None
-    w, h, ch, raw = decoded
-    color = 3 if ch >= 3 else 1
-    n = w * h
-    sums = [0, 0, 0]
-    sq = 0.0
-    for px in range(n):
-        base = px * ch
-        if color == 3:
-            r, g, b = raw[base], raw[base + 1], raw[base + 2]
-        else:
-            r = g = b = raw[base]
-        sums[0] += r
-        sums[1] += g
-        sums[2] += b
-        gray = (r + g + b) / (3 * 255.0)
-        sq += gray * gray
-    mr, mg, mb = (s / (n * 255.0) for s in sums)
-    mean_gray = (sums[0] + sums[1] + sums[2]) / (3 * n * 255.0)
-    var = max(0.0, sq / n - mean_gray * mean_gray)
-    return [mr, mg, mb, var**0.5]
+    :func:`_bmp_pixel_stats` (shared reduction)."""
+    return _stats_from_decoded(_png_pixels(content))
 
 
 def make_minimal_png(
