@@ -46,6 +46,54 @@ def test_kmeans_separates_known_clusters(spark):
     assert sizes == [6, 6]
 
 
+def test_kmeans_local_sample_fit_matches_distributed(spark):
+    """Round-13: with ``train_cap`` set the Lloyd iterations run driver-side
+    on the collected sample (`_local_lloyd`).  When the cap covers the whole
+    corpus the sample IS the corpus, so the local fit must reproduce the
+    legacy distributed fit bit-for-bit — assignments identical."""
+    from unstructured_data_pipeline_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    local = kmeans_assignments(
+        emb, "vec_id", "embedding", k=4, iters=2, train_cap=n + 1
+    )
+    dist = kmeans_assignments(
+        emb, "vec_id", "embedding", k=4, iters=2, train_cap=None
+    )
+    a = sorted((r["id"], r["k"]) for r in local.collect())
+    b = sorted((r["id"], r["k"]) for r in dist.collect())
+    assert a == b and len(a) == n
+
+
+def test_pq_subspace_local_fit_matches_loop(spark):
+    """Round-13: per-subspace PQ's driver-side sample fit must reproduce
+    the distributed per-iteration loop (train_cap=None covering the corpus
+    makes both paths see the same training set)."""
+    from unstructured_data_pipeline_spark.operators.pq import (
+        pq_fit_encode_subspace,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    codes_a, cbs_a, _ = pq_fit_encode_subspace(
+        emb, "vec_id", "embedding", dim=64, m=4, k=8, iters=2,
+        train_cap=n + 1,
+    )
+    codes_b, cbs_b, _ = pq_fit_encode_subspace(
+        emb, "vec_id", "embedding", dim=64, m=4, k=8, iters=2,
+        train_cap=None,
+    )
+    assert cbs_a == cbs_b
+    ra = sorted(tuple(r) for r in codes_a.collect())
+    rb = sorted(tuple(r) for r in codes_b.collect())
+    assert ra == rb
+    codes_a.unpersist()
+    codes_b.unpersist()
+
+
 def test_kmeans_fewer_points_than_k_is_empty(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 2.0])], "id long, v array<double>"

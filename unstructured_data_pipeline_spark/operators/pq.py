@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from unstructured_data_pipeline_spark.operators.clustering import (
+    _local_lloyd,
     kmeans_assignments,
     quantize_vec,
 )
@@ -184,43 +185,69 @@ def pq_fit_encode_subspace(
     # id-join at encode, glued by driver threads; this one is 2 corpus
     # scans TOTAL (sample + encode), no joins, no threads, same results
     # bit-for-bit (same sample ids, same seeds, same fold order).
-    train = (
-        pts.orderBy(F.md5(F.col("id").cast("string")), "id").limit(train_cap)
-        if train_cap is not None
-        else pts
-    )
-    train = train.persist()
-    try:
-        seeds = train.orderBy("id").limit(k).collect()
-        if len(seeds) < k:  # degenerate input (fewer points than clusters)
+    #
+    # Round-13: with ``train_cap`` set, the sample is COLLECTED once and
+    # the m per-subspace Lloyd chains run driver-side on its slices
+    # (`clustering._local_lloyd` — bit-identical argmin and integer
+    # state).  The distributed in-sample iterations they replace were
+    # pure plan-compile overhead: 1.5-3 s per iteration of re-analyzing/
+    # re-codegen'ing the k-wide literal fold expressions against a
+    # <=cap-row frame.  ``train_cap=None`` (unbounded legacy fit) keeps
+    # the distributed loop.
+    if train_cap is not None:
+        sample = [
+            (r["id"], list(r["x"]))
+            for r in pts.orderBy(F.md5(F.col("id").cast("string")), "id")
+            .limit(train_cap)
+            .collect()
+        ]
+        if len(sample) < k:  # degenerate input (fewer points than clusters)
             return (
                 spark.createDataFrame([], empty_schema),
                 [dict() for _ in range(m)],
                 dsub,
             )
         cents = [
-            [(list(r["x"])[s * dsub : (s + 1) * dsub], 1) for r in seeds]
+            _local_lloyd(
+                [(i, x[s * dsub : (s + 1) * dsub]) for i, x in sample],
+                k,
+                iters,
+            )
             for s in range(m)
         ]
-        for _ in range(iters):
-            # every subspace's argmin in ONE exploded row-local pass over
-            # the cached sample, then ONE groupBy updates all m codebooks
-            # (m*k rows of dsub+1 integers to the driver)
-            assigned = _assign_multi(train, cents, dsub, m)
-            rows = _subspace_sums(assigned, dsub).collect()
-            upd = {
-                (r["sub"], r["kk"]): (
-                    [r[f"s{i}"] for i in range(dsub)],
-                    r["n"],
+    else:
+        train = pts.persist()
+        try:
+            seeds = train.orderBy("id").limit(k).collect()
+            if len(seeds) < k:  # degenerate input
+                return (
+                    spark.createDataFrame([], empty_schema),
+                    [dict() for _ in range(m)],
+                    dsub,
                 )
-                for r in rows
-            }
             cents = [
-                [upd.get((s, j), cents[s][j]) for j in range(k)]
+                [(list(r["x"])[s * dsub : (s + 1) * dsub], 1) for r in seeds]
                 for s in range(m)
             ]
-    finally:
-        train.unpersist(blocking=False)
+            for _ in range(iters):
+                # every subspace's argmin in ONE exploded row-local pass
+                # over the cached sample, then ONE groupBy updates all m
+                # codebooks (m*k rows of dsub+1 integers to the driver)
+                assigned = _assign_multi(train, cents, dsub, m)
+                rows = _subspace_sums(assigned, dsub).collect()
+                upd = {
+                    (r["sub"], r["kk"]): (
+                        [r[f"s{i}"] for i in range(dsub)],
+                        r["n"],
+                    )
+                    for r in rows
+                }
+                cents = [
+                    [upd.get((s, j), cents[s][j]) for j in range(k)]
+                    for s in range(m)
+                ]
+        finally:
+            train.unpersist(blocking=False)
     # final FULL-corpus encode: one scan, all m argmins row-local; the
     # codebook state (half-step-after-assignment over the full corpus,
     # what ADC scores against) aggregates from the same cached frame
