@@ -36,10 +36,18 @@ def bootstrap_warehouse(
         variant_native = (
             str(spark.conf.get(VARIANT_NATIVE_CONF, "false")).lower() == "true"
         )
-    return {
-        name: ParquetTable(spark, root, name, schema).ensure()
+    tables = {
+        name: ParquetTable(spark, root, name, schema)
         for name, schema in pipeline_tables(variant_native).items()
     }
+    # round 13: each fresh ensure() writes one empty snapshot (a Spark
+    # job); the five tables are disjoint, so overlap the creations
+    # (guide §2.6) — ensure() is concurrent-safe by design (OCC claim)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(tables)) as pool:
+        list(pool.map(lambda t: t.ensure(), tables.values()))
+    return tables
 
 
 def seed_invoice_prompts(spark: SparkSession, tables: dict[str, ParquetTable]) -> None:
@@ -144,7 +152,14 @@ def verify_table_counts(
     CREATE landed and seeds arrived.  Counts are parquet-metadata reads
     (count() over a ParquetTable scan never materializes rows), so this is
     safe against warehouse tables of any size."""
-    counts = [(name, tables[name].read().count()) for name in sorted(tables)]
+    # round 13: the per-table counts are independent metadata-read jobs —
+    # overlap them (guide §2.6); row values unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = sorted(tables)
+    with ThreadPoolExecutor(max_workers=max(1, len(names))) as pool:
+        ns = list(pool.map(lambda n: tables[n].read().count(), names))
+    counts = list(zip(names, ns))
     return spark.createDataFrame(counts, "table_name string, row_count long")
 
 
@@ -160,8 +175,25 @@ def setup_verification(
     n_stages = (
         list_stages(spark, stage_roots, tables).count() if stage_roots else 0
     )
-    n_classes = tables["class_prompts"].read().select("class_name").distinct().count()
-    n_prompts = tables["class_prompts"].read().count()
+    # round 13: one aggregate instead of two actions over class_prompts.
+    # countDistinct excludes NULL while .distinct().count() counted it as
+    # a value, so a NULL-presence flag keeps the numbers identical.
+    row = (
+        tables["class_prompts"]
+        .read()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.countDistinct("class_name")
+                + F.coalesce(
+                    F.max(F.col("class_name").isNull().cast("long")), F.lit(0)
+                )
+            ).alias("c"),
+        )
+        .collect()[0]
+    )
+    n_classes = int(row["c"])
+    n_prompts = int(row["n"])
     return spark.createDataFrame(
         [
             ("Tables", n_tables),

@@ -211,14 +211,29 @@ def persist_pipeline_outputs(
     uploads: DataFrame | None = None,
 ) -> None:
     """The four persistence steps (`app.py:523-554`): three appends + the
-    NEW_UPLOADS processed=TRUE upsert."""
+    NEW_UPLOADS processed=TRUE upsert.  Round 13: the sinks are disjoint
+    tables — the writes overlap (guide §2.6); per-table contents are
+    unchanged (the shared classify+extract stage is persisted by
+    ``cache_intermediate`` callers, so concurrent sinks share one
+    materialization rather than re-running the AI stage)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     try:
-        tables["documents_processed"].append(outputs.processed)
-        tables["documents_extracted_fields"].append(outputs.extracted_fields)
-        tables["document_ocr"].append(outputs.ocr)
+        steps = [
+            lambda: tables["documents_processed"].append(outputs.processed),
+            lambda: tables["documents_extracted_fields"].append(
+                outputs.extracted_fields
+            ),
+            lambda: tables["document_ocr"].append(outputs.ocr),
+        ]
         if uploads is not None and "new_uploads" in tables:
             done = uploads.withColumn("processed", F.lit(True))
-            tables["new_uploads"].upsert(done, ["file_name"])
+            steps.append(
+                lambda: tables["new_uploads"].upsert(done, ["file_name"])
+            )
+        with ThreadPoolExecutor(max_workers=len(steps)) as pool:
+            for f in [pool.submit(s) for s in steps]:
+                f.result()
     finally:
         if outputs.cached is not None:
             outputs.cached.unpersist()
@@ -240,15 +255,28 @@ def persist_pipeline_outputs_idempotent(
     e.g. an ingest-date or a stable hash bucket of the document key —
     each batch rewrites only its touched partitions (O(touched+batch));
     Delta/Iceberg MERGE remains the multi-writer production swap-in."""
+    from concurrent.futures import ThreadPoolExecutor
+
     try:
-        tables["documents_processed"].upsert(outputs.processed, ["file_ref"])
-        tables["documents_extracted_fields"].upsert(
-            outputs.extracted_fields, ["file_ref", "field_name"]
-        )
-        tables["document_ocr"].upsert(outputs.ocr, ["file_name"])
+        # round 13: disjoint target tables — the keyed upserts overlap
+        # (guide §2.6); per-table results identical
+        steps = [
+            lambda: tables["documents_processed"].upsert(
+                outputs.processed, ["file_ref"]
+            ),
+            lambda: tables["documents_extracted_fields"].upsert(
+                outputs.extracted_fields, ["file_ref", "field_name"]
+            ),
+            lambda: tables["document_ocr"].upsert(outputs.ocr, ["file_name"]),
+        ]
         if uploads is not None and "new_uploads" in tables:
             done = uploads.withColumn("processed", F.lit(True))
-            tables["new_uploads"].upsert(done, ["file_name"])
+            steps.append(
+                lambda: tables["new_uploads"].upsert(done, ["file_name"])
+            )
+        with ThreadPoolExecutor(max_workers=len(steps)) as pool:
+            for f in [pool.submit(s) for s in steps]:
+                f.result()
     finally:
         if outputs.cached is not None:
             outputs.cached.unpersist()

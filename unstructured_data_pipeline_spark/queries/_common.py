@@ -101,6 +101,68 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts", ts_us.cast("long"))
 
 
+def _par(*thunks):
+    """Run independent driver-side actions concurrently and return their
+    results in argument order (guide §2.6 "overlap independent jobs":
+    Spark's scheduler happily runs several jobs at once inside one
+    application; actions are only sequential because driver code calls
+    them sequentially).  Used by the executed-lifecycle queries whose
+    phases are sequences of independent per-table actions (appends,
+    audits, COW deletes on disjoint tables) — the tail of each job
+    back-fills executors freed by the others.  Results are unchanged by
+    construction: every thunk touches its own table/frame.  Exceptions
+    propagate (the first raised wins, like sequential code)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futs]
+
+
+def _stream_shuffle_partitions(spark: SparkSession) -> int:
+    """Shuffle/state partition count for the bounded availableNow
+    streaming drains (round 13, guide §2.2 "fewer, larger partitions"):
+    every stateful-stream shuffle partition owns its own state store(s),
+    and each store pays per-micro-batch file I/O (delta write + commit)
+    regardless of how little state it holds — measured at sf0.1 the
+    stream-stream interval join spent 6-11 s at 32 partitions vs
+    2.4-2.8 s at 8, identical output.  State partitioning should track
+    STATE VOLUME, not core count, so the default derives from the
+    cluster's parallelism (cores/4, floor 4 — enough to keep executors
+    busy on the bounded drains while cutting per-store overhead 4x) and
+    ``spark.unstructured_data_pipeline.streamShufflePartitions``
+    overrides it for production state sizes."""
+    conf = spark.conf.get(
+        "spark.unstructured_data_pipeline.streamShufflePartitions", None
+    )
+    if conf:
+        return max(1, int(conf))
+    return max(4, spark.sparkContext.defaultParallelism // 4)
+
+
+class _scoped_conf:
+    """Set a session conf for the duration of a with-block, restoring the
+    previous value (or unsetting) on exit — the same scoped set/load/
+    restore discipline `_events` uses for the nanos conf."""
+
+    def __init__(self, spark: SparkSession, key: str, value: str):
+        self.spark, self.key, self.value = spark, key, str(value)
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self.key, None)
+        self.spark.conf.set(self.key, self.value)
+        return self
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(self.key)
+        else:
+            self.spark.conf.set(self.key, self.prev)
+        return False
+
+
 def _cents(col: F.Column) -> F.Column:
     """Deterministic integer cents: same IEEE double ops in both engines."""
     return F.floor(col * 100 + F.lit(0.5)).cast("long")

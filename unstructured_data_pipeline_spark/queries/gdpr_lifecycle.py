@@ -4,7 +4,7 @@
 
 from __future__ import annotations
 
-from ._common import F, _events, _t
+from ._common import F, _events, _par, _t
 
 # ---------------------------------------------------------------------------
 # round 8: executed GDPR lifecycle (real deletes on disk) + sampled triangles
@@ -70,21 +70,26 @@ def gdpr_erasure_lifecycle(spark, sf_dir):
     root = tempfile.mkdtemp(prefix="udp_gdpr_")
     try:
         tables = {}
-        for name, df in [
+        srcs = [
             ("customer", _t(spark, sf_dir, "customer")),
             ("orders", _t(spark, sf_dir, "orders")),
             ("lineitem", _t(spark, sf_dir, "lineitem")),
             ("events", _events(spark, sf_dir)),
-        ]:
-            t = ParquetTable(spark, root, name, df.schema)
-            t.append(df)
-            tables[name] = t
+        ]
+        for name, df in srcs:
+            tables[name] = ParquetTable(spark, root, name, df.schema)
+        # round 13: the four scratch-table loads are independent writes to
+        # disjoint tables — overlap them (guide §2.6); contents unchanged
+        _par(*[
+            (lambda t=tables[name], d=df: t.append(d)) for name, df in srcs
+        ])
         # before phase: ONE action per table — customer's action also
         # collects the erasure subjects (the cohort key list that drives
         # every downstream delete) inside the same aggregate, so reading
-        # the intact customer table stays a single pass
-        c_row = (
-            tables["customer"]
+        # the intact customer table stays a single pass; the four
+        # independent reads overlap (round 13)
+        c_row, o_n, l_n, e_n = _par(
+            lambda: tables["customer"]
             .read()
             .agg(
                 F.count(F.lit(1)).alias("n"),
@@ -96,17 +101,24 @@ def gdpr_erasure_lifecycle(spark, sf_dir):
                     )
                 ).alias("ks"),
             )
-            .collect()[0]
+            .collect()[0],
+            lambda: tables["orders"].read().count(),
+            lambda: tables["lineitem"].read().count(),
+            lambda: tables["events"].read().count(),
         )
         before = {
-            n: tables[n].read().count() for n in ("orders", "lineitem", "events")
+            "customer": int(c_row["n"]),
+            "orders": o_n,
+            "lineitem": l_n,
+            "events": e_n,
         }
-        before["customer"] = int(c_row["n"])
         cohort_keys = list(c_row["ks"])
 
         # children first: the lineitem frontier must come from the
         # on-disk orders table BEFORE the parent rows are erased
-        # (delete_keys_mor materializes the tombstone keys eagerly)
+        # (delete_keys_mor materializes the tombstone keys eagerly);
+        # the three COW deletes then touch disjoint tables — overlap
+        # them (round 13; per-table delete semantics unchanged)
         frontier = (
             tables["orders"]
             .read()
@@ -114,23 +126,34 @@ def gdpr_erasure_lifecycle(spark, sf_dir):
             .select(F.col("o_orderkey").alias("l_orderkey"))
         )
         tables["lineitem"].delete_keys_mor(frontier, ["l_orderkey"])
-        tables["orders"].delete_where(F.col("o_custkey").isin(cohort_keys))
-        tables["events"].delete_where(F.col("user_id").isin(cohort_keys))
-        tables["customer"].delete_where(F.col("c_custkey").isin(cohort_keys))
+        _par(
+            lambda: tables["orders"].delete_where(
+                F.col("o_custkey").isin(cohort_keys)
+            ),
+            lambda: tables["events"].delete_where(
+                F.col("user_id").isin(cohort_keys)
+            ),
+            lambda: tables["customer"].delete_where(
+                F.col("c_custkey").isin(cohort_keys)
+            ),
+        )
 
         # audit phase: ONE action per table — customer needs only its
         # count (it is the cascade root, orphans 0 by construction);
         # each child gets (n_after, n_orphans) from one flag-join agg
-        # against its ON-DISK surviving parent
+        # against its ON-DISK surviving parent; the four read-only
+        # audits overlap (round 13)
         keep_c = tables["customer"].read().select("c_custkey")
         keep_o = tables["orders"].read()
-        c_after = tables["customer"].read().count()
-        o_after, o_orph = survivors_audit(keep_o, "o_custkey", keep_c)
-        l_after, l_orph = survivors_audit(
-            tables["lineitem"].read(), "l_orderkey", keep_o.select("o_orderkey")
-        )
-        e_after, e_orph = survivors_audit(
-            tables["events"].read(), "user_id", keep_c
+        c_after, (o_after, o_orph), (l_after, l_orph), (e_after, e_orph) = _par(
+            lambda: tables["customer"].read().count(),
+            lambda: survivors_audit(keep_o, "o_custkey", keep_c),
+            lambda: survivors_audit(
+                tables["lineitem"].read(),
+                "l_orderkey",
+                keep_o.select("o_orderkey"),
+            ),
+            lambda: survivors_audit(tables["events"].read(), "user_id", keep_c),
         )
         audited = {
             "customer": (c_after, 0),

@@ -4,7 +4,7 @@
 
 from __future__ import annotations
 
-from ._common import DD, F, SIM, TX, Window, _c, _cents, _docs_pipeline_eav, _events, _heavy, _t
+from ._common import DD, F, SIM, TX, Window, _c, _cents, _docs_pipeline_eav, _events, _heavy, _par, _t
 from .dedup_text import _kmeans_sql
 from .similarity_events import _DOT
 
@@ -1098,12 +1098,14 @@ def catalog_counts_report(spark, sf_dir):
 
     root = tempfile.mkdtemp(prefix="udp_cat_")
     tables = {}
+    loads = []
     for name in ("region", "nation", "customer"):
         df = _t(spark, sf_dir, name)
         t = ParquetTable(spark, root, name, df.schema)
-        t.ensure()
-        t.append(df)
         tables[name] = t
+        loads.append(lambda t=t, df=df: (t.ensure(), t.append(df)))
+    # round 13: three independent scratch-table loads — overlap (guide §2.6)
+    _par(*loads)
     out = verify_table_counts(spark, tables).cache()
     out.count()  # materialize before the scratch dir is removed
     shutil.rmtree(root, ignore_errors=True)

@@ -4,7 +4,17 @@
 
 from __future__ import annotations
 
-from ._common import F, _EAV_SQL, _c, _cents, _docs_pipeline_eav, _events, os
+from ._common import (
+    F,
+    _EAV_SQL,
+    _c,
+    _cents,
+    _docs_pipeline_eav,
+    _events,
+    _scoped_conf,
+    _stream_shuffle_partitions,
+    os,
+)
 
 # ---------------------------------------------------------------------------
 # round 9: the stream-stream interval join driven end-to-end (VERDICT r8 #3
@@ -68,14 +78,25 @@ def streaming_interval_join_attribution(spark, sf_dir):
         joined = interval_attribution_join(
             views, purchases, horizon="1 hour", watermark="2 hours"
         )
-        q = (
-            joined.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", os.path.join(root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # round 13: every stateful-stream shuffle partition owns state
+        # stores that pay per-micro-batch commit I/O regardless of state
+        # held — size the drain's partitioning to state volume, not core
+        # count (6-11 s -> ~2.5 s at sf0.1, identical output; see
+        # `_common._stream_shuffle_partitions`).  Scoped set/restore so
+        # the session's batch shuffle sizing is untouched.
+        with _scoped_conf(
+            spark,
+            "spark.sql.shuffle.partitions",
+            _stream_shuffle_partitions(spark),
+        ):
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         agg = (
             spark.read.parquet(out_dir)
             .groupBy(F.col("v_user").alias("user_id"))
