@@ -691,8 +691,16 @@ class IncrementalLshDedup:
             shingle_arrays(d, "id", "text", self.n), self.num_hashes
         )
         bands_new = lsh_band_keys(sig, self.num_hashes, self.bands).persist()
-        # replay idempotence: wipe any partial state from a prior attempt
-        self.table.delete_where(F.col("batch_id") == batch_id)
+        # replay idempotence: wipe any partial state from a prior attempt.
+        # Round 13: `delete_where` is an O(table) rewrite + publish, so
+        # probe first and skip it on the normal (non-replay) path where
+        # the batch has no rows yet — a bounded take(1) against the index
+        # instead of a full snapshot rewrite per batch; replays (rows
+        # present) still wipe exactly as before.
+        if self.table.read().filter(
+            F.col("batch_id") == batch_id
+        ).take(1):
+            self.table.delete_where(F.col("batch_id") == batch_id)
         prior = self.table.read().filter(F.col("batch_id") < batch_id)
         cross = (
             bands_new.join(
