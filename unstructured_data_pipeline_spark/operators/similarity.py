@@ -328,7 +328,14 @@ def ivf_topk(
         "q_vec",
         nprobe,
     )
-    cand = lists.join(probes, "cent_id").select("q_id", "q_vec", "neighbor_id", "c_vec")
+    # round 13 (guide §3.1): probes is |Q| * nprobe rows — bounded tiny —
+    # while lists is corpus-sized; without the hint the planner picked a
+    # SortMergeJoin that shuffled the corpus lists by cent_id (a handful
+    # of distinct keys: maximal skew at scale).  Broadcasting the probe
+    # side keeps the corpus un-shuffled; results unchanged.
+    cand = lists.join(F.broadcast(probes), "cent_id").select(
+        "q_id", "q_vec", "neighbor_id", "c_vec"
+    )
     if exclude_self:
         cand = cand.filter(F.col("neighbor_id") != F.col("q_id"))
     scored = cand.select(
