@@ -566,17 +566,21 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
+                # round 13: carry the per-row change flag through the
+                # checkpoint so convergence detection is a cheap scan of
+                # the materialized labels instead of a second join per
+                # round (old label is in scope right here)
+                (
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    )
+                    != F.col("label")
+                ).alias("_chg"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     else:
