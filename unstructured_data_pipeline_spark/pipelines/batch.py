@@ -219,6 +219,10 @@ def persist_pipeline_outputs(
     from concurrent.futures import ThreadPoolExecutor
 
     try:
+        # materialize the shared cached stage before the concurrent sinks
+        # (see persist_pipeline_outputs_idempotent)
+        if outputs.cached is not None:
+            outputs.cached.count()
         steps = [
             lambda: tables["documents_processed"].append(outputs.processed),
             lambda: tables["documents_extracted_fields"].append(
@@ -259,7 +263,12 @@ def persist_pipeline_outputs_idempotent(
 
     try:
         # round 13: disjoint target tables — the keyed upserts overlap
-        # (guide §2.6); per-table results identical
+        # (guide §2.6); per-table results identical.  Materialize the
+        # shared classify+extract cache FIRST: concurrent sinks would
+        # otherwise race to compute the same cached partitions and
+        # duplicate the AI stage instead of reusing one materialization.
+        if outputs.cached is not None:
+            outputs.cached.count()
         steps = [
             lambda: tables["documents_processed"].upsert(
                 outputs.processed, ["file_ref"]
