@@ -112,6 +112,20 @@ def _local_lloyd(
             else:
                 sums[j] = (list(x), 1)
         centroids = [sums.get(j, centroids[j]) for j in range(k)]
+        # ADVICE r13: bit-identity with the distributed `_assign` holds only
+        # while every |sum| < 2^53 — Python divides the exact big int in one
+        # rounding, Spark casts bigint->double FIRST (a second rounding).
+        # Guard the bound instead of silently diverging; callers hitting it
+        # must shrink train_cap/scale or use train_cap=None (distributed
+        # fit, which matches the oracle's own double-cast arithmetic).
+        for s, _n in centroids:
+            if any(abs(v) >= 2**53 for v in s):
+                raise OverflowError(
+                    "_local_lloyd centroid sum exceeds 2^53: the driver-side "
+                    "fit would diverge from the distributed/oracle "
+                    "arithmetic; lower train_cap or quantization scale, or "
+                    "pass train_cap=None for the distributed fit"
+                )
     return centroids
 
 

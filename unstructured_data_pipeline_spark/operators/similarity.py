@@ -290,10 +290,20 @@ def ivf_topk(
     k: int = 5,
     nprobe: int = 2,
     exclude_self: bool = True,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: assign every corpus vector to its nearest
     coarse centroid (the inverted lists), probe each query against its
     ``nprobe`` nearest centroids, exact-rerank only the probed lists.
+
+    ``broadcast_probes`` (ADVICE r13): the default hints the probe side
+    (|Q| * nprobe rows, each carrying a full query vector) into a
+    broadcast hash join — correct for the bounded query sets this engine's
+    callers use (|Q| in the tens), and the only estimate-independent way
+    to keep the corpus-sized lists un-shuffled.  A CORPUS-sized query set
+    (e.g. self-kNN of everything) would exceed the 8 GB / 512M-row
+    broadcast cap: pass ``False`` to fall back to the planner's shuffle
+    join for that shape.
 
     ``centroids`` is a tiny (cent_id, vec) DataFrame — broadcast to score
     assignments, so building the index is one scan of the corpus with NO
@@ -333,7 +343,9 @@ def ivf_topk(
     # SortMergeJoin that shuffled the corpus lists by cent_id (a handful
     # of distinct keys: maximal skew at scale).  Broadcasting the probe
     # side keeps the corpus un-shuffled; results unchanged.
-    cand = lists.join(F.broadcast(probes), "cent_id").select(
+    if broadcast_probes:
+        probes = F.broadcast(probes)
+    cand = lists.join(probes, "cent_id").select(
         "q_id", "q_vec", "neighbor_id", "c_vec"
     )
     if exclude_self:

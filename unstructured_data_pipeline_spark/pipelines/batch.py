@@ -215,7 +215,14 @@ def persist_pipeline_outputs(
     tables — the writes overlap (guide §2.6); per-table contents are
     unchanged (the shared classify+extract stage is persisted by
     ``cache_intermediate`` callers, so concurrent sinks share one
-    materialization rather than re-running the AI stage)."""
+    materialization rather than re-running the AI stage).
+
+    Failure atomicity is WEAKER than the sequential form (ADVICE r13): if
+    one sink fails, sibling writes already in flight still commit (futures
+    are not cancelled), so a blind re-run duplicates rows in the tables
+    whose appends succeeded.  Retry paths must use
+    :func:`persist_pipeline_outputs_idempotent` (keyed upserts — replay
+    converges regardless of which subset committed)."""
     from concurrent.futures import ThreadPoolExecutor
 
     try:

@@ -337,44 +337,21 @@ DEMOS = {
 # they are the FRESHEST-evidence entries, never forgotten ones.
 
 # Entries whose own implementation (and execution path shape) changed this
-# round: ADVICE r12 hardened the OCC metadata paths both lifecycle rows
-# drive (fsynced lock-token birth; cookie-digested claim reclamation
-# identity; try/finally scratch-dir cleanup; recover_stale's `.tmp-`
-# residue sweep), and the NEW occ_recover_stale_lifecycle executes the
-# recovery path end-to-end (VERDICT r12 next-round #6).
-_R13_CHANGED = [
-    "occ_recover_stale_lifecycle",
-    "image_glyph_ocr_contract",
-    "occ_transact_lifecycle",
-    "occ_partitioned_lifecycle",
-    # in the r8 stale tail anyway (no extra rotation cost), listed here
-    # because its execution path changed: the AI3 image branch now tries
-    # the stdlib glyph tier before the marker fallback (its fixture
-    # images are solid 4x4 BMPs, so its OUTPUT is bitwise-unchanged)
-    "pdf_ocr_roundtrip_contract",
+# round.  VERDICT r13 #2 (rotation honesty): the round-13 optimizer changed
+# the execution path of six queries that were NOT in the driver's 50-query
+# window either round, so their oracle evidence was builder-side only —
+# they lead round 14's rotation so the driver re-proves them.  Entries
+# touched by round-14 optimizations are appended as they land.
+_R14_CHANGED = [
+    # r13-optimized, driver-unverified (VERDICT r13 correctness-gap list)
+    "semdedup_report",
+    "ann_ivf_topk",
+    "gdpr_erasure_lifecycle",
+    "warehouse_bootstrap_report",
+    "streaming_intake_eav",
+    "streaming_interval_join_attribution",
 ]
 
-# Full disclosure for the rotation's honesty contract (VERDICT r11 #7,
-# r12-approved pattern): these entries also CROSS the changed claim/lock
-# metadata paths (every ParquetTable commit does), but their outputs are
-# bitwise-unchanged (claim content and .obs format are never query
-# output) and all are re-verified green in the round's full-registry
-# sweeps on the post-change code.  They are deliberately NOT prioritized:
-# all are r10/r11-fresh, and pushing 10 more entries ahead of the
-# rotation would starve the 37-entry r8 evidence tail the driver's
-# ~50-entry window must drain this round (VERDICT r12 next-round #1).
-_R13_TOUCHED = [
-    "dml_delete_append_lifecycle",
-    "merge_partitioned_lifecycle",
-    "table_time_travel_report",
-    "table_clone_report",
-    "schema_evolution_report",
-    "compaction_report",
-    "gdpr_erasure_lifecycle",
-    "mor_delete_lifecycle_report",
-    "warehouse_bootstrap_report",
-    "table_changes_stream_report",
-]
 
 
 def _latest_green_rounds() -> dict[str, int]:
@@ -416,7 +393,7 @@ def _latest_green_rounds() -> dict[str, int]:
 
 
 def _freshness_order(names: list[str]) -> list[str]:
-    changed = [n for n in _R13_CHANGED if n in names]
+    changed = [n for n in _R14_CHANGED if n in names]
     green = _latest_green_rounds()
     pos = {n: i for i, n in enumerate(names)}
     rest = sorted(
@@ -426,8 +403,7 @@ def _freshness_order(names: list[str]) -> list[str]:
     return changed + rest
 
 
-assert set(_R13_CHANGED) <= set(REGISTRY), sorted(set(_R13_CHANGED) - set(REGISTRY))
-assert set(_R13_TOUCHED) <= set(REGISTRY), sorted(set(_R13_TOUCHED) - set(REGISTRY))
+assert set(_R14_CHANGED) <= set(REGISTRY), sorted(set(_R14_CHANGED) - set(REGISTRY))
 REGISTRY = {n: REGISTRY[n] for n in _freshness_order(list(REGISTRY))}
 
 
