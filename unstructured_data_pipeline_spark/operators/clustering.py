@@ -132,26 +132,29 @@ def _local_lloyd(
 def _assign(pts: DataFrame, centroids: list[tuple[list[int], int]], d: int) -> DataFrame:
     """Add the argmin cluster id.  One struct-array min per row — row-local,
     zero shuffle; centroids enter the plan as array *literals* (constant,
-    not re-built per element)."""
-    x = F.col("x")
+    not re-built per element).
+
+    Round 14: the k entries are rendered as ONE SQL string parsed JVM-side
+    instead of composed Column-by-Column — the py4j round-trips of the old
+    build cost ~1 s of driver time per call (the plan is rebuilt every
+    run; see `pq._assign_multi` for the measured twin).  Tree unchanged:
+    array<bigint> centroid literals, int count (PySpark's lit() int32
+    rule mirrored), the identical divide/subtract/multiply/sequential-fold
+    op sequence, low-index struct-min tie-break — assignments
+    bit-identical (pinned by tests + the hash-gated oracles)."""
     entries = []
-    def make_step(s_lit, n_lit):
-        def step(acc, i):
-            diff = F.element_at(x, i) - F.element_at(s_lit, i) / n_lit
-            return acc + diff * diff
-
-        return step
-
     for j, (s, n) in enumerate(centroids):
-        s_lit = F.lit([int(v) for v in s])
-        n_lit = F.lit(int(n))
-        dist = F.aggregate(
-            F.sequence(F.lit(1), F.lit(d)), F.lit(0.0), make_step(s_lit, n_lit)
+        s_lit = "array(" + ", ".join(f"{int(v)}L" for v in s) + ")"
+        n_i = int(n)
+        n_lit = str(n_i) if -(2**31) <= n_i < 2**31 else f"{n_i}L"
+        diff = f"(element_at(x, i) - element_at({s_lit}, i) / {n_lit})"
+        dist = (
+            f"aggregate(sequence(1, {d}), 0.0D, "
+            f"(acc, i) -> acc + ({diff} * {diff}))"
         )
-        entries.append(F.struct(dist.alias("d"), F.lit(j).alias("k")))
-    return pts.select(
-        "id", "x", F.array_min(F.array(*entries))["k"].alias("k")
-    )
+        entries.append(f"named_struct('d', {dist}, 'k', {j})")
+    kk = f"array_min(array({', '.join(entries)}))['k']"
+    return pts.select("id", "x", F.expr(kk).alias("k"))
 
 
 def kmeans_assignments(

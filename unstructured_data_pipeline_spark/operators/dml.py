@@ -673,6 +673,14 @@ class ParquetTable:
         self._replace(upsert(self.read(), self._conform(source), keys))
 
     def anti_insert(self, source: DataFrame, keys: list[str]) -> None:
+        # Round 14 measured-and-kept: probing `fresh` for emptiness to skip
+        # the no-op append (the seed-twice idempotence pattern) LOSES —
+        # interleaved A/B on warehouse_bootstrap_report: unconditional
+        # append 3.61/3.65 s vs take(1)-probe 4.94 s (take's scale-up
+        # escalation runs several sequential jobs on an empty anti-join)
+        # vs limit(1).count()-probe 3.87 s.  Any emptiness proof must pay
+        # the same anti-join compute the append pays; the empty-file write
+        # it would skip costs less than the probe job.
         fresh = self._conform(source).join(
             self.read().select(*keys).distinct(), on=keys, how="left_anti"
         )

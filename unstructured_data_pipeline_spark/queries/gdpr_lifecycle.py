@@ -248,7 +248,15 @@ def triangle_count_sampled(spark, sf_dir):
     target), where the p^2 wedge reduction is the term that matters.
     The estimator validated: est 96 vs 100 true at sf10."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.distinct()
+    # round 14 (guide §2.4, same change as kcore_decomposition): dedup the
+    # baskets AFTER one repartition on the join key so the aggregation and
+    # the self-join share a single exchange; identical distinct set.
+    baskets = (
+        li.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(F.lit(1))
+        .select("l_orderkey", "l_partkey")
+    )
     a = baskets.alias("a")
     b = baskets.alias("b")
     all_edges = (

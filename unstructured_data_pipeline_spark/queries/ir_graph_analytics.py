@@ -238,7 +238,15 @@ def triangle_count_copurchase(spark, sf_dir):
     output).  The same reuse a cluster gets from checkpointing the edge
     list of a graph pipeline stage."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.distinct()
+    # round 14 (guide §2.4, same change as kcore_decomposition): dedup the
+    # baskets AFTER one repartition on the join key so the aggregation and
+    # the self-join share a single exchange; identical distinct set.
+    baskets = (
+        li.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(F.lit(1))
+        .select("l_orderkey", "l_partkey")
+    )
     a = baskets.alias("a")
     b = baskets.alias("b")
     edges = (
@@ -862,7 +870,19 @@ def kcore_decomposition(spark, sf_dir):
     CTEs — two engines, one fixed-point prefix."""
     k = 3
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.distinct()
+    # round 14 (guide §2.4 "share one exchange"): dedup the baskets with a
+    # groupBy AFTER repartitioning on the join key — HashPartitioning on
+    # l_orderkey satisfies the (l_orderkey, l_partkey) aggregation's
+    # clustering AND the self-join's requirement, so the basket relation
+    # is shuffled ONCE (a bare .distinct() hash-partitioned on both
+    # columns and the join then re-shuffled it by l_orderkey).  Same
+    # distinct set, same edges.
+    baskets = (
+        li.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(F.lit(1))
+        .select("l_orderkey", "l_partkey")
+    )
     a = baskets.alias("a")
     b = baskets.alias("b")
     edges = (
@@ -887,19 +907,24 @@ def kcore_decomposition(spark, sf_dir):
                 .agg(F.count(F.lit(1)).alias("deg"))
             )
             kept = deg.filter(F.col("deg") >= k).select("node").persist()
+            n_kept = kept.count()
+            # round 14 (guide §3.3 / §5, the dedup_clusters pattern): each
+            # round's surviving edges are CHECKPOINTED, not persisted — a
+            # lazily-persisted frame keeps its full lineage, so round r's
+            # analyzed plan grew ~5x per round (deg reads cur twice, kept
+            # reads deg, nxt reads cur + kept twice) and round 3's count
+            # spent 1.3-2 s in driver analysis alone.  localCheckpoint
+            # truncates the plan to an RDD scan; interleaved A/B total
+            # 4.91 s -> 2.43 s, identical rounds.
             nxt = (
                 cur.join(kept.withColumnRenamed("node", "u"), "u", "left_semi")
                 .join(kept.withColumnRenamed("node", "v"), "v", "left_semi")
                 .select("u", "v")
-                .persist()
+                .localCheckpoint(eager=True)
             )
-            rows.append((rnd, kept.count(), nxt.count()))
-            if cur is not edges:
-                cur.unpersist()
+            rows.append((rnd, n_kept, nxt.count()))
             kept.unpersist()
             cur = nxt
-        if cur is not edges:
-            cur.unpersist()
     finally:
         edges.unpersist()
     return spark.createDataFrame(

@@ -11,6 +11,7 @@ from ._common import (
     _cents,
     _docs_pipeline_eav,
     _events,
+    _par,
     _scoped_conf,
     _stream_shuffle_partitions,
     os,
@@ -68,9 +69,14 @@ def streaming_interval_join_attribution(spark, sf_dir):
         # one file per side -> one availableNow micro-batch: the complete
         # interval join lands (no cross-batch late-arrival drops), so the
         # streaming result equals the batch twin bit-for-bit — the same
-        # replay-determinism contract streaming_intake_eav uses
-        views_src.coalesce(1).write.parquet(v_dir)
-        purchases_src.coalesce(1).write.parquet(p_dir)
+        # replay-determinism contract streaming_intake_eav uses.
+        # round 14 (guide §2.6): the two landing writes are independent
+        # single-file jobs into disjoint dirs — overlap them so the second
+        # doesn't wait out the first's tail.
+        _par(
+            lambda: views_src.coalesce(1).write.parquet(v_dir),
+            lambda: purchases_src.coalesce(1).write.parquet(p_dir),
+        )
         views = spark.readStream.schema(views_src.schema).parquet(v_dir)
         purchases = spark.readStream.schema(purchases_src.schema).parquet(
             p_dir
