@@ -350,6 +350,16 @@ _R14_CHANGED = [
     "warehouse_bootstrap_report",
     "streaming_intake_eav",
     "streaming_interval_join_attribution",
+    # round-14 optimization-touched execution paths (semdedup_report and
+    # streaming_interval_join_attribution above also ride r14 changes)
+    "incremental_dedup_report",
+    "kcore_decomposition",
+    "triangle_count_copurchase",
+    "triangle_count_sampled",
+    "kmeans_embeddings_clusters",
+    "ann_pq_subspace_topk",
+    "ann_pq_recall",
+    "ann_pq_topk_contract",
 ]
 
 
